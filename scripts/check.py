@@ -1,0 +1,62 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate.
+
+Usage: python3 scripts/check.py <sfDir> <verifyOutDir>
+
+Reads each <outDir>/<name>/ parquet result written by graft.Verify, runs the
+oracle SQL from <outDir>/oracle_sql.json in DuckDB against the same fixture
+tables, and compares: row count, column set (sorted by name), and values
+row-by-row (columns sorted by name, rows in result order).
+"""
+import sys, json, glob, os
+import duckdb
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split():
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(oracles):
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        got = con.execute(
+            f"SELECT * FROM read_parquet({files!r})").fetch_arrow_table()
+        try:
+            exp = con.execute(oracles[name]).fetch_arrow_table()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error {e}")
+            n_fail += 1
+            continue
+        gcols, ecols = sorted(got.column_names), sorted(exp.column_names)
+        if gcols != ecols:
+            print(f"FAIL {name}: columns {gcols} vs {ecols}")
+            n_fail += 1
+            continue
+        if got.num_rows != exp.num_rows:
+            print(f"FAIL {name}: rows {got.num_rows} vs {exp.num_rows}")
+            n_fail += 1
+            continue
+        g = [tuple(r[c] for c in gcols) for r in got.to_pylist()]
+        e = [tuple(r[c] for c in ecols) for r in exp.to_pylist()]
+        bad = [(i, a, b) for i, (a, b) in enumerate(zip(g, e)) if a != b]
+        if bad:
+            i, a, b = bad[0]
+            print(f"FAIL {name}: {len(bad)}/{len(g)} rows differ; "
+                  f"first at {i}:\n  spark={a}\n  duck ={b}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({got.num_rows} rows)")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

@@ -1,13 +1,41 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Aggregates every operator module's verifiable queries. Each query name
+  * carries the SURVEY.md §2 operator id it implements; `oracleSql` holds the
+  * DuckDB-ANSI twin the driver runs on the same parquet fixtures.
+  */
 object SparkEntry {
+
+  private val modules: Seq[OpModule] = Seq(
+    operators.Consolidation,
+    operators.RelationalOps,
+    operators.IngestOps
+  )
+
+  private lazy val all: Map[String, Q] =
+    modules.flatMap(_.queries).toMap
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+  def entry(spark: SparkSession): DataFrame = {
+    Sessions.tune(spark)
+    operators.Consolidation.relatorio(spark, "/root/testdata/sf0.001")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map { case (name, q) =>
+      name -> { (s: SparkSession, d: String) =>
+        Sessions.tune(s)
+        q.run(s, d)
+      }
+    }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    all.collect { case (name, Q(_, Some(sql), _)) => name -> sql }
 }

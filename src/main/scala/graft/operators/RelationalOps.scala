@@ -1,0 +1,436 @@
+package graft.operators
+
+import graft.{Exprs, OpModule, Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Core relational operator inventory (SURVEY.md §2.1–2.8) re-expressed over
+  * the driver's TPC-H-ish fixtures. Query names carry the SURVEY operator id
+  * they cover. Every query is a declarative DataFrame plan — scans project
+  * only needed columns (parquet column pruning), filters sit directly above
+  * scans (pushdown), dims are broadcast, and money sums go through
+  * [[graft.Exprs.dsum]] so results are shuffle-order independent.
+  */
+object RelationalOps extends OpModule {
+  import Exprs.{dsum, dsumSql}
+
+  def queries: Map[String, Q] = Map(
+    // ── S1/F1: projected scan (column pruning to the parquet reader). ──
+    "s1_scan_project" -> Q(
+      (s, d) =>
+        Tables
+          .lineitem(s, d)
+          .select($("l_orderkey"), $("l_linenumber"), $("l_partkey"), $("l_quantity"))
+          .orderBy($("l_orderkey"), $("l_linenumber")),
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin),
+      doc = "SURVEY S1/F1 — tarefa_consolidar_dados.php:56 projected scan"
+    ),
+
+    // ── S2/F2/F3: date-truncating filtered scan (predicate pushdown). ──
+    "s2_filter_date" -> Q(
+      (s, d) =>
+        Tables
+          .orders(s, d)
+          .withColumn("data_pedido", to_date($("o_orderdate")))
+          .filter(
+            $("data_pedido") >= lit("1995-06-01").cast(DateType) &&
+              $("data_pedido") < lit("1995-07-01").cast(DateType))
+          .select($("o_orderkey"), $("o_custkey"), $("o_totalprice"), $("data_pedido"))
+          .orderBy($("o_orderkey")),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice,
+             |       CAST(o_orderdate AS DATE) AS data_pedido
+             |FROM orders
+             |WHERE CAST(o_orderdate AS DATE) >= DATE '1995-06-01'
+             |  AND CAST(o_orderdate AS DATE) <  DATE '1995-07-01'
+             |ORDER BY o_orderkey""".stripMargin),
+      doc = "SURVEY S2/F3 — WHERE DATE(data_venda)=? tarefa_consolidar_dados.php:87"
+    ),
+
+    // ── F4/F5/F6: compound predicate preserving the reference's MySQL
+    // precedence quirk — `a AND b AND c AND t='S' OR t='K'` binds as
+    // `(a∧b∧c∧t='S') ∨ t='K'` (tarefa_popular_fila_estoque.php:10). ──
+    "f6_filter_quirk" -> Q(
+      (s, d) =>
+        Tables
+          .part(s, d)
+          .filter(
+            ($("p_size") > 25 && !$("p_name").startsWith("a") &&
+              $("p_name").isNotNull && $("p_type") === "STANDARD") ||
+              $("p_brand") === "Brand#13")
+          .select($("p_partkey"), $("p_name"), $("p_brand"), $("p_type"), $("p_size"))
+          .orderBy($("p_partkey")),
+      Some("""SELECT p_partkey, p_name, p_brand, p_type, p_size
+             |FROM part
+             |WHERE (p_size > 25 AND p_name NOT LIKE 'a%'
+             |       AND p_name IS NOT NULL AND p_type = 'STANDARD')
+             |   OR p_brand = 'Brand#13'
+             |ORDER BY p_partkey""".stripMargin),
+      doc = "SURVEY F4/F5/F6 — precedence quirk kept verbatim"
+    ),
+
+    // ── A1/A2: COALESCE-keyed multi-SUM hash aggregate (the sales
+    // pre-aggregation of tarefa_consolidar_dados.php:91-96 + :8-25). ──
+    "a2_agg_sales" -> Q(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        li.groupBy(
+            coalesce(when($("l_returnflag") === "N", lit(null)).otherwise($("l_returnflag")),
+              $("l_linestatus")).as("grp"))
+          .agg(
+            dsum($("l_quantity")).as("sum_qty"),
+            dsum($("l_extendedprice")).as("sum_fat"),
+            dsum($("l_extendedprice") * $("l_tax")).as("sum_tarifa"),
+            dsum($("l_extendedprice") * $("l_discount")).as("sum_frete"),
+            dsum($("l_extendedprice") * (lit(1.0) - $("l_tax") - $("l_discount")))
+              .as("sum_liquido"),
+            count(lit(1)).as("n_rows"))
+          .orderBy($("grp"))
+      },
+      Some(s"""SELECT COALESCE(NULLIF(l_returnflag, 'N'), l_linestatus) AS grp,
+              |  ${dsumSql("l_quantity")} AS sum_qty,
+              |  ${dsumSql("l_extendedprice")} AS sum_fat,
+              |  ${dsumSql("l_extendedprice * l_tax")} AS sum_tarifa,
+              |  ${dsumSql("l_extendedprice * l_discount")} AS sum_frete,
+              |  ${dsumSql("l_extendedprice * (1.0 - l_tax - l_discount)")} AS sum_liquido,
+              |  COUNT(*) AS n_rows
+              |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "SURVEY A1/A2 — groupBy(coalesce(id_variacao,id_anuncio)) + 6 SUMs"
+    ),
+
+    // ── A3: second-level rollup by parent key. ──
+    "a3_rollup_parent" -> Q(
+      (s, d) =>
+        Tables
+          .lineitem(s, d)
+          .groupBy($("l_partkey"))
+          .agg(dsum($("l_extendedprice") * (lit(1.0) - $("l_discount"))).as("revenue"))
+          .orderBy($("l_partkey")),
+      Some(s"""SELECT l_partkey,
+              |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+              |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "SURVEY A3 — faturamento_total_por_pai tarefa_consolidar_dados.php:118-138"
+    ),
+
+    // ── A5: DISTINCT. ──
+    "a5_distinct" -> Q(
+      (s, d) =>
+        Tables
+          .orders(s, d)
+          .select($("o_orderpriority"), $("o_orderstatus"))
+          .distinct()
+          .orderBy($("o_orderpriority"), $("o_orderstatus")),
+      Some("""SELECT DISTINCT o_orderpriority, o_orderstatus
+             |FROM orders ORDER BY 1, 2""".stripMargin),
+      doc = "SURVEY A5 — SELECT DISTINCT tarefa_popular_fila_trafego.php:32"
+    ),
+
+    // ── A6: key-set union driving set (keys(sales) ∪ traffic children). ──
+    "a6_keyset_union" -> Q(
+      (s, d) => {
+        val sold = Tables
+          .lineitem(s, d)
+          .filter($("l_returnflag") === "A")
+          .select($("l_partkey").as("partkey"))
+        val small =
+          Tables.part(s, d).filter($("p_size") < 10).select($("p_partkey").as("partkey"))
+        sold.union(small).distinct().orderBy($("partkey"))
+      },
+      Some("""SELECT DISTINCT partkey FROM (
+             |  SELECT l_partkey AS partkey FROM lineitem WHERE l_returnflag = 'A'
+             |  UNION ALL
+             |  SELECT p_partkey AS partkey FROM part WHERE p_size < 10
+             |) ORDER BY partkey""".stripMargin),
+      doc = "SURVEY A6 — variacoes_a_processar tarefa_consolidar_dados.php:101-116"
+    ),
+
+    // ── J1: inner equi-join against a broadcast dim. ──
+    "j1_join_map_inner" -> Q(
+      (s, d) =>
+        Tables
+          .lineitem(s, d)
+          .join(broadcast(Tables.part(s, d)), $("l_partkey") === $("p_partkey"), "inner")
+          .groupBy($("p_brand"))
+          .agg(count(lit(1)).as("n_rows"), dsum($("l_extendedprice")).as("fat"))
+          .orderBy($("p_brand")),
+      Some(s"""SELECT p_brand, COUNT(*) AS n_rows,
+              |  ${dsumSql("l_extendedprice")} AS fat
+              |FROM lineitem JOIN part ON l_partkey = p_partkey
+              |GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "SURVEY J1 — inner map probe tarefa_consolidar_dados.php:156 (broadcast)"
+    ),
+
+    // ── J2: left join to a cost dim with null→0 default. ──
+    "j2_join_cost_left" -> Q(
+      (s, d) => {
+        val sales = Tables
+          .lineitem(s, d)
+          .groupBy($("l_partkey"))
+          .agg(dsum($("l_quantity")).as("qtd"))
+        val costs = broadcast(
+          Tables.part(s, d).filter($("p_size") > 10).select($("p_partkey"), $("p_retailprice")))
+        sales
+          .join(costs, $("l_partkey") === $("p_partkey"), "left")
+          .select(
+            $("l_partkey"),
+            $("qtd"),
+            coalesce($("p_retailprice"), lit(0.0)).as("custo_unit"))
+          .orderBy($("l_partkey"))
+      },
+      Some(s"""SELECT l_partkey, qtd, COALESCE(p_retailprice, 0.0) AS custo_unit
+              |FROM (SELECT l_partkey, ${dsumSql("l_quantity")} AS qtd
+              |      FROM lineitem GROUP BY 1) v
+              |LEFT JOIN (SELECT p_partkey, p_retailprice FROM part WHERE p_size > 10) c
+              |  ON l_partkey = p_partkey
+              |ORDER BY l_partkey""".stripMargin),
+      doc = "SURVEY J2 — left cost probe with ?? 0.00 default tarefa_consolidar_dados.php:176"
+    ),
+
+    // ── J6: anti-join side output (unmapped SKU alerts). ──
+    "j6_join_anti_alerts" -> Q(
+      (s, d) =>
+        Tables
+          .part(s, d)
+          .join(
+            Tables.lineitem(s, d).filter($("l_quantity") >= 48.0),
+            $("p_partkey") === $("l_partkey"),
+            "left_anti")
+          .select($("p_partkey"), $("p_name"), $("p_brand"))
+          .orderBy($("p_partkey")),
+      Some("""SELECT p_partkey, p_name, p_brand FROM part p
+             |WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+             |                  WHERE p.p_partkey = l.l_partkey AND l.l_quantity >= 48.0)
+             |ORDER BY p_partkey""".stripMargin),
+      doc = "SURVEY J6/K7 — anti-join alert branch tarefa_consolidar_mapa.php:75-78"
+    ),
+
+    // ── J7: semi-join (exists filter). ──
+    "j7_join_semi" -> Q(
+      (s, d) =>
+        Tables
+          .customer(s, d)
+          .join(
+            Tables.orders(s, d).filter($("o_orderstatus") === "F"),
+            $("c_custkey") === $("o_custkey"),
+            "left_semi")
+          .select($("c_custkey"), $("c_name"), $("c_mktsegment"))
+          .orderBy($("c_custkey")),
+      Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer c
+             |WHERE EXISTS (SELECT 1 FROM orders o
+             |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+             |ORDER BY c_custkey""".stripMargin),
+      doc = "SURVEY J7 — grouped-multimap probe as semi-join worker_processar_estoque.php:16-19"
+    ),
+
+    // ── J8: left self-join for a parent lookup. ──
+    "j8_self_join_parent" -> Q(
+      (s, d) => {
+        val p = Tables.part(s, d)
+        val child = p.select(
+          $("p_partkey").as("partkey"),
+          $("p_name").as("name"),
+          ($("p_partkey") - ($("p_partkey") % 10)).as("parentkey"))
+        val parent = p.select($("p_partkey").as("pk"), $("p_name").as("parent_name"))
+        child
+          .join(parent, $("parentkey") === $("pk"), "left")
+          .select($("partkey"), $("name"), $("parentkey"), $("parent_name"))
+          .orderBy($("partkey"))
+      },
+      Some("""SELECT c.p_partkey AS partkey, c.p_name AS name,
+             |       c.p_partkey - (c.p_partkey % 10) AS parentkey,
+             |       p.p_name AS parent_name
+             |FROM part c
+             |LEFT JOIN part p ON p.p_partkey = c.p_partkey - (c.p_partkey % 10)
+             |ORDER BY partkey""".stripMargin),
+      doc = "SURVEY J8 — Tiny parent-SKU self-join tarefa_sincronizar_catalogo_tiny.php:76-79"
+    ),
+
+    // ── W1: revenue share over a partition (exact windowed denominator). ──
+    "w1_window_share" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy($("l_orderkey"))
+        Tables
+          .lineitem(s, d)
+          .select(
+            $("l_orderkey"),
+            $("l_linenumber"),
+            ($("l_extendedprice") / Exprs.dsumOver($("l_extendedprice"), w)).as("peso"))
+          .orderBy($("l_orderkey"), $("l_linenumber"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  l_extendedprice / CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6)))
+             |      OVER (PARTITION BY l_orderkey) AS DOUBLE) AS peso
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin),
+      doc = "SURVEY W1 — peso = fat/Σfat over parent tarefa_consolidar_dados.php:194-200"
+    ),
+
+    // ── W5: per-order freight proration with zero-revenue guard. ──
+    "w5_freight_proration" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy($("l_orderkey"))
+        val li = Tables.lineitem(s, d)
+        val o  = Tables.orders(s, d).select($("o_orderkey"), $("o_totalprice"))
+        li.join(o, $("l_orderkey") === $("o_orderkey"), "inner")
+          .withColumn("fat_ordem", Exprs.dsumOver($("l_extendedprice"), w))
+          .select(
+            $("l_orderkey"),
+            $("l_linenumber"),
+            when(
+              $("fat_ordem") > 0.0,
+              ($("o_totalprice") * lit(0.1)) * ($("l_extendedprice") / $("fat_ordem")))
+              .otherwise(lit(0.0))
+              .as("custo_frete_rateado"))
+          .orderBy($("l_orderkey"), $("l_linenumber"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  CASE WHEN fat_ordem > 0.0
+             |       THEN (o_totalprice * 0.1) * (l_extendedprice / fat_ordem)
+             |       ELSE 0.0 END AS custo_frete_rateado
+             |FROM (
+             |  SELECT l_orderkey, l_linenumber, l_extendedprice, o_totalprice,
+             |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6)))
+             |        OVER (PARTITION BY l_orderkey) AS DOUBLE) AS fat_ordem
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+      doc = "SURVEY W5/A4 — custo_frete_rateado tarefa_coletar_financas.php:134-135"
+    ),
+
+    // ── W6/L3: rank + top-k per partition. ──
+    "w6_rank_topk" -> Q(
+      (s, d) => {
+        val w = Window
+          .partitionBy($("l_returnflag"))
+          .orderBy($("l_extendedprice").desc, $("l_orderkey").asc, $("l_linenumber").asc)
+        Tables
+          .lineitem(s, d)
+          .withColumn("posicao", row_number().over(w))
+          .filter($("posicao") <= 3)
+          .select($("l_returnflag"), $("posicao"), $("l_orderkey"), $("l_linenumber"),
+            $("l_extendedprice"))
+          .orderBy($("l_returnflag"), $("posicao"))
+      },
+      Some("""SELECT l_returnflag, posicao, l_orderkey, l_linenumber, l_extendedprice
+             |FROM (
+             |  SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+             |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+             |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS posicao
+             |  FROM lineitem)
+             |WHERE posicao <= 3 ORDER BY l_returnflag, posicao""".stripMargin),
+      doc = "SURVEY W6/F12 — posicao rank tarefa_coletar_posicionamento.php:74-81"
+    ),
+
+    // ── K1: keyed upsert final state = keep-latest per key. ──
+    "k1_upsert_latest" -> Q(
+      (s, d) => {
+        val w = Window
+          .partitionBy($("o_custkey"))
+          .orderBy($("o_orderdate").desc, $("o_orderkey").desc)
+        Tables
+          .orders(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter($("rn") === 1)
+          .select(
+            $("o_custkey"),
+            $("o_orderkey"),
+            to_date($("o_orderdate")).as("data_ultimo"),
+            $("o_totalprice"))
+          .orderBy($("o_custkey"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS data_ultimo,
+             |       o_totalprice
+             |FROM (
+             |  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+             |    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+             |  FROM orders)
+             |WHERE rn = 1 ORDER BY o_custkey""".stripMargin),
+      doc = "SURVEY K1 — INSERT..ON DUPLICATE KEY UPDATE as keep-latest dedup"
+    ),
+
+    // ── K2: INSERT IGNORE queue populate = anti-join append. ──
+    "k2_insert_if_absent" -> Q(
+      (s, d) => {
+        val existing = Tables
+          .orders(s, d)
+          .filter($("o_orderstatus") === "F")
+          .select($("o_custkey").as("custkey"))
+          .distinct()
+          .withColumn("status", lit("concluido"))
+        val inserted = Tables
+          .customer(s, d)
+          .select($("c_custkey").as("custkey"))
+          .join(existing.select($("custkey")), Seq("custkey"), "left_anti")
+          .withColumn("status", lit("pendente"))
+        existing.union(inserted).orderBy($("custkey"))
+      },
+      Some("""SELECT c_custkey AS custkey,
+             |  CASE WHEN EXISTS (SELECT 1 FROM orders o
+             |                    WHERE o.o_custkey = c.c_custkey
+             |                      AND o.o_orderstatus = 'F')
+             |       THEN 'concluido' ELSE 'pendente' END AS status
+             |FROM customer c ORDER BY custkey""".stripMargin),
+      doc = "SURVEY K2 — INSERT IGNORE tarefa_popular_fila_trafego.php:42"
+    ),
+
+    // ── K3: searched update = join + coalesce(new, old). ──
+    "k3_update_searched" -> Q(
+      (s, d) => {
+        val newCost = Tables
+          .lineitem(s, d)
+          .groupBy($("l_partkey"))
+          .agg((dsum($("l_extendedprice")) / count(lit(1))).as("custo_novo"))
+        Tables
+          .part(s, d)
+          .join(broadcast(newCost), $("p_partkey") === $("l_partkey"), "left")
+          .select($("p_partkey"), coalesce($("custo_novo"), $("p_retailprice")).as("custo"))
+          .orderBy($("p_partkey"))
+      },
+      Some(s"""SELECT p_partkey, COALESCE(custo_novo, p_retailprice) AS custo
+              |FROM part LEFT JOIN (
+              |  SELECT l_partkey, ${dsumSql("l_extendedprice")} / COUNT(*) AS custo_novo
+              |  FROM lineitem GROUP BY 1) n
+              |ON p_partkey = l_partkey ORDER BY p_partkey""".stripMargin),
+      doc = "SURVEY K3 — UPDATE..SET custo WHERE sku tarefa_atualizar_custos_erp.php:26"
+    ),
+
+    // ── L1/K4: deterministic batch claim (LIMIT 50 + status transition). ──
+    "l1_limit_claim" -> Q(
+      (s, d) =>
+        Tables
+          .events(s, d)
+          .filter($("event_type") === "error")
+          .select($("event_id"), $("user_id"), lit("processando").as("status"))
+          .orderBy($("event_id"))
+          .limit(50),
+      Some("""SELECT event_id, user_id, 'processando' AS status
+             |FROM events WHERE event_type = 'error'
+             |ORDER BY event_id LIMIT 50""".stripMargin),
+      doc = "SURVEY L1/K4/K6 — batch claim worker_processar_trafego.php:16"
+    ),
+
+    // ── F11: pivot exploded deposits into fixed columns. ──
+    "f11_pivot_inventory" -> Q(
+      (s, d) =>
+        Tables
+          .events(s, d)
+          .groupBy($("user_id"))
+          .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+          .agg(dsum($("value")))
+          .na.fill(0.0, Seq("click", "error", "purchase", "signup", "view"))
+          .orderBy($("user_id")),
+      Some(s"""SELECT user_id,
+              |  COALESCE(${pivotSql("click")}, 0.0)    AS "click",
+              |  COALESCE(${pivotSql("error")}, 0.0)    AS "error",
+              |  COALESCE(${pivotSql("purchase")}, 0.0) AS "purchase",
+              |  COALESCE(${pivotSql("signup")}, 0.0)   AS "signup",
+              |  COALESCE(${pivotSql("view")}, 0.0)     AS "view"
+              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "SURVEY F11 — deposito Geral/Direct pivot worker_processar_estoque.php:71-80"
+    )
+  )
+
+  private def pivotSql(v: String): String =
+    s"CAST(SUM(CASE WHEN event_type = '$v' THEN CAST(value AS DECIMAL(38,6)) END) AS DOUBLE)"
+
+  private def $(name: String) = col(name)
+}
