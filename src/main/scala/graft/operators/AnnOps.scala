@@ -1,0 +1,120 @@
+package graft.operators
+
+import graft.{OpModule, Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Approximate-nearest-neighbor search over the `embeddings` fixture
+  * (64-dim FLOAT[]): brute-force cosine top-k as the correctness baseline,
+  * and an IVF-style variant that probes only the query's coarse cell
+  * (the fixture's `label` column plays the cluster assignment).
+  *
+  * Scale posture: the query set is tiny and BROADCAST, so the candidate
+  * side streams through map tasks with no shuffle of the big relation;
+  * top-k is TWO-PHASE (local top-k per (query, salt) bucket, then a global
+  * re-rank over ≤ #salts × k survivors) — never a single window over one
+  * query's entire candidate list. The IVF variant additionally prunes
+  * candidates to the query's cell before scoring, the standard
+  * inverted-file trade (recall bounded by cell assignment, cost by cell
+  * size).
+  *
+  * Dot products run in DOUBLE with a left-to-right fold ([[dot]]) and the
+  * DuckDB twin replays the identical fold, so scores match bit-for-bit;
+  * emitted similarity is DECIMAL(18,6) as a further guard.
+  */
+object AnnOps extends OpModule {
+
+  /** Left-to-right dot-product fold over two DOUBLE arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def dotSql(a: String, b: String): String =
+    s"list_sum([$a[i] * $b[i] FOR i IN range(1, len($a) + 1)])"
+
+  def normSql(v: String): String = s"sqrt(${dotSql(v, v)})"
+
+  /** embeddings with DOUBLE vector `v` and its L2 norm. */
+  def withNorm(e: DataFrame): DataFrame = {
+    val v = transform(col("embedding"), x => x.cast(DoubleType))
+    e.select(col("vec_id"), col("label"), v.as("v"))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+  }
+
+  /** Twin of [[withNorm]]. `v` must be bound in an inner subquery: DuckDB
+    * can't parse a subscript directly after an array cast
+    * (`embedding::DOUBLE[][i]`). */
+  val withNormSql: String =
+    s"""SELECT vec_id, label, v, ${normSql("v")} AS norm
+       |FROM (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)""".stripMargin
+
+  /** Two-phase cosine top-k of `cand` per query row (queries must be tiny
+    * — they get broadcast). `sameCell` adds the IVF label restriction. */
+  private def topk(queries: DataFrame, cand: DataFrame, k: Int,
+      sameCell: Boolean): DataFrame = {
+    val q = broadcast(
+      queries.select(col("vec_id").as("query_id"), col("label").as("q_label"),
+        col("v").as("qv"), col("norm").as("qn")))
+    val joined = cand
+      .join(q,
+        if (sameCell) col("label") === col("q_label") && col("vec_id") =!= col("query_id")
+        else col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (dot(col("qv"), col("v")) / (col("qn") * col("norm"))).as("cos"))
+    val ord = Seq(col("cos").desc, col("neighbor_id").asc)
+    val wLocal = Window
+      .partitionBy(col("query_id"), pmod(col("neighbor_id"), lit(32)))
+      .orderBy(ord: _*)
+    val wGlobal = Window.partitionBy(col("query_id")).orderBy(ord: _*)
+    joined
+      .withColumn("rl", row_number().over(wLocal))
+      .filter(col("rl") <= k)
+      .withColumn("rank", row_number().over(wGlobal))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("cos").cast(DecimalType(18, 6)).as("cos_sim"))
+  }
+
+  private def topkSql(k: Int, sameCell: Boolean): String = {
+    val cellPred = if (sameCell) "AND c.label = q.label" else ""
+    s"""WITH e AS ($withNormSql),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    ${dotSql("q.v", "c.v")} / (q.norm * c.norm) AS cos
+       |  FROM e q JOIN e c
+       |    ON q.vec_id < 8 AND c.vec_id <> q.vec_id $cellPred)
+       |SELECT query_id, rank, neighbor_id,
+       |       CAST(cos AS DECIMAL(18,6)) AS cos_sim
+       |FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
+  def queries: Map[String, Q] = Map(
+    // ── Brute-force cosine top-10 for 8 query vectors over all 500/2000
+    // candidates — the exact baseline every ANN variant is judged against. ──
+    "ann_topk_bruteforce" -> Q(
+      (s, d) => {
+        val e = withNorm(Tables.embeddings(s, d))
+        topk(e.filter(col("vec_id") < 8), e, 10, sameCell = false)
+      },
+      Some(topkSql(10, sameCell = false)),
+      doc = "LLM-pipeline: brute-force cosine top-k (broadcast queries, two-phase rank)",
+      sort = Seq("query_id", "rank")
+    ),
+
+    // ── IVF-style top-5: probe only the query's coarse cell (label). ──
+    "ann_topk_ivf" -> Q(
+      (s, d) => {
+        val e = withNorm(Tables.embeddings(s, d))
+        topk(e.filter(col("vec_id") < 8), e, 5, sameCell = true)
+      },
+      Some(topkSql(5, sameCell = true)),
+      doc = "LLM-pipeline: IVF cell-probed cosine top-k (label = coarse quantizer)",
+      sort = Seq("query_id", "rank")
+    )
+  )
+}

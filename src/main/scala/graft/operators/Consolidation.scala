@@ -134,7 +134,7 @@ object Consolidation extends OpModule {
       (col("faturamento_total") - col("tarifa_venda_total") - col("custo_frete_total"))
         .as("liquido_recebido_total"),
       (col("custo_unit") * col("vendas_totais_qtd")).as("custo_produto_total")
-    ).orderBy(col("id_anuncio"), col("id_anuncio_variacao"))
+    )
   }
 
   val relatorioSql: String =
@@ -210,6 +210,7 @@ object Consolidation extends OpModule {
     "ep1_consolidar_relatorio" -> Q(
       relatorio,
       Some(relatorioSql),
-      doc = "SURVEY §3 EP1 — tarefa_consolidar_dados.php end-to-end mart build")
+      doc = "SURVEY §3 EP1 — tarefa_consolidar_dados.php end-to-end mart build",
+      sort = Seq("id_anuncio", "id_anuncio_variacao"))
   )
 }

@@ -1,0 +1,231 @@
+package graft.operators
+
+import graft.{Exprs, OpModule, Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY §2.9 incremental/batch semantics (T1–T6) + F10 higher-order
+  * array extraction + the ledger imports, re-expressed as data-driven
+  * batch plans. The as-of date is DERIVED FROM THE DATA (max date − delay)
+  * rather than hardcoded — the reference's `today - 3` watermark
+  * (tarefa_popular_fila_trafego.php:7-9) with the fixture's max date
+  * standing in for "today". The 1-row max-date aggregate rides a broadcast
+  * cross join, never a driver collect.
+  */
+object IncrementalOps extends OpModule {
+  import Exprs.{dsum, dsumSql}
+
+  /** orders + day-grain date, with broadcast 1-row max-date attached. */
+  private def withMaxDate(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .withColumn("data_pedido", to_date(col("o_orderdate")))
+    o.crossJoin(broadcast(o.agg(max(col("data_pedido")).as("max_d"))))
+  }
+
+  private val oSql =
+    "SELECT *, CAST(o_orderdate AS DATE) AS data_pedido FROM orders"
+
+  def queries: Map[String, Q] = Map(
+    // ── T1/T2: late-data watermark — process only the day D-3, D derived
+    // from the data. The reference waits 3 days for ads metrics to mature
+    // (tarefa_consolidar_dados.php:29). ──
+    "t2_asof_watermark" -> Q(
+      (s, d) =>
+        withMaxDate(s, d)
+          .filter(col("data_pedido") === date_sub(col("max_d"), 3))
+          .select(col("o_orderkey"), col("o_custkey"), col("data_pedido"),
+            col("o_totalprice")),
+      Some(s"""SELECT o_orderkey, o_custkey, data_pedido, o_totalprice
+              |FROM ($oSql)
+              |WHERE data_pedido = (SELECT max(CAST(o_orderdate AS DATE)) - 3 FROM orders)
+              |ORDER BY o_orderkey""".stripMargin),
+      doc = "SURVEY T1/T2 — D-3 watermark, as-of derived from data (php:29)",
+      sort = Seq("o_orderkey")
+    ),
+
+    // ── T3: rolling 7-day restate — stale daily mart (missing urgent
+    // orders, as late data) overlaid by a recomputed last-7-days window;
+    // keyed keep-latest dedup resolves the overlap (K1 semantics). ──
+    "t3_rolling_restate" -> Q(
+      (s, d) => {
+        val o = withMaxDate(s, d)
+        def daily(df: DataFrame, versao: Int) = df
+          .groupBy(col("data_pedido"))
+          .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("receita"))
+          .withColumn("versao", lit(versao))
+        val stale = daily(o.filter(col("o_orderpriority") =!= "1-URGENT"), 1)
+        val restated = daily(o.filter(col("data_pedido") >= date_sub(col("max_d"), 6)), 2)
+        val w = Window.partitionBy(col("data_pedido")).orderBy(col("versao").desc)
+        stale.union(restated)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .drop("rn")
+      },
+      Some(s"""WITH o AS ($oSql),
+              |stale AS (
+              |  SELECT data_pedido, COUNT(*) AS n_orders,
+              |    ${dsumSql("o_totalprice")} AS receita, 1 AS versao
+              |  FROM o WHERE o_orderpriority <> '1-URGENT' GROUP BY 1),
+              |restated AS (
+              |  SELECT data_pedido, COUNT(*) AS n_orders,
+              |    ${dsumSql("o_totalprice")} AS receita, 2 AS versao
+              |  FROM o WHERE data_pedido >= (SELECT max(data_pedido) - 6 FROM o)
+              |  GROUP BY 1)
+              |SELECT data_pedido, n_orders, receita, versao FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY data_pedido
+              |    ORDER BY versao DESC) AS rn
+              |  FROM (SELECT * FROM stale UNION ALL SELECT * FROM restated))
+              |WHERE rn = 1 ORDER BY data_pedido""".stripMargin),
+      doc = "SURVEY T3 — rolling 7-day reimport + keyed restate (tarefa_importar_log_despesas_semanal.php:10-12)",
+      sort = Seq("data_pedido")
+    ),
+
+    // ── T5: backfill loop as a driving date-set join — one row per day in
+    // the replay range even when the day has no data (the commented month
+    // replay, tarefa_consolidar_dados.php:33-49). ──
+    "t5_backfill_days" -> Q(
+      (s, d) => {
+        val o = Tables.orders(s, d)
+          .withColumn("data_pedido", to_date(col("o_orderdate")))
+        val days = o.agg(max(col("data_pedido")).as("max_d"))
+          .select(explode(sequence(date_sub(col("max_d"), 9), col("max_d"))).as("dia"))
+        val agg = o.groupBy(col("data_pedido").as("dia"))
+          .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("receita"))
+        broadcast(days)
+          .join(agg, Seq("dia"), "left")
+          .select(col("dia"),
+            coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+            coalesce(col("receita"), lit(0.0)).as("receita"))
+      },
+      Some(s"""WITH o AS ($oSql),
+              |days AS (
+              |  SELECT CAST(unnest(generate_series(max_d - 9, max_d, INTERVAL 1 DAY))
+              |              AS DATE) AS dia
+              |  FROM (SELECT max(data_pedido) AS max_d FROM o)),
+              |agg AS (
+              |  SELECT data_pedido AS dia, COUNT(*) AS n_orders,
+              |    ${dsumSql("o_totalprice")} AS receita
+              |  FROM o GROUP BY 1)
+              |SELECT d.dia, COALESCE(a.n_orders, 0) AS n_orders,
+              |       COALESCE(a.receita, 0.0) AS receita
+              |FROM days d LEFT JOIN agg a ON d.dia = a.dia
+              |ORDER BY d.dia""".stripMargin),
+      doc = "SURVEY T5 — backfill date-set join (php:33-49)",
+      sort = Seq("dia")
+    ),
+
+    // ── T6: error side-channel — per-row validation verdicts as derived
+    // status/message columns (worker ack/erro transitions, K6). ──
+    "t6_error_channel" -> Q(
+      (s, d) => {
+        val msg = concat_ws(";",
+          when(col("o_totalprice") > 400000.0, lit("valor_suspeito")),
+          when(col("o_orderstatus") === "P", lit("status_pendente")))
+        Tables.orders(s, d)
+          .select(col("o_orderkey"),
+            when(msg === "", lit("concluido")).otherwise(lit("erro")).as("status"),
+            when(msg === "", lit(null).cast(StringType)).otherwise(msg)
+              .as("mensagem_erro"))
+      },
+      Some("""SELECT o_orderkey,
+             |  CASE WHEN msg = '' THEN 'concluido' ELSE 'erro' END AS status,
+             |  NULLIF(msg, '') AS mensagem_erro
+             |FROM (
+             |  SELECT o_orderkey,
+             |    concat_ws(';',
+             |      CASE WHEN o_totalprice > 400000.0 THEN 'valor_suspeito' END,
+             |      CASE WHEN o_orderstatus = 'P' THEN 'status_pendente' END) AS msg
+             |  FROM orders)
+             |ORDER BY o_orderkey""".stripMargin),
+      doc = "SURVEY T6/K6 — error side-channel columns (worker_sincronizar_catalogo.php:83-87)",
+      sort = Seq("o_orderkey")
+    ),
+
+    // ── F10: SELLER_SKU extraction from an attribute array via
+    // higher-order filter + try_element_at, with the reference's fallback
+    // chain attr → custom field (tarefa_sincronizar_anuncios_meli.php:96-108). ──
+    "f10_hof_attr_extract" -> Q(
+      (s, d) =>
+        Tables.part(s, d)
+          .withColumn("attributes",
+            expr("""CASE WHEN p_size > 15 THEN array(
+                   |  named_struct('id', 'BRAND', 'val', p_brand),
+                   |  named_struct('id', 'SELLER_SKU',
+                   |               'val', concat('SKU-', CAST(p_partkey AS STRING))),
+                   |  named_struct('id', 'TYPE', 'val', p_type))
+                   |ELSE array(
+                   |  named_struct('id', 'BRAND', 'val', p_brand),
+                   |  named_struct('id', 'TYPE', 'val', p_type)) END""".stripMargin))
+          .select(col("p_partkey"),
+            coalesce(
+              expr("try_element_at(filter(attributes, a -> a.id = 'SELLER_SKU'), 1).val"),
+              col("p_name")).as("seller_sku")),
+      Some("""SELECT p_partkey,
+             |  COALESCE(list_filter(attributes, a -> a.id = 'SELLER_SKU')[1].val,
+             |           p_name) AS seller_sku
+             |FROM (
+             |  SELECT p_partkey, p_name,
+             |    CASE WHEN p_size > 15 THEN
+             |      [{'id': 'BRAND', 'val': p_brand},
+             |       {'id': 'SELLER_SKU', 'val': 'SKU-' || CAST(p_partkey AS VARCHAR)},
+             |       {'id': 'TYPE', 'val': p_type}]
+             |    ELSE [{'id': 'BRAND', 'val': p_brand},
+             |          {'id': 'TYPE', 'val': p_type}] END AS attributes
+             |  FROM part)
+             |ORDER BY p_partkey""".stripMargin),
+      doc = "SURVEY F10 — HOF attr filter + first-match + fallback chain",
+      sort = Seq("p_partkey")
+    ),
+
+    // ── Ledger import: dd/MM/yyyy date parse + decimal-comma money + the
+    // overlapping weekly reimport (two runs, keyed keep-latest)
+    // (tarefa_importar_log_despesas_semanal.php:89, :10-12). ──
+    "ledger_weekly_restate" -> Q(
+      (s, d) => {
+        val base = withMaxDate(s, d).select(
+          col("o_orderkey").as("id_lancamento"),
+          date_format(col("data_pedido"), "dd/MM/yyyy").as("vencimento_str"),
+          translate(col("o_totalprice").cast(DecimalType(14, 2)).cast(StringType),
+            ".", ",").as("valor_brl"),
+          col("data_pedido"), col("max_d"))
+        def run(lo: Int, hi: Int, versao: Int) = base
+          .filter(col("data_pedido").between(
+            date_sub(col("max_d"), lo), date_sub(col("max_d"), hi)))
+          .withColumn("versao", lit(versao))
+        val w = Window.partitionBy(col("id_lancamento")).orderBy(col("versao").desc)
+        run(9, 3, 1).union(run(6, 0, 2))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("id_lancamento"),
+            to_date(col("vencimento_str"), "dd/MM/yyyy").as("data_vencimento"),
+            translate(col("valor_brl"), ",", ".").cast(DoubleType).as("valor"),
+            col("versao"))
+      },
+      Some(s"""WITH base AS (
+              |  SELECT o_orderkey AS id_lancamento,
+              |    strftime(data_pedido, '%d/%m/%Y') AS vencimento_str,
+              |    REPLACE(CAST(CAST(o_totalprice AS DECIMAL(14,2)) AS VARCHAR),
+              |            '.', ',') AS valor_brl,
+              |    data_pedido,
+              |    (SELECT max(CAST(o_orderdate AS DATE)) FROM orders) AS max_d
+              |  FROM ($oSql)),
+              |runs AS (
+              |  SELECT *, 1 AS versao FROM base
+              |  WHERE data_pedido BETWEEN max_d - 9 AND max_d - 3
+              |  UNION ALL
+              |  SELECT *, 2 AS versao FROM base
+              |  WHERE data_pedido BETWEEN max_d - 6 AND max_d)
+              |SELECT id_lancamento,
+              |  CAST(strptime(vencimento_str, '%d/%m/%Y') AS DATE) AS data_vencimento,
+              |  CAST(REPLACE(valor_brl, ',', '.') AS DOUBLE) AS valor,
+              |  versao
+              |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY id_lancamento
+              |        ORDER BY versao DESC) AS rn FROM runs)
+              |WHERE rn = 1 ORDER BY id_lancamento""".stripMargin),
+      doc = "SURVEY T3/C5/C6 — ledger dd/MM/yyyy + decimal-comma + weekly restate",
+      sort = Seq("id_lancamento")
+    )
+  )
+}

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{Exprs, OpModule, Q, Tables}
+import graft.{Exprs, Fixtures, OpModule, Q, Tables}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -12,21 +12,15 @@ import org.apache.spark.sql.types._
 object IngestOps extends OpModule {
 
   def queries: Map[String, Q] = Map(
-    // ── EP2: nested order_items → explode. We first rebuild the nested
-    // shape (ARRAY<STRUCT>) the MELI API delivers (FIXTURES.md "order"),
-    // then flatten it back with posexplode — covering collect_list/struct/
-    // sort_array on the build side and the explode itself
-    // (tarefa_coletar_financas.php:126). ──
+    // ── EP2: nested order_items → explode. The ARRAY<STRUCT> payload shape
+    // the MELI API delivers (tarefa_coletar_financas.php:126) is a derived
+    // fixture built once per SF ([[graft.Fixtures.nestedOrders]]); the
+    // measured query is exactly the operator under test: posexplode the
+    // array and derive flat item rows. ──
     "ep2_explode_items" -> Q(
       (s, d) => {
-        val li = Tables.lineitem(s, d)
-        val nested = li
-          .groupBy(col("l_orderkey"))
-          .agg(
-            sort_array(collect_list(struct(
-              col("l_linenumber"), col("l_partkey"), col("l_quantity"),
-              col("l_extendedprice")))).as("order_items"))
-        nested
+        Fixtures
+          .nestedOrders(s, d)
           .select(col("l_orderkey"), posexplode(col("order_items")).as(Seq("pos", "item")))
           .select(
             col("l_orderkey"),
@@ -34,7 +28,6 @@ object IngestOps extends OpModule {
             col("item.l_partkey").as("l_partkey"),
             col("item.l_quantity").as("l_quantity"),
             col("item.l_extendedprice").as("l_extendedprice"))
-          .orderBy(col("l_orderkey"), col("item_seq"))
       },
       // l_linenumber is not unique per order in the synthetic fixture, so the
       // twin must tie-break exactly like sort_array's full-struct ordering.
@@ -45,7 +38,8 @@ object IngestOps extends OpModule {
              |  l_partkey, l_quantity, l_extendedprice
              |FROM lineitem
              |ORDER BY l_orderkey, item_seq""".stripMargin),
-      doc = "SURVEY EP2/F13 — explode(order_items) tarefa_coletar_financas.php:126"
+      doc = "SURVEY EP2/F13 — explode(order_items) tarefa_coletar_financas.php:126",
+      sort = Seq("l_orderkey", "item_seq")
     ),
 
     // ── C5: ISO-UTC → America/Sao_Paulo normalization (fixed -03:00 since
@@ -57,16 +51,18 @@ object IngestOps extends OpModule {
           .events(s, d)
           .withColumn("ts_local", from_utc_timestamp(col("ts"), "America/Sao_Paulo"))
           .groupBy(to_date(col("ts_local")).as("data_local"))
-          .agg(count(lit(1)).as("n_eventos"), Exprs.dsum(col("value")).as("valor_total"))
-          .orderBy(col("data_local")),
+          .agg(count(lit(1)).as("n_eventos"), Exprs.dsum(col("value")).as("valor_total")),
       Some(s"""SELECT CAST(ts - INTERVAL 3 HOUR AS DATE) AS data_local,
               |  COUNT(*) AS n_eventos,
               |  ${Exprs.dsumSql("value")} AS valor_total
               |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
-      doc = "SURVEY C5 — UTC → America/Sao_Paulo day-grain keys"
+      doc = "SURVEY C5 — UTC → America/Sao_Paulo day-grain keys",
+      sort = Seq("data_local")
     ),
 
-    // ── C7/S8: JSON decode of API payload columns. ──
+    // ── C7/S8: JSON decode of API payload columns. Oracle uses DuckDB's
+    // native JSON path (not a digit regexp) so it stays faithful for
+    // negative values / extra keys. ──
     "c7_json_extract" -> Q(
       (s, d) =>
         Tables
@@ -75,12 +71,12 @@ object IngestOps extends OpModule {
             col("event_id"),
             from_json(col("props"), StructType(Seq(StructField("k", LongType))))
               .getField("k")
-              .as("k"))
-          .orderBy(col("event_id")),
+              .as("k")),
       Some("""SELECT event_id,
-             |  CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) AS k
+             |  TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
              |FROM events ORDER BY event_id""".stripMargin),
-      doc = "SURVEY S8/C7 — json_decode + nested path read config.php:82"
+      doc = "SURVEY S8/C7 — json_decode + nested path read config.php:82",
+      sort = Seq("event_id")
     ),
 
     // ── C6: decimal-comma BRL money parse (Tiny ERP sends '12,34').
@@ -97,8 +93,7 @@ object IngestOps extends OpModule {
           .select(
             col("p_partkey"),
             col("custo_brl"),
-            translate(col("custo_brl"), ",", ".").cast(DoubleType).as("custo_produto"))
-          .orderBy(col("p_partkey")),
+            translate(col("custo_brl"), ",", ".").cast(DoubleType).as("custo_produto")),
       Some("""SELECT p_partkey, custo_brl,
              |  CAST(REPLACE(custo_brl, ',', '.') AS DOUBLE) AS custo_produto
              |FROM (SELECT p_partkey,
@@ -106,7 +101,8 @@ object IngestOps extends OpModule {
              |                '.', ',') AS custo_brl
              |      FROM part)
              |ORDER BY p_partkey""".stripMargin),
-      doc = "SURVEY C6 — decimal-comma parse tarefa_sincronizar_catalogo_tiny.php:81"
+      doc = "SURVEY C6 — decimal-comma parse tarefa_sincronizar_catalogo_tiny.php:81",
+      sort = Seq("p_partkey")
     )
   )
 }

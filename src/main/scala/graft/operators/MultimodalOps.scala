@@ -1,0 +1,111 @@
+package graft.operators
+
+import graft.{OpModule, Q, Tables}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: media payloads ride through the pipeline as
+  * opaque `BINARY` columns with typed metadata; decode/feature-extract is
+  * a per-partition batch step. The container has no image/audio codecs, so
+  * the decode itself is a clearly-marked DETERMINISTIC STUB
+  * ([[decodeStub]]) — everything Spark-side (schema, binary slicing,
+  * batched partition iteration, frame sampling) is real and oracle- or
+  * test-verified.
+  *
+  * The fixture has no binary column; the payload is derived inside the
+  * query as `encode(text, 'UTF-8')` — the plumbing is identical for real
+  * media bytes.
+  */
+object MultimodalOps extends OpModule {
+
+  /** Payload + typed metadata, checksum via upper-hex (DuckDB 1.0 can't
+    * md5 BLOBs, so both engines hash the hex string). "Image dims" are the
+    * stubbed decode: derived deterministically from the byte length. */
+  def queries: Map[String, Q] = Map(
+    "mm_metadata" -> Q(
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+          .select(
+            col("doc_id"),
+            length(col("payload")).cast(LongType).as("n_bytes"),
+            upper(hex(expr("substring(payload, 1, 4)"))).as("header_hex"),
+            md5(upper(hex(col("payload")))).as("checksum"),
+            // decode STUB: width/height derived from byte length — a real
+            // deployment replaces these three lines with the codec call.
+            (pmod(length(col("payload")) * 7, lit(640)) + 1).cast(LongType).as("width"),
+            (pmod(length(col("payload")) * 13, lit(480)) + 1).cast(LongType).as("height"),
+            lit(3L).as("channels")),
+      Some("""SELECT doc_id,
+             |  octet_length(encode(text))::BIGINT AS n_bytes,
+             |  upper(substr(hex(encode(text)), 1, 8)) AS header_hex,
+             |  md5(upper(hex(encode(text)))) AS checksum,
+             |  (octet_length(encode(text)) * 7 % 640 + 1)::BIGINT AS width,
+             |  (octet_length(encode(text)) * 13 % 480 + 1)::BIGINT AS height,
+             |  3::BIGINT AS channels
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      doc = "LLM-pipeline: binary payload + typed metadata (decode dims STUBBED)",
+      sort = Seq("doc_id")
+    ),
+
+    // ── Frame sampling: slice the payload into fixed-size "frames" with a
+    // higher-order transform + posexplode — the video-frame-sample shape
+    // (every k-th chunk), all inside codegen. ──
+    "mm_frame_sample" -> Q(
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+          .select(col("doc_id"),
+            expr("""transform(sequence(0, 3),
+                   |  i -> named_struct(
+                   |    'frame_no', i,
+                   |    'frame_hex', upper(hex(substring(payload, i*16+1, 16)))))"""
+              .stripMargin).as("frames"))
+          .select(col("doc_id"), explode(col("frames")).as("f"))
+          .select(col("doc_id"),
+            col("f.frame_no").cast(LongType).as("frame_no"),
+            col("f.frame_hex").as("frame_hex"))
+          .filter(col("frame_hex") =!= ""),
+      Some("""SELECT doc_id, i::BIGINT AS frame_no,
+             |       upper(substr(hex(encode(text)), i*32+1, 32)) AS frame_hex
+             |FROM documents, range(0, 4) t(i)
+             |WHERE upper(substr(hex(encode(text)), i*32+1, 32)) <> ''
+             |ORDER BY doc_id, frame_no""".stripMargin),
+      doc = "LLM-pipeline: frame sampling over binary payloads (HOF + explode)",
+      sort = Seq("doc_id", "frame_no")
+    )
+  )
+
+  // ───────────────────────── batch decode plumbing ─────────────────────────
+
+  /** What a real decoder would return per payload. */
+  final case class MediaFeatures(
+      doc_id: Long, n_bytes: Int, width: Int, height: Int, byteSum: Long)
+
+  /** DETERMINISTIC DECODE STUB — stands in for an image codec the
+    * container doesn't ship. Real deployments replace the body; the
+    * signature (bytes in, features out) and the partition-batch call
+    * pattern in [[decodeFeatures]] are the real contract. */
+  def decodeStub(id: Long, bytes: Array[Byte]): MediaFeatures = {
+    var sum = 0L
+    var i = 0
+    while (i < bytes.length) { sum += bytes(i) & 0xff; i += 1 }
+    MediaFeatures(id, bytes.length,
+      (bytes.length * 7) % 640 + 1, (bytes.length * 13) % 480 + 1, sum)
+  }
+
+  /** Per-partition batched decode — the Scala analogue of `mapInPandas`:
+    * one iterator per partition (the decoder can amortize model/codec
+    * setup across the batch), typed output schema via the case-class
+    * encoder. Used from tests; production pipelines call it after
+    * repartitioning so each task holds a codec-sized batch. */
+  def decodeFeatures(docs: DataFrame): Dataset[MediaFeatures] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("doc_id").cast(LongType), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it => it.map { case (id, bytes) => decodeStub(id, bytes) } }
+  }
+}

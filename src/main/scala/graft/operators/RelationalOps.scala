@@ -21,11 +21,11 @@ object RelationalOps extends OpModule {
       (s, d) =>
         Tables
           .lineitem(s, d)
-          .select($("l_orderkey"), $("l_linenumber"), $("l_partkey"), $("l_quantity"))
-          .orderBy($("l_orderkey"), $("l_linenumber")),
+          .select($("l_orderkey"), $("l_linenumber"), $("l_partkey"), $("l_quantity")),
       Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
              |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin),
-      doc = "SURVEY S1/F1 — tarefa_consolidar_dados.php:56 projected scan"
+      doc = "SURVEY S1/F1 — tarefa_consolidar_dados.php:56 projected scan",
+      sort = Seq("l_orderkey", "l_linenumber")
     ),
 
     // ── S2/F2/F3: date-truncating filtered scan (predicate pushdown). ──
@@ -37,15 +37,15 @@ object RelationalOps extends OpModule {
           .filter(
             $("data_pedido") >= lit("1995-06-01").cast(DateType) &&
               $("data_pedido") < lit("1995-07-01").cast(DateType))
-          .select($("o_orderkey"), $("o_custkey"), $("o_totalprice"), $("data_pedido"))
-          .orderBy($("o_orderkey")),
+          .select($("o_orderkey"), $("o_custkey"), $("o_totalprice"), $("data_pedido")),
       Some("""SELECT o_orderkey, o_custkey, o_totalprice,
              |       CAST(o_orderdate AS DATE) AS data_pedido
              |FROM orders
              |WHERE CAST(o_orderdate AS DATE) >= DATE '1995-06-01'
              |  AND CAST(o_orderdate AS DATE) <  DATE '1995-07-01'
              |ORDER BY o_orderkey""".stripMargin),
-      doc = "SURVEY S2/F3 — WHERE DATE(data_venda)=? tarefa_consolidar_dados.php:87"
+      doc = "SURVEY S2/F3 — WHERE DATE(data_venda)=? tarefa_consolidar_dados.php:87",
+      sort = Seq("o_orderkey")
     ),
 
     // ── F4/F5/F6: compound predicate preserving the reference's MySQL
@@ -59,15 +59,15 @@ object RelationalOps extends OpModule {
             ($("p_size") > 25 && !$("p_name").startsWith("a") &&
               $("p_name").isNotNull && $("p_type") === "STANDARD") ||
               $("p_brand") === "Brand#13")
-          .select($("p_partkey"), $("p_name"), $("p_brand"), $("p_type"), $("p_size"))
-          .orderBy($("p_partkey")),
+          .select($("p_partkey"), $("p_name"), $("p_brand"), $("p_type"), $("p_size")),
       Some("""SELECT p_partkey, p_name, p_brand, p_type, p_size
              |FROM part
              |WHERE (p_size > 25 AND p_name NOT LIKE 'a%'
              |       AND p_name IS NOT NULL AND p_type = 'STANDARD')
              |   OR p_brand = 'Brand#13'
              |ORDER BY p_partkey""".stripMargin),
-      doc = "SURVEY F4/F5/F6 — precedence quirk kept verbatim"
+      doc = "SURVEY F4/F5/F6 — precedence quirk kept verbatim",
+      sort = Seq("p_partkey")
     ),
 
     // ── A1/A2: COALESCE-keyed multi-SUM hash aggregate (the sales
@@ -86,7 +86,6 @@ object RelationalOps extends OpModule {
             dsum($("l_extendedprice") * (lit(1.0) - $("l_tax") - $("l_discount")))
               .as("sum_liquido"),
             count(lit(1)).as("n_rows"))
-          .orderBy($("grp"))
       },
       Some(s"""SELECT COALESCE(NULLIF(l_returnflag, 'N'), l_linestatus) AS grp,
               |  ${dsumSql("l_quantity")} AS sum_qty,
@@ -96,7 +95,8 @@ object RelationalOps extends OpModule {
               |  ${dsumSql("l_extendedprice * (1.0 - l_tax - l_discount)")} AS sum_liquido,
               |  COUNT(*) AS n_rows
               |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin),
-      doc = "SURVEY A1/A2 — groupBy(coalesce(id_variacao,id_anuncio)) + 6 SUMs"
+      doc = "SURVEY A1/A2 — groupBy(coalesce(id_variacao,id_anuncio)) + 6 SUMs",
+      sort = Seq("grp")
     ),
 
     // ── A3: second-level rollup by parent key. ──
@@ -105,12 +105,12 @@ object RelationalOps extends OpModule {
         Tables
           .lineitem(s, d)
           .groupBy($("l_partkey"))
-          .agg(dsum($("l_extendedprice") * (lit(1.0) - $("l_discount"))).as("revenue"))
-          .orderBy($("l_partkey")),
+          .agg(dsum($("l_extendedprice") * (lit(1.0) - $("l_discount"))).as("revenue")),
       Some(s"""SELECT l_partkey,
               |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
               |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin),
-      doc = "SURVEY A3 — faturamento_total_por_pai tarefa_consolidar_dados.php:118-138"
+      doc = "SURVEY A3 — faturamento_total_por_pai tarefa_consolidar_dados.php:118-138",
+      sort = Seq("l_partkey")
     ),
 
     // ── A5: DISTINCT. ──
@@ -119,11 +119,11 @@ object RelationalOps extends OpModule {
         Tables
           .orders(s, d)
           .select($("o_orderpriority"), $("o_orderstatus"))
-          .distinct()
-          .orderBy($("o_orderpriority"), $("o_orderstatus")),
+          .distinct(),
       Some("""SELECT DISTINCT o_orderpriority, o_orderstatus
              |FROM orders ORDER BY 1, 2""".stripMargin),
-      doc = "SURVEY A5 — SELECT DISTINCT tarefa_popular_fila_trafego.php:32"
+      doc = "SURVEY A5 — SELECT DISTINCT tarefa_popular_fila_trafego.php:32",
+      sort = Seq("o_orderpriority", "o_orderstatus")
     ),
 
     // ── A6: key-set union driving set (keys(sales) ∪ traffic children). ──
@@ -135,14 +135,15 @@ object RelationalOps extends OpModule {
           .select($("l_partkey").as("partkey"))
         val small =
           Tables.part(s, d).filter($("p_size") < 10).select($("p_partkey").as("partkey"))
-        sold.union(small).distinct().orderBy($("partkey"))
+        sold.union(small).distinct()
       },
       Some("""SELECT DISTINCT partkey FROM (
              |  SELECT l_partkey AS partkey FROM lineitem WHERE l_returnflag = 'A'
              |  UNION ALL
              |  SELECT p_partkey AS partkey FROM part WHERE p_size < 10
              |) ORDER BY partkey""".stripMargin),
-      doc = "SURVEY A6 — variacoes_a_processar tarefa_consolidar_dados.php:101-116"
+      doc = "SURVEY A6 — variacoes_a_processar tarefa_consolidar_dados.php:101-116",
+      sort = Seq("partkey")
     ),
 
     // ── J1: inner equi-join against a broadcast dim. ──
@@ -152,13 +153,13 @@ object RelationalOps extends OpModule {
           .lineitem(s, d)
           .join(broadcast(Tables.part(s, d)), $("l_partkey") === $("p_partkey"), "inner")
           .groupBy($("p_brand"))
-          .agg(count(lit(1)).as("n_rows"), dsum($("l_extendedprice")).as("fat"))
-          .orderBy($("p_brand")),
+          .agg(count(lit(1)).as("n_rows"), dsum($("l_extendedprice")).as("fat")),
       Some(s"""SELECT p_brand, COUNT(*) AS n_rows,
               |  ${dsumSql("l_extendedprice")} AS fat
               |FROM lineitem JOIN part ON l_partkey = p_partkey
               |GROUP BY 1 ORDER BY 1""".stripMargin),
-      doc = "SURVEY J1 — inner map probe tarefa_consolidar_dados.php:156 (broadcast)"
+      doc = "SURVEY J1 — inner map probe tarefa_consolidar_dados.php:156 (broadcast)",
+      sort = Seq("p_brand")
     ),
 
     // ── J2: left join to a cost dim with null→0 default. ──
@@ -176,7 +177,6 @@ object RelationalOps extends OpModule {
             $("l_partkey"),
             $("qtd"),
             coalesce($("p_retailprice"), lit(0.0)).as("custo_unit"))
-          .orderBy($("l_partkey"))
       },
       Some(s"""SELECT l_partkey, qtd, COALESCE(p_retailprice, 0.0) AS custo_unit
               |FROM (SELECT l_partkey, ${dsumSql("l_quantity")} AS qtd
@@ -184,7 +184,8 @@ object RelationalOps extends OpModule {
               |LEFT JOIN (SELECT p_partkey, p_retailprice FROM part WHERE p_size > 10) c
               |  ON l_partkey = p_partkey
               |ORDER BY l_partkey""".stripMargin),
-      doc = "SURVEY J2 — left cost probe with ?? 0.00 default tarefa_consolidar_dados.php:176"
+      doc = "SURVEY J2 — left cost probe with ?? 0.00 default tarefa_consolidar_dados.php:176",
+      sort = Seq("l_partkey")
     ),
 
     // ── J6: anti-join side output (unmapped SKU alerts). ──
@@ -196,13 +197,13 @@ object RelationalOps extends OpModule {
             Tables.lineitem(s, d).filter($("l_quantity") >= 48.0),
             $("p_partkey") === $("l_partkey"),
             "left_anti")
-          .select($("p_partkey"), $("p_name"), $("p_brand"))
-          .orderBy($("p_partkey")),
+          .select($("p_partkey"), $("p_name"), $("p_brand")),
       Some("""SELECT p_partkey, p_name, p_brand FROM part p
              |WHERE NOT EXISTS (SELECT 1 FROM lineitem l
              |                  WHERE p.p_partkey = l.l_partkey AND l.l_quantity >= 48.0)
              |ORDER BY p_partkey""".stripMargin),
-      doc = "SURVEY J6/K7 — anti-join alert branch tarefa_consolidar_mapa.php:75-78"
+      doc = "SURVEY J6/K7 — anti-join alert branch tarefa_consolidar_mapa.php:75-78",
+      sort = Seq("p_partkey")
     ),
 
     // ── J7: semi-join (exists filter). ──
@@ -214,13 +215,13 @@ object RelationalOps extends OpModule {
             Tables.orders(s, d).filter($("o_orderstatus") === "F"),
             $("c_custkey") === $("o_custkey"),
             "left_semi")
-          .select($("c_custkey"), $("c_name"), $("c_mktsegment"))
-          .orderBy($("c_custkey")),
+          .select($("c_custkey"), $("c_name"), $("c_mktsegment")),
       Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer c
              |WHERE EXISTS (SELECT 1 FROM orders o
              |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
              |ORDER BY c_custkey""".stripMargin),
-      doc = "SURVEY J7 — grouped-multimap probe as semi-join worker_processar_estoque.php:16-19"
+      doc = "SURVEY J7 — grouped-multimap probe as semi-join worker_processar_estoque.php:16-19",
+      sort = Seq("c_custkey")
     ),
 
     // ── J8: left self-join for a parent lookup. ──
@@ -235,7 +236,6 @@ object RelationalOps extends OpModule {
         child
           .join(parent, $("parentkey") === $("pk"), "left")
           .select($("partkey"), $("name"), $("parentkey"), $("parent_name"))
-          .orderBy($("partkey"))
       },
       Some("""SELECT c.p_partkey AS partkey, c.p_name AS name,
              |       c.p_partkey - (c.p_partkey % 10) AS parentkey,
@@ -243,7 +243,8 @@ object RelationalOps extends OpModule {
              |FROM part c
              |LEFT JOIN part p ON p.p_partkey = c.p_partkey - (c.p_partkey % 10)
              |ORDER BY partkey""".stripMargin),
-      doc = "SURVEY J8 — Tiny parent-SKU self-join tarefa_sincronizar_catalogo_tiny.php:76-79"
+      doc = "SURVEY J8 — Tiny parent-SKU self-join tarefa_sincronizar_catalogo_tiny.php:76-79",
+      sort = Seq("partkey")
     ),
 
     // ── W1: revenue share over a partition (exact windowed denominator). ──
@@ -256,13 +257,13 @@ object RelationalOps extends OpModule {
             $("l_orderkey"),
             $("l_linenumber"),
             ($("l_extendedprice") / Exprs.dsumOver($("l_extendedprice"), w)).as("peso"))
-          .orderBy($("l_orderkey"), $("l_linenumber"))
       },
       Some("""SELECT l_orderkey, l_linenumber,
              |  l_extendedprice / CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6)))
              |      OVER (PARTITION BY l_orderkey) AS DOUBLE) AS peso
              |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin),
-      doc = "SURVEY W1 — peso = fat/Σfat over parent tarefa_consolidar_dados.php:194-200"
+      doc = "SURVEY W1 — peso = fat/Σfat over parent tarefa_consolidar_dados.php:194-200",
+      sort = Seq("l_orderkey", "l_linenumber")
     ),
 
     // ── W5: per-order freight proration with zero-revenue guard. ──
@@ -281,7 +282,6 @@ object RelationalOps extends OpModule {
               ($("o_totalprice") * lit(0.1)) * ($("l_extendedprice") / $("fat_ordem")))
               .otherwise(lit(0.0))
               .as("custo_frete_rateado"))
-          .orderBy($("l_orderkey"), $("l_linenumber"))
       },
       Some("""SELECT l_orderkey, l_linenumber,
              |  CASE WHEN fat_ordem > 0.0
@@ -293,22 +293,34 @@ object RelationalOps extends OpModule {
              |        OVER (PARTITION BY l_orderkey) AS DOUBLE) AS fat_ordem
              |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
              |ORDER BY l_orderkey, l_linenumber""".stripMargin),
-      doc = "SURVEY W5/A4 — custo_frete_rateado tarefa_coletar_financas.php:134-135"
+      doc = "SURVEY W5/A4 — custo_frete_rateado tarefa_coletar_financas.php:134-135",
+      sort = Seq("l_orderkey", "l_linenumber")
     ),
 
-    // ── W6/L3: rank + top-k per partition. ──
+    // ── W6/L3: rank + top-k per partition — TWO-PHASE. `l_returnflag` has
+    // 3 distinct values, so a single window would shuffle the whole fact
+    // into 3 tasks that each sort everything. Phase 1 ranks within
+    // (flag, salt-of-64) — 192 well-spread partitions — and keeps each
+    // bucket's top-3 (any global top-3 row necessarily survives its own
+    // bucket's top-3); phase 2 re-ranks the ≤ 192×3 survivors. Output is
+    // identical to the naive single window at any scale. ──
     "w6_rank_topk" -> Q(
       (s, d) => {
-        val w = Window
-          .partitionBy($("l_returnflag"))
-          .orderBy($("l_extendedprice").desc, $("l_orderkey").asc, $("l_linenumber").asc)
+        val ord = Seq(
+          $("l_extendedprice").desc, $("l_orderkey").asc, $("l_linenumber").asc)
+        val wLocal = Window
+          .partitionBy($("l_returnflag"), $("salt"))
+          .orderBy(ord: _*)
+        val wGlobal = Window.partitionBy($("l_returnflag")).orderBy(ord: _*)
         Tables
           .lineitem(s, d)
-          .withColumn("posicao", row_number().over(w))
+          .withColumn("salt", pmod(hash($("l_orderkey"), $("l_linenumber")), lit(64)))
+          .withColumn("rl", row_number().over(wLocal))
+          .filter($("rl") <= 3)
+          .withColumn("posicao", row_number().over(wGlobal))
           .filter($("posicao") <= 3)
           .select($("l_returnflag"), $("posicao"), $("l_orderkey"), $("l_linenumber"),
             $("l_extendedprice"))
-          .orderBy($("l_returnflag"), $("posicao"))
       },
       Some("""SELECT l_returnflag, posicao, l_orderkey, l_linenumber, l_extendedprice
              |FROM (
@@ -317,7 +329,8 @@ object RelationalOps extends OpModule {
              |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS posicao
              |  FROM lineitem)
              |WHERE posicao <= 3 ORDER BY l_returnflag, posicao""".stripMargin),
-      doc = "SURVEY W6/F12 — posicao rank tarefa_coletar_posicionamento.php:74-81"
+      doc = "SURVEY W6/F12 — posicao rank tarefa_coletar_posicionamento.php:74-81",
+      sort = Seq("l_returnflag", "posicao")
     ),
 
     // ── K1: keyed upsert final state = keep-latest per key. ──
@@ -335,7 +348,6 @@ object RelationalOps extends OpModule {
             $("o_orderkey"),
             to_date($("o_orderdate")).as("data_ultimo"),
             $("o_totalprice"))
-          .orderBy($("o_custkey"))
       },
       Some("""SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS data_ultimo,
              |       o_totalprice
@@ -344,7 +356,8 @@ object RelationalOps extends OpModule {
              |    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
              |  FROM orders)
              |WHERE rn = 1 ORDER BY o_custkey""".stripMargin),
-      doc = "SURVEY K1 — INSERT..ON DUPLICATE KEY UPDATE as keep-latest dedup"
+      doc = "SURVEY K1 — INSERT..ON DUPLICATE KEY UPDATE as keep-latest dedup",
+      sort = Seq("o_custkey")
     ),
 
     // ── K2: INSERT IGNORE queue populate = anti-join append. ──
@@ -361,7 +374,7 @@ object RelationalOps extends OpModule {
           .select($("c_custkey").as("custkey"))
           .join(existing.select($("custkey")), Seq("custkey"), "left_anti")
           .withColumn("status", lit("pendente"))
-        existing.union(inserted).orderBy($("custkey"))
+        existing.union(inserted)
       },
       Some("""SELECT c_custkey AS custkey,
              |  CASE WHEN EXISTS (SELECT 1 FROM orders o
@@ -369,7 +382,8 @@ object RelationalOps extends OpModule {
              |                      AND o.o_orderstatus = 'F')
              |       THEN 'concluido' ELSE 'pendente' END AS status
              |FROM customer c ORDER BY custkey""".stripMargin),
-      doc = "SURVEY K2 — INSERT IGNORE tarefa_popular_fila_trafego.php:42"
+      doc = "SURVEY K2 — INSERT IGNORE tarefa_popular_fila_trafego.php:42",
+      sort = Seq("custkey")
     ),
 
     // ── K3: searched update = join + coalesce(new, old). ──
@@ -383,14 +397,14 @@ object RelationalOps extends OpModule {
           .part(s, d)
           .join(broadcast(newCost), $("p_partkey") === $("l_partkey"), "left")
           .select($("p_partkey"), coalesce($("custo_novo"), $("p_retailprice")).as("custo"))
-          .orderBy($("p_partkey"))
       },
       Some(s"""SELECT p_partkey, COALESCE(custo_novo, p_retailprice) AS custo
               |FROM part LEFT JOIN (
               |  SELECT l_partkey, ${dsumSql("l_extendedprice")} / COUNT(*) AS custo_novo
               |  FROM lineitem GROUP BY 1) n
               |ON p_partkey = l_partkey ORDER BY p_partkey""".stripMargin),
-      doc = "SURVEY K3 — UPDATE..SET custo WHERE sku tarefa_atualizar_custos_erp.php:26"
+      doc = "SURVEY K3 — UPDATE..SET custo WHERE sku tarefa_atualizar_custos_erp.php:26",
+      sort = Seq("p_partkey")
     ),
 
     // ── L1/K4: deterministic batch claim (LIMIT 50 + status transition). ──
@@ -416,8 +430,7 @@ object RelationalOps extends OpModule {
           .groupBy($("user_id"))
           .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
           .agg(dsum($("value")))
-          .na.fill(0.0, Seq("click", "error", "purchase", "signup", "view"))
-          .orderBy($("user_id")),
+          .na.fill(0.0, Seq("click", "error", "purchase", "signup", "view")),
       Some(s"""SELECT user_id,
               |  COALESCE(${pivotSql("click")}, 0.0)    AS "click",
               |  COALESCE(${pivotSql("error")}, 0.0)    AS "error",
@@ -425,7 +438,8 @@ object RelationalOps extends OpModule {
               |  COALESCE(${pivotSql("signup")}, 0.0)   AS "signup",
               |  COALESCE(${pivotSql("view")}, 0.0)     AS "view"
               |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
-      doc = "SURVEY F11 — deposito Geral/Direct pivot worker_processar_estoque.php:71-80"
+      doc = "SURVEY F11 — deposito Geral/Direct pivot worker_processar_estoque.php:71-80",
+      sort = Seq("user_id")
     )
   )
 

@@ -1,0 +1,170 @@
+package graft.operators
+
+import graft.{Exprs, OpModule, Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators a training-data pipeline runs over every
+  * document: language ID (stopword-lexicon heuristic), quality scoring,
+  * token counting (whitespace + regex sub-word), and content
+  * fingerprinting (bag-of-words hash + rolling hash).
+  *
+  * All are single-pass narrow transforms — no shuffle at all except the
+  * final nothing (each query is scan → project), which is exactly the
+  * shape you want when the input is 100 TB of text: these run at parquet
+  * scan speed, fused into one WholeStageCodegen span.
+  */
+object TextOps extends OpModule {
+  import Exprs.{phash, phashSql}
+
+  private val toksCol = split(trim(lower(col("text"))), "\\s+")
+  private val toksSql = "string_split_regex(trim(lower(text)), '\\s+')"
+
+  /** Tiny per-language stopword lexicons for the lang-ID heuristic (the
+    * reference classifies nothing; this is the brief's n-gram-heuristic
+    * lang-ID scaled down to lexicon hits — same plumbing, same shape). */
+  private val lex = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "a"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "von"),
+    "es" -> Seq("el", "los", "de", "que", "y", "en"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "une"),
+    "pt" -> Seq("o", "os", "de", "que", "e", "do"))
+
+  private def hitsExpr(words: Seq[String]): String = {
+    val list = words.map(w => s"'$w'").mkString(", ")
+    s"size(filter(toks, t -> t IN ($list)))"
+  }
+
+  private def hitsSql(words: Seq[String]): String = {
+    val list = words.map(w => s"'$w'").mkString(", ")
+    s"len(list_filter(toks, t -> t IN ($list)))"
+  }
+
+  def queries: Map[String, Q] = Map(
+    // ── Language ID: lexicon-hit argmax with fixed tie priority. ──
+    "ta_langid" -> Q(
+      (s, d) => {
+        val base = Tables.documents(s, d)
+          .select(col("doc_id"), toksCol.as("toks"))
+        val scored = lex.foldLeft(base) { case (df, (l, words)) =>
+          df.withColumn(s"hits_$l", expr(hitsExpr(words)).cast(LongType))
+        }
+        val best = greatest(lex.map { case (l, _) => col(s"hits_$l") }: _*)
+        val guess = lex.foldRight(lit("und"): org.apache.spark.sql.Column) {
+          case ((l, _), acc) => when(col(s"hits_$l") === best && best > 0, lit(l)).otherwise(acc)
+        }
+        scored.select(
+          (col("doc_id") +: lex.map { case (l, _) => col(s"hits_$l") }) :+
+            guess.as("lang_guess"): _*)
+      },
+      Some {
+        val hits = lex.map { case (l, w) => s"${hitsSql(w)} AS hits_$l" }.mkString(",\n  ")
+        val best = "greatest(" + lex.map { case (l, _) => s"hits_$l" }.mkString(", ") + ")"
+        val cases = lex.map { case (l, _) =>
+          s"WHEN hits_$l = $best AND $best > 0 THEN '$l'"
+        }.mkString(" ")
+        s"""SELECT doc_id, ${lex.map { case (l, _) => s"hits_$l" }.mkString(", ")},
+           |  CASE $cases ELSE 'und' END AS lang_guess
+           |FROM (
+           |  SELECT doc_id,
+           |  $hits
+           |  FROM (SELECT doc_id, $toksSql AS toks FROM documents))
+           |ORDER BY doc_id""".stripMargin
+      },
+      doc = "LLM-pipeline: stopword-lexicon language ID heuristic",
+      sort = Seq("doc_id")
+    ),
+
+    // ── Quality scoring: length/stopword/digit signals → [0,1] score. ──
+    "ta_quality" -> Q(
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("text"), toksCol.as("toks"))
+          .select(
+            col("doc_id"),
+            length(col("text")).cast(LongType).as("n_chars_m"),
+            size(col("toks")).cast(LongType).as("n_toks"),
+            expr("aggregate(toks, 0L, (a, t) -> a + length(t))").as("tok_chars"),
+            expr(hitsExpr(lex.head._2)).cast(LongType).as("stop_hits"),
+            length(regexp_replace(col("text"), "[^0-9]", "")).cast(LongType).as("n_digits"))
+          .select(
+            col("doc_id"), col("n_chars_m"), col("n_toks"),
+            (col("tok_chars").cast(DoubleType) / col("n_toks")).as("avg_tok_len"),
+            (col("stop_hits").cast(DoubleType) / col("n_toks")).as("stop_ratio"),
+            (col("n_digits").cast(DoubleType) / col("n_chars_m")).as("digit_ratio"),
+            (least(lit(1.0), col("n_toks") / lit(100.0)) *
+              (lit(0.5) + lit(0.5) * least(lit(1.0), col("stop_hits") / lit(5.0))) *
+              (lit(1.0) - col("n_digits").cast(DoubleType) / col("n_chars_m")))
+              .as("quality_score")),
+      Some(s"""SELECT doc_id, n_chars_m, n_toks,
+              |  tok_chars::DOUBLE / n_toks AS avg_tok_len,
+              |  stop_hits::DOUBLE / n_toks AS stop_ratio,
+              |  n_digits::DOUBLE / n_chars_m AS digit_ratio,
+              |  least(1.0, n_toks / 100.0)
+              |    * (0.5 + 0.5 * least(1.0, stop_hits / 5.0))
+              |    * (1.0 - n_digits::DOUBLE / n_chars_m) AS quality_score
+              |FROM (
+              |  SELECT doc_id,
+              |    length(text)::BIGINT AS n_chars_m,
+              |    len(toks)::BIGINT AS n_toks,
+              |    list_sum([length(t) FOR t IN toks])::BIGINT AS tok_chars,
+              |    ${hitsSql(lex.head._2)}::BIGINT AS stop_hits,
+              |    length(regexp_replace(text, '[^0-9]', '', 'g'))::BIGINT AS n_digits
+              |  FROM (SELECT doc_id, text, $toksSql AS toks FROM documents))
+              |ORDER BY doc_id""".stripMargin),
+      doc = "LLM-pipeline: document quality scoring (length/stopword/digit ratios)",
+      sort = Seq("doc_id")
+    ),
+
+    // ── Token counting: whitespace tokens + a BPE-ish regex pass. ──
+    "ta_token_stats" -> Q(
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(
+            col("doc_id"),
+            size(toksCol).cast(LongType).as("ws_tokens"),
+            size(expr(
+              raw"""regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)"""))
+              .cast(LongType).as("re_tokens"),
+            length(col("text")).cast(LongType).as("n_chars_m")),
+      Some(raw"""SELECT doc_id,
+                |  len($toksSql)::BIGINT AS ws_tokens,
+                |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))::BIGINT
+                |    AS re_tokens,
+                |  length(text)::BIGINT AS n_chars_m
+                |FROM documents ORDER BY doc_id""".stripMargin),
+      doc = "LLM-pipeline: whitespace + regex (BPE-ish) token counting",
+      sort = Seq("doc_id")
+    ),
+
+    // ── Fingerprinting: order-free bag-of-words md5 + order-sensitive
+    // 40-bit polynomial rolling hash (both engine-replayable). ──
+    "ta_fingerprint" -> Q(
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"), toksCol.as("toks"))
+          .select(
+            col("doc_id"),
+            md5(array_join(array_sort(array_distinct(col("toks"))), " ")).as("bow_fp"),
+            expr(s"""aggregate(toks, 0L,
+                    |  (a, t) -> (a * 31 + pmod(${phashSqlSpark("t")}, 1099511627776L))
+                    |            % 1099511627776L)""".stripMargin).as("rolling_fp")),
+      Some(s"""SELECT doc_id,
+              |  md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS bow_fp,
+              |  list_reduce(
+              |    list_prepend(CAST(0 AS BIGINT),
+              |      [${phashSql("t")} % 1099511627776 FOR t IN toks]),
+              |    (a, x) -> (a * 31 + x) % 1099511627776) AS rolling_fp
+              |FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+              |ORDER BY doc_id""".stripMargin),
+      doc = "LLM-pipeline: bag-of-words + rolling-hash document fingerprints",
+      sort = Seq("doc_id")
+    )
+  )
+
+  /** SQL-expression text of [[graft.Exprs.phash]] for use inside `expr`
+    * lambdas (lambda variables aren't reachable from the Column API). */
+  private def phashSqlSpark(x: String): String =
+    s"CAST(conv(substring(md5($x), 1, 15), 16, 10) AS BIGINT)"
+}
