@@ -18,7 +18,8 @@ object SparkEntry {
     operators.AnnOps,
     operators.TextOps,
     operators.MultimodalOps,
-    operators.IncrementalOps
+    operators.IncrementalOps,
+    operators.CustomFnOps
   )
 
   private lazy val all: Map[String, Q] =

@@ -1,0 +1,76 @@
+package graft.operators
+
+import graft.{Exprs, OpModule, Q, Tables}
+import graft.functions.{ParseBrlMoney, SaleRow, SalesAgg}
+import org.apache.spark.sql.{Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY §2.10 / §7 custom Catalyst pieces, each registered as a query
+  * whose DuckDB oracle is the BUILT-IN equivalent — the oracle match IS
+  * the equivalence proof at fixture scale (unit tests cover edge cases).
+  */
+object CustomFnOps extends OpModule {
+  import Exprs.dsumSql
+
+  /** Temp-register [[ParseBrlMoney]] so SQL/`expr` can call it. */
+  def registerParseBrlMoney(s: SparkSession): Unit =
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "parse_brl_money", exprs => ParseBrlMoney(exprs.head), "scala_udf")
+
+  def queries: Map[String, Q] = Map(
+    // ── Native codegen Expression vs translate+cast (C6). ──
+    "c6b_parse_brl_expression" -> Q(
+      (s, d) => {
+        registerParseBrlMoney(s)
+        Tables
+          .part(s, d)
+          .withColumn(
+            "custo_brl",
+            translate(col("p_retailprice").cast(DecimalType(12, 2)).cast(StringType),
+              ".", ","))
+          .select(
+            col("p_partkey"),
+            expr("parse_brl_money(custo_brl)").as("custo_produto"))
+      },
+      Some("""SELECT p_partkey,
+             |  CAST(REPLACE(REPLACE(CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS VARCHAR),
+             |                       '.', ','), ',', '.') AS DOUBLE) AS custo_produto
+             |FROM part ORDER BY p_partkey""".stripMargin),
+      doc = "SURVEY §2.10 — ParseBrlMoney Expression (codegen) ≡ translate+cast",
+      sort = Seq("p_partkey")
+    ),
+
+    // ── Typed Aggregator vs five decimal sums (A2). ──
+    "a2b_agg_sales_udaf" -> Q(
+      (s, d) => {
+        val salesAgg = udaf(new SalesAgg, Encoders.product[SaleRow])
+        Tables
+          .lineitem(s, d)
+          .groupBy(col("l_returnflag").as("grp"))
+          .agg(salesAgg(
+            col("l_quantity"),
+            col("l_extendedprice"),
+            col("l_extendedprice") * col("l_tax"),
+            col("l_extendedprice") * col("l_discount"),
+            col("l_extendedprice") * (lit(1.0) - col("l_tax") - col("l_discount")))
+            .as("s"))
+          .select(col("grp"),
+            col("s.sum_qtd").as("sum_qtd"),
+            col("s.sum_fat").as("sum_fat"),
+            col("s.sum_tarifa").as("sum_tarifa"),
+            col("s.sum_frete").as("sum_frete"),
+            col("s.sum_liquido").as("sum_liquido"))
+      },
+      Some(s"""SELECT l_returnflag AS grp,
+              |  ${dsumSql("l_quantity")} AS sum_qtd,
+              |  ${dsumSql("l_extendedprice")} AS sum_fat,
+              |  ${dsumSql("l_extendedprice * l_tax")} AS sum_tarifa,
+              |  ${dsumSql("l_extendedprice * l_discount")} AS sum_frete,
+              |  ${dsumSql("l_extendedprice * (1.0 - l_tax - l_discount)")} AS sum_liquido
+              |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "SURVEY §2.10 — SalesAgg Aggregator ≡ five dsum aggregates",
+      sort = Seq("grp")
+    )
+  )
+}

@@ -1,0 +1,76 @@
+package graft
+
+import graft.operators.{DedupOps, MultimodalOps}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Sanity/determinism checks for the LLM-pipeline family at sf0.001 —
+  * the DuckDB oracle is the main correctness gate; these pin behaviors
+  * the oracle can't see (stability across runs, stub contract). */
+class PipelineOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+  private val sf = TestSpark.sf0001
+
+  test("dedup_minhash finds the planted near-dup pairs, all ≥ threshold") {
+    val pairs = SparkEntry.queries("dedup_minhash")(spark, sf).collect()
+    assert(pairs.nonEmpty, "no near-dup pairs found — fixture has planted dups")
+    assert(pairs.forall(_.getAs[Double]("jaccard") >= 0.8))
+    assert(pairs.forall(r => r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b")))
+  }
+
+  test("minhash signatures are deterministic across runs") {
+    val a = SparkEntry.queries("dedup_minhash")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val b = SparkEntry.queries("dedup_minhash")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
+  test("ann_topk: ranks are 1..k per query, self excluded, cosine in [-1,1]") {
+    val out = SparkEntry.queries("ann_topk_bruteforce")(spark, sf).collect()
+    val byQuery = out.groupBy(_.getAs[Long]("query_id"))
+    byQuery.foreach { case (q, rows) =>
+      val ranks = rows.map(_.getAs[Int]("rank")).sorted
+      assert(ranks.sameElements(1 to rows.length))
+      assert(rows.forall(_.getAs[Long]("neighbor_id") != q))
+      assert(rows.forall { r =>
+        val c = r.getAs[java.math.BigDecimal]("cos_sim").doubleValue
+        c >= -1.0001 && c <= 1.0001
+      })
+    }
+  }
+
+  test("multimodal decode stub: batch decode matches the SQL-side metadata") {
+    val docs = Tables.documents(spark, sf)
+    val decoded = MultimodalOps.decodeFeatures(docs).collect()
+      .map(f => f.doc_id -> f).toMap
+    val sqlSide = SparkEntry.queries("mm_metadata")(spark, sf).collect()
+    sqlSide.foreach { r =>
+      val f = decoded(r.getAs[Long]("doc_id"))
+      assert(f.n_bytes.toLong == r.getAs[Long]("n_bytes"))
+      assert(f.width.toLong == r.getAs[Long]("width"))
+      assert(f.height.toLong == r.getAs[Long]("height"))
+    }
+  }
+
+  test("ta_fingerprint: bag-of-words fp ignores word order, rolling fp doesn't") {
+    val df = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "gamma beta alpha"),
+      (3L, "alpha beta delta")
+    ).toDF("doc_id", "text")
+    val toks = split(trim(lower(col("text"))), "\\s+")
+    val out = df.select(
+      col("doc_id"),
+      md5(array_join(array_sort(array_distinct(toks)), " ")).as("bow"),
+      expr("""aggregate(split(trim(lower(text)), '\\s+'), 0L,
+             |  (a, t) -> (a * 31 + pmod(CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT),
+             |                           1099511627776L)) % 1099511627776L)""".stripMargin)
+        .as("rolling"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L)._1 == out(2L)._1, "bag-of-words fp must be order-free")
+    assert(out(1L)._1 != out(3L)._1)
+    assert(out(1L)._2 != out(2L)._2, "rolling fp must be order-sensitive")
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import graft.streaming.QueueWorker
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** T4: the queue micro-batch worker as Structured Streaming — rate-limited
+  * claims (maxFilesPerTrigger=1 ⇒ one task file per micro-batch), enrich,
+  * idempotent ack into the K1 upsert state table. */
+class QueueWorkerSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("drains the queue in rate-limited batches and acks exactly-once") {
+    val base = Files.createTempDirectory("graft-queue")
+    val queueDir = base.resolve("queue").toString
+    val stateDir = base.resolve("state").toString
+    val ckptDir  = base.resolve("ckpt").toString
+
+    // three task "files" → with maxFilesPerTrigger=1, three micro-batches
+    Seq((1L, "p1")).toDF("task_id", "payload").write.parquet(s"$queueDir/f1")
+    Seq((2L, "p2")).toDF("task_id", "payload").write.parquet(s"$queueDir/f2")
+    Seq((3L, "p3"), (1L, "p1-dup")).toDF("task_id", "payload")
+      .write.parquet(s"$queueDir/f3")
+    // single flat dir for the file source
+    val flat = base.resolve("flat").toString
+    new java.io.File(flat).mkdirs()
+    for (f <- Seq("f1", "f2", "f3")) {
+      val src = new java.io.File(s"$queueDir/$f")
+      src.listFiles().filter(_.getName.endsWith(".parquet")).zipWithIndex.foreach {
+        case (p, i) => Files.copy(p.toPath, new java.io.File(s"$flat/$f-$i.parquet").toPath)
+      }
+    }
+
+    val q = QueueWorker.start(
+      spark, flat, stateDir, ckptDir,
+      keys = Seq("task_id"), versionCol = "batch_id",
+      process = b => b.withColumn("payload", upper(col("payload"))),
+      filesPerTrigger = 1)
+    q.awaitTermination(120000)
+
+    val state = spark.read.parquet(stateDir)
+    val rows = state.select($"task_id", $"payload", $"status")
+      .as[(Long, String, String)].collect().toSet
+    // task 1 was re-delivered in a later batch → last write wins
+    assert(rows.map(_._1) == Set(1L, 2L, 3L))
+    assert(rows.forall(_._3 == "concluido"))
+    assert(rows.contains((1L, "P1-DUP", "concluido")))
+    // the rate limit actually split the work into multiple micro-batches
+    val nBatches = state.select(countDistinct($"batch_id")).as[Long].head()
+    assert(nBatches >= 2, s"expected multiple micro-batches, got $nBatches")
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Goldens for the reference quirks SURVEY §5 calls out: the F6 MySQL
+  * precedence bug, C5 timezone day-bucketing, C6 decimal-comma parse,
+  * and the F10 attribute-fallback chain. */
+class SemanticsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("F6: `a AND b AND t='S' OR t='K'` keeps kit rows that fail every other filter") {
+    // Mirror of the quirk shape in f6_filter_quirk / the reference's
+    // tarefa_popular_fila_estoque.php:10 — kit ('K') bypasses all guards.
+    val df = Seq(
+      ("SKU1", "S", 30),  // passes the S-branch
+      ("SKU2", "S", 10),  // fails size guard
+      ("EMB3", "K", 10),  // kit: would fail prefix+size guards, KEPT
+      ("SKU4", "V", 30)   // wrong type, dropped
+    ).toDF("sku", "tipo", "size")
+    val kept = df.filter(
+      (!$"sku".startsWith("EMB") && $"size" > 25 && $"tipo" === "S") ||
+        $"tipo" === "K")
+      .select("sku").as[String].collect().toSet
+    assert(kept == Set("SKU1", "EMB3"))
+  }
+
+  test("C5: UTC timestamps land on the São Paulo calendar day (-03:00)") {
+    val df = Seq(
+      "2024-05-10 02:59:00", // 23:59 previous day in São Paulo
+      "2024-05-10 03:00:00", // exactly midnight local
+      "2024-05-10 12:00:00"
+    ).toDF("ts_str").select(to_timestamp($"ts_str").as("ts"))
+    val days = df
+      .select(to_date(from_utc_timestamp($"ts", "America/Sao_Paulo")).as("d"))
+      .as[java.sql.Date].collect().map(_.toString)
+    assert(days.sameElements(Array("2024-05-09", "2024-05-10", "2024-05-10")))
+  }
+
+  test("C6: decimal-comma parse round-trips Tiny-style money strings") {
+    val df = Seq("1234,56", "0,99", "100", "7,5").toDF("brl")
+    val parsed = df
+      .select(translate($"brl", ",", ".").cast(DoubleType).as("v"))
+      .as[Double].collect()
+    assert(parsed.sameElements(Array(1234.56, 0.99, 100.0, 7.5)))
+  }
+
+  test("F10: SELLER_SKU extracted when present, falls back to custom field") {
+    val df = Seq(
+      (1L, true),  // has SELLER_SKU attr
+      (2L, false)  // missing → fallback
+    ).toDF("id", "has_sku")
+      .withColumn("attributes",
+        when($"has_sku",
+          expr("array(named_struct('id', 'BRAND', 'val', 'b'), " +
+            "named_struct('id', 'SELLER_SKU', 'val', 'SKU-X'))"))
+          .otherwise(expr("array(named_struct('id', 'BRAND', 'val', 'b'))")))
+      .withColumn("fallback", lit("CUSTOM"))
+    val out = df.select($"id",
+      coalesce(
+        expr("try_element_at(filter(attributes, a -> a.id = 'SELLER_SKU'), 1).val"),
+        $"fallback").as("sku"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "SKU-X")
+    assert(out(2L) == "CUSTOM")
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import graft.sinks.UpsertWriter
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** K1/K5 write-path round-trips through real parquet (SURVEY §2.2):
+  * keep-latest merge, update-wins ties, dynamic partition overwrite that
+  * leaves untouched partitions' files alone, and truncate. */
+class UpsertWriterSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-upsert").resolve("t").toString
+
+  test("K1: keyed upsert keeps the latest version, updates win ties") {
+    val path = tmp()
+    UpsertWriter.upsert(spark, path,
+      Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("id", "v", "ver"),
+      keys = Seq("id"), versionCol = "ver")
+    // same version for id=1 (tie → update wins), higher for id=2, new id=3
+    UpsertWriter.upsert(spark, path,
+      Seq((1L, "a2", 1L), (2L, "b2", 2L), (3L, "c", 1L)).toDF("id", "v", "ver"),
+      keys = Seq("id"), versionCol = "ver")
+    val state = spark.read.parquet(path)
+      .select($"id", $"v").as[(Long, String)].collect().toMap
+    assert(state == Map(1L -> "a2", 2L -> "b2", 3L -> "c"))
+  }
+
+  test("K1 partitioned: only touched partitions are rewritten") {
+    val path = tmp()
+    UpsertWriter.upsert(spark, path,
+      Seq((1L, "2024-01-01", "x"), (2L, "2024-01-02", "y")).toDF("id", "dia", "v"),
+      keys = Seq("id"), versionCol = "id", partitionBy = Seq("dia"))
+    val untouched = new java.io.File(s"$path/dia=2024-01-01")
+    val before = untouched.listFiles().map(f => f.getName -> f.lastModified).toMap
+    Thread.sleep(1100)
+    UpsertWriter.upsert(spark, path,
+      Seq((2L, "2024-01-02", "y2")).toDF("id", "dia", "v"),
+      keys = Seq("id"), versionCol = "id", partitionBy = Seq("dia"))
+    val after = untouched.listFiles().map(f => f.getName -> f.lastModified).toMap
+    assert(before == after, "untouched partition was rewritten")
+    val state = spark.read.parquet(path)
+      .select($"id", $"v").as[(Long, String)].collect().toMap
+    assert(state == Map(1L -> "x", 2L -> "y2"))
+  }
+
+  test("K5: truncate leaves an empty table with the same schema") {
+    val path = tmp()
+    UpsertWriter.upsert(spark, path,
+      Seq((1L, "a", 1L)).toDF("id", "v", "ver"),
+      keys = Seq("id"), versionCol = "ver")
+    UpsertWriter.truncate(spark, path)
+    val df = spark.read.parquet(path)
+    assert(df.count() == 0)
+    assert(df.columns.toSet == Set("id", "v", "ver"))
+  }
+}
