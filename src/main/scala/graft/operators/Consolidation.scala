@@ -35,16 +35,24 @@ object Consolidation extends OpModule {
 
   def relatorio(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
+    val isSale = col("l_returnflag") =!= "A"
 
-    val vendas = li
-      .filter(col("l_returnflag") =!= "A")
-      .groupBy(col("l_partkey"), col("l_suppkey"))
+    // ONE (partkey, suppkey)-keyed shuffle yields both the sales sums
+    // (conditional aggregates over non-'A' rows; all-null groups sum to
+    // NULL exactly like the former missing-left-join-row) AND the
+    // variation universe the reference's map dim provides — round 1
+    // derived the map with a separate `distinct()`, a third full-fact
+    // shuffle this fuses away.
+    val pre = li
+      .groupBy(col("l_partkey").as("id_anuncio"), col("l_suppkey").as("suppkey"))
       .agg(
-        dsum(col("l_quantity")).as("vendas_totais_qtd"),
-        dsum(col("l_extendedprice")).as("faturamento_total"),
-        dsum(col("l_extendedprice") * col("l_tax")).as("tarifa_venda_total"),
-        dsum(col("l_extendedprice") * col("l_discount")).as("custo_frete_total"))
-      .withColumn("has_sales", lit(true))
+        dsum(when(isSale, col("l_quantity"))).as("vendas_totais_qtd"),
+        dsum(when(isSale, col("l_extendedprice"))).as("faturamento_total"),
+        dsum(when(isSale, col("l_extendedprice") * col("l_tax")))
+          .as("tarifa_venda_total"),
+        dsum(when(isSale, col("l_extendedprice") * col("l_discount")))
+          .as("custo_frete_total"),
+        max(when(isSale, lit(true))).as("has_sales"))
 
     val trafego = li
       .filter(col("l_returnflag") === "A")
@@ -56,20 +64,12 @@ object Consolidation extends OpModule {
         dsum(col("l_quantity")).as("vendas_ads_p"),
         dsum(col("l_extendedprice")).as("fat_ads_p"))
 
-    val mapa = li
-      .select(col("l_partkey").as("id_anuncio"), col("l_suppkey").as("suppkey"))
-      .distinct()
+    val base = pre
       .join(
         broadcast(Tables.part(s, d)
           .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_retailprice"))),
         col("id_anuncio") === col("p_partkey"),
         "inner")
-
-    val base = mapa
-      .join(
-        vendas,
-        col("id_anuncio") === vendas("l_partkey") && col("suppkey") === vendas("l_suppkey"),
-        "left")
       .join(trafego, col("id_anuncio") === col("t_partkey"), "left")
       // A6 driving set: sold variations ∪ all variations of parents with traffic
       .filter(coalesce(col("has_sales"), lit(false)) || col("impressoes_p").isNotNull)
