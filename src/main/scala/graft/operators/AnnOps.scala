@@ -115,6 +115,35 @@ object AnnOps extends OpModule {
       Some(topkSql(5, sameCell = true)),
       doc = "LLM-pipeline: IVF cell-probed cosine top-k (label = coarse quantizer)",
       sort = Seq("query_id", "rank")
+    ),
+
+    // ── IVF training step: per-cell centroids, element-wise mean via
+    // posexplode → (label, dim) partial-sum aggregation — the shape that
+    // scales (shuffle is cells × dims rows, map-side combined).
+    // Components are quantized to 1e-7 fixed point BEFORE summing: both
+    // engines compute the identical double product v*1e7 and round it
+    // identically, so the integer sum is order-independent AND
+    // engine-exact. (A DECIMAL-cast sum is not: DuckDB's double→decimal
+    // conversion goes through binary multiply and was measured 1 ulp off
+    // Spark's exact BigDecimal path on 1/33920 values.) FP32 embeddings
+    // carry ~7 significant decimals, so nothing real is lost. ──
+    "ann_ivf_centroids" -> Q(
+      (s, d) =>
+        Tables.embeddings(s, d)
+          .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .groupBy(col("label"), (col("pos") + 1).as("dim"))
+          .agg(
+            (sum(round(col("v").cast(DoubleType) * 1e7).cast(LongType))
+              .cast(DoubleType) / 1e7 / count(lit(1))).as("centroid"),
+            count(lit(1)).as("n_vectors")),
+      Some("""SELECT label, i AS dim,
+             |  CAST(SUM(CAST(round(embedding[i]::DOUBLE * 1e7) AS BIGINT)) AS DOUBLE)
+             |    / 1e7 / COUNT(*) AS centroid,
+             |  COUNT(*) AS n_vectors
+             |FROM embeddings, range(1, 65) t(i)
+             |GROUP BY 1, 2 ORDER BY label, dim""".stripMargin),
+      doc = "LLM-pipeline: IVF coarse-quantizer centroid build (element-wise mean)",
+      sort = Seq("label", "dim")
     )
   )
 }

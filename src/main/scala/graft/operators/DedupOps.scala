@@ -155,6 +155,16 @@ object DedupOps extends OpModule {
        |SELECT doc_a, doc_b, jaccard FROM scored
        |WHERE jaccard >= $thresh ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Symmetric near-dup edges at minhash settings (used by survivors). */
+  private def minhashEdges(s: SparkSession, d: String): DataFrame = {
+    val sets = shingled(s, d, 3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sets.count()
+    val pairs = jaccardPairs(candidates(bandSigs(sets, 32, 4)), sets, 0.8)
+    pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+  }
+
   def queries: Map[String, Q] = Map(
     // ── Exact dedup: content-hash groupBy, keep lowest doc_id. One
     // shuffle keyed by the hash; survivor choice is deterministic. ──
@@ -250,6 +260,65 @@ object DedupOps extends OpModule {
               |${jaccardPairsSql(0.5)}""".stripMargin),
       doc = "LLM-pipeline: exact word-4-gram Jaccard within banded-LSH blocks",
       sort = Seq("doc_a", "doc_b")
+    ),
+
+    // ── Cluster the near-dup graph and pick one survivor per cluster:
+    // THREE fixed rounds of min-label propagation over the (symmetric)
+    // minhash edge list — enough for the planted clusters' diameter, and
+    // a FIXED count so the DuckDB twin replays the identical state even
+    // if some hypothetical larger component hasn't converged. Each round
+    // is one join + one groupBy on skinny (doc, label) rows — the
+    // standard iterative-CC shape that scales with the edge list, not
+    // the corpus. Survivor = lowest doc_id in the cluster. ──
+    "dedup_survivors" -> Q(
+      (s, d) => {
+        val edges = minhashEdges(s, d)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val docs = Tables.documents(s, d).select(col("doc_id"))
+        var labels = docs.withColumn("label", col("doc_id"))
+        for (_ <- 1 to 3) {
+          val fromNeighbors = edges
+            .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
+            .select(col("src").as("doc_id"), col("label"))
+          labels = labels.unionByName(fromNeighbors)
+            .groupBy(col("doc_id"))
+            .agg(min(col("label")).as("label"))
+        }
+        labels.select(col("doc_id"), col("label").as("cluster_id"),
+          (col("doc_id") === col("label")).as("is_survivor"))
+      },
+      Some {
+        val mh = s"""WITH sh AS (${shingledSql(3)}),
+                    |${bandSigsSql(32, 4)},
+                    |$candidatesSql,
+                    |pairs AS (
+                    |  SELECT doc_a, doc_b FROM (
+                    |    SELECT doc_a, doc_b,
+                    |      len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                    |        / len(list_distinct(a.shingles || b.shingles)) AS jaccard
+                    |    FROM cand JOIN sh a ON a.doc_id = cand.doc_a
+                    |              JOIN sh b ON b.doc_id = cand.doc_b)
+                    |  WHERE jaccard >= 0.8),
+                    |edges AS (
+                    |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+                    |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+                    |l0 AS (SELECT doc_id, doc_id AS label FROM documents)""".stripMargin
+        val rounds = (1 to 3).map { i =>
+          s"""l$i AS (
+             |  SELECT doc_id, min(label) AS label FROM (
+             |    SELECT doc_id, label FROM l${i - 1}
+             |    UNION ALL
+             |    SELECT e.src AS doc_id, l.label
+             |    FROM edges e JOIN l${i - 1} l ON l.doc_id = e.dst)
+             |  GROUP BY 1)""".stripMargin
+        }.mkString(",\n")
+        s"""$mh,
+           |$rounds
+           |SELECT doc_id, label AS cluster_id, doc_id = label AS is_survivor
+           |FROM l3 ORDER BY doc_id""".stripMargin
+      },
+      doc = "LLM-pipeline: connected-component dedup clusters + canonical survivor",
+      sort = Seq("doc_id")
     ),
 
     // ── Embedding-cosine near-dup inside IVF cells: the fixture `label`
