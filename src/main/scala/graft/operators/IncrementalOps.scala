@@ -93,8 +93,11 @@ object IncrementalOps extends OpModule {
           .select(explode(sequence(date_sub(col("max_d"), 9), col("max_d"))).as("dia"))
         val agg = o.groupBy(col("data_pedido").as("dia"))
           .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("receita"))
-        broadcast(days)
-          .join(agg, Seq("dia"), "left")
+        // Broadcast the day-grain aggregate (small: one row per day in
+        // the data): the preserved LEFT side of a left join can never be
+        // the broadcast build side, so broadcasting `days` was a no-op.
+        days
+          .join(broadcast(agg), Seq("dia"), "left")
           .select(col("dia"),
             coalesce(col("n_orders"), lit(0L)).as("n_orders"),
             coalesce(col("receita"), lit(0.0)).as("receita"))

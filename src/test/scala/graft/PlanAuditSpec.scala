@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Mechanical audit of the scale posture the plans must keep
+  * (the brief's `.explain` discipline, as regression tests):
+  *  - no production plan ends in a global range sort (determinism sorts
+  *    live in Verify, not in measured plans);
+  *  - no unintended cartesian products;
+  *  - projected scans prune columns at the parquet reader;
+  *  - ep1's dims ride broadcast joins.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf0001
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("no registered query plans a global range sort or cartesian product") {
+    for ((name, fn) <- SparkEntry.queries) {
+      val p = fn(spark, sf).queryExecution.executedPlan.toString
+      assert(!p.contains("rangepartitioning"),
+        s"$name plans a global sort:\n${p.take(500)}")
+      assert(!p.contains("CartesianProduct"),
+        s"$name plans a cartesian product")
+    }
+  }
+
+  test("s1: column-pruned scan, zero exchanges") {
+    val p = plan("s1_scan_project")
+    assert(!p.contains("Exchange"), "projection-only query must not shuffle")
+    assert(p.contains("ReadSchema: struct<l_orderkey"))
+    assert(!p.contains("l_comment") && !p.contains("l_shipdate"),
+      "scan reads columns the query never uses")
+  }
+
+  test("ep1: part dim is broadcast, fact is not") {
+    val p = plan("ep1_consolidar_relatorio")
+    assert(p.contains("BroadcastHashJoin"), "part dim should broadcast")
+  }
+
+  test("dedup candidates come from bucket equi-joins, not nested loops") {
+    for (name <- Seq("dedup_minhash", "dedup_ngram_jaccard")) {
+      val p = plan(name)
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name nested-loops")
+    }
+  }
+}
