@@ -1,0 +1,38 @@
+package graft
+
+import graft.functions.{DotProduct, ParseBrlMoney}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** The library's custom Catalyst functions, exposed two ways:
+  *
+  *  - [[GraftExtensions]] for deployment:
+  *    `SparkSession.builder().withExtensions(new GraftExtensions)` (or
+  *    `spark.sql.extensions=graft.GraftExtensions`) injects them at
+  *    session build, the SURVEY §7 `SparkSessionExtensions` path.
+  *  - [[Functions.register]] for an already-built session (what
+  *    `Sessions.tune` uses — local sessions are pre-built by the
+  *    harness).
+  */
+object Functions {
+  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "parse_brl_money" -> (exprs => ParseBrlMoney(exprs.head)),
+    "dot_product" -> (exprs => DotProduct(exprs.head, exprs(1))))
+
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+}
+
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    Functions.all.foreach { case (name, builder) =>
+      e.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft", name),
+        builder))
+    }
+}

@@ -69,6 +69,9 @@ object Sessions {
     // skips empty arrays; the inferred filter is pure overhead here.
     spark.conf.set("spark.sql.optimizer.excludedRules",
       "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+    // Custom Catalyst functions (parse_brl_money, dot_product). Deployed
+    // clusters inject these via graft.GraftExtensions instead.
+    Functions.register(spark)
     spark
   }
 }

@@ -26,9 +26,14 @@ import org.apache.spark.sql.types._
   */
 object AnnOps extends OpModule {
 
-  /** Left-to-right dot-product fold over two DOUBLE arrays. */
+  /** Dot product over two DOUBLE arrays — the codegen'd
+    * [[graft.functions.DotProduct]] expression (registered by
+    * `Sessions.tune`). Same left-to-right fold as the HOF form
+    * `aggregate(zip_with(a,b,(x,y)->x*y), 0d, (acc,v)->acc+v)` it
+    * replaced (equivalence pinned in `AnnEquivalenceSpec`), so the
+    * DuckDB `list_sum` oracle twin still matches bit-for-bit. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    call_function("dot_product", a, b)
 
   def dotSql(a: String, b: String): String =
     s"list_sum([$a[i] * $b[i] FOR i IN range(1, len($a) + 1)])"
