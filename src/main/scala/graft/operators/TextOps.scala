@@ -161,10 +161,78 @@ object TextOps extends OpModule {
       doc = "LLM-pipeline: bag-of-words + rolling-hash document fingerprints",
       sort = Seq("doc_id")
     )
-  )
+  ) ++ extraQueries
 
   /** SQL-expression text of [[graft.Exprs.phash]] for use inside `expr`
     * lambdas (lambda variables aren't reachable from the Column API). */
   private def phashSqlSpark(x: String): String =
     s"CAST(conv(substring(md5($x), 1, 15), 16, 10) AS BIGINT)"
+
+  /** Per-language sampling rates (per mille) for the mixing demo. */
+  private val mixRates = Seq(
+    "en" -> 800, "de" -> 500, "es" -> 500, "fr" -> 500, "pt" -> 500)
+
+  private val extraQueries: Map[String, Q] = Map(
+    // ── Deterministic stratified sampling — the data-mixing primitive:
+    // keep a per-stratum fraction chosen by content-stable hash, so the
+    // same doc is kept or dropped on every run and on every engine. Pure
+    // map-side filter: scales at scan speed, no shuffle. ──
+    "ta_sample_stratified" -> Q(
+      (s, d) => {
+        val bucket = pmod(phash(col("doc_id").cast(StringType)), lit(1000))
+        val rate = mixRates.foldRight(lit(0): org.apache.spark.sql.Column) {
+          case ((l, r), acc) => when(col("lang") === l, lit(r)).otherwise(acc)
+        }
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), bucket.as("bucket"), rate.as("rate"))
+          .filter(col("bucket") < col("rate"))
+          .select(col("doc_id"), col("lang"))
+      },
+      Some {
+        val cases = mixRates.map { case (l, r) => s"WHEN lang = '$l' THEN $r" }
+          .mkString(" ")
+        s"""SELECT doc_id, lang FROM (
+           |  SELECT doc_id, lang,
+           |    ${phashSql("CAST(doc_id AS VARCHAR)")} % 1000 AS bucket,
+           |    CASE $cases ELSE 0 END AS rate
+           |  FROM documents)
+           |WHERE bucket < rate ORDER BY doc_id""".stripMargin
+      },
+      doc = "LLM-pipeline: deterministic hash-stratified sampling (data mixing)",
+      sort = Seq("doc_id")
+    ),
+
+    // ── Context-window sequence packing: assign docs to 4096-token bins
+    // by cumulative token count within each source shard. The window
+    // partitions by `source` (a shard key), never globally — the
+    // deterministic, scalable variant of greedy packing (true greedy is
+    // inherently sequential; per-shard offset packing is what large
+    // pipelines run). ──
+    "ta_pack_sequences" -> Q(
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col("doc_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            size(toksCol).cast(LongType).as("n_toks"))
+          .withColumn("cum_toks", sum(col("n_toks")).over(w))
+          .select(col("doc_id"), col("source"), col("n_toks"),
+            expr("(cum_toks - n_toks) div 4096").as("bin"),
+            ((col("cum_toks") - lit(1)) % 4096).as("end_offset"))
+      },
+      Some(s"""SELECT doc_id, source, n_toks,
+              |  (cum_toks - n_toks) // 4096 AS bin,
+              |  (cum_toks - 1) % 4096 AS end_offset
+              |FROM (
+              |  SELECT doc_id, source, n_toks,
+              |    SUM(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+              |      ROWS UNBOUNDED PRECEDING) AS cum_toks
+              |  FROM (SELECT doc_id, source,
+              |          len($toksSql)::BIGINT AS n_toks FROM documents))
+              |ORDER BY doc_id""".stripMargin),
+      doc = "LLM-pipeline: per-shard context-window sequence packing (4096 tokens)",
+      sort = Seq("doc_id")
+    )
+  )
 }
