@@ -19,7 +19,8 @@ object SparkEntry {
     operators.TextOps,
     operators.MultimodalOps,
     operators.IncrementalOps,
-    operators.CustomFnOps
+    operators.CustomFnOps,
+    operators.AsofOps
   )
 
   private lazy val all: Map[String, Q] =

@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.{OpModule, Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) join — a beyond-the-reference extension operator
+  * (the brief's canonical "operator Spark lacks"). Composed Spark-first
+  * per the preference order: tag both sides, union, and take
+  * `last_value(ignoreNulls)` over a per-key time-ordered window — one
+  * shuffle on the join key, no custom SparkPlan needed. The window
+  * partitions by user (high cardinality), never globally.
+  *
+  * Semantics: for every 'error' event, the value of that user's most
+  * recent 'purchase' at or before the error's timestamp (ties admit the
+  * same-instant purchase, matching ASOF's `<=`). The DuckDB oracle is
+  * the NATIVE `ASOF LEFT JOIN` — the built-in composition must agree
+  * with a first-class implementation.
+  */
+object AsofOps extends OpModule {
+
+  def queries: Map[String, Q] = Map(
+    "asof_join_last_purchase" -> Q(
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"),
+            col("value").as("pv"), lit(1).as("is_p"),
+            lit(null).cast("long").as("event_id"))
+        val errors = e.filter(col("event_type") === "error")
+          .select(col("user_id"), col("ts"),
+            lit(null).cast("double").as("pv"), lit(0).as("is_p"),
+            col("event_id"))
+        // purchases sort before errors at equal ts → "at or before"
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("is_p").desc)
+          .rowsBetween(Window.unboundedPreceding, 0)
+        purchases.unionByName(errors)
+          .withColumn("last_purchase_value", last(col("pv"), ignoreNulls = true).over(w))
+          .filter(col("is_p") === 0)
+          .select(col("event_id"), col("user_id"), col("last_purchase_value"))
+      },
+      Some("""SELECT e.event_id, e.user_id, p.value AS last_purchase_value
+             |FROM (SELECT * FROM events WHERE event_type = 'error') e
+             |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+             |  ON e.user_id = p.user_id AND p.ts <= e.ts
+             |ORDER BY e.event_id""".stripMargin),
+      doc = "Extension: as-of join composed from union + last_value window ≡ DuckDB ASOF JOIN",
+      sort = Seq("event_id")
+    )
+  )
+}
