@@ -47,6 +47,46 @@ object AsofOps extends OpModule {
              |ORDER BY e.event_id""".stripMargin),
       doc = "Extension: as-of join composed from union + last_value window ≡ DuckDB ASOF JOIN",
       sort = Seq("event_id")
+    ),
+
+    // ── Sessionization: gap-based session assignment over the event
+    // stream — lag → new-session flag → running sum, all inside one
+    // per-user window (high-cardinality partition key; the standard
+    // scalable shape). Timestamps compare at microsecond grain on both
+    // engines (Spark's nanos→micros load truncation ≡ DuckDB's
+    // TIMESTAMP_NS::TIMESTAMP cast for positive epochs). ──
+    "sessionize_events" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+        val gapMicros = 3600L * 1000 * 1000 // 1 hour
+        Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("ts"))
+          .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+          .withColumn("new_session",
+            when(col("prev_us").isNull ||
+              unix_micros(col("ts")) - col("prev_us") > gapMicros, 1L)
+              .otherwise(0L))
+          .withColumn("session_seq",
+            sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .select(col("event_id"), col("user_id"), col("session_seq"))
+      },
+      Some("""SELECT event_id, user_id,
+             |  SUM(new_session) OVER (PARTITION BY user_id
+             |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_seq
+             |FROM (
+             |  SELECT event_id, user_id, ts,
+             |    CASE WHEN prev_us IS NULL
+             |           OR epoch_us(ts::TIMESTAMP) - prev_us > 3600000000
+             |         THEN 1 ELSE 0 END AS new_session
+             |  FROM (
+             |    SELECT event_id, user_id, ts,
+             |      LAG(epoch_us(ts::TIMESTAMP)) OVER (PARTITION BY user_id
+             |        ORDER BY ts, event_id) AS prev_us
+             |    FROM events))
+             |ORDER BY event_id""".stripMargin),
+      doc = "Extension: gap-based sessionization (lag → flag → running sum)",
+      sort = Seq("event_id")
     )
   )
 }
