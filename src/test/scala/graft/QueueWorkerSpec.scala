@@ -51,4 +51,46 @@ class QueueWorkerSpec extends AnyFunSuite {
     val nBatches = state.select(countDistinct($"batch_id")).as[Long].head()
     assert(nBatches >= 2, s"expected multiple micro-batches, got $nBatches")
   }
+
+  test("checkpoint resume: a restarted worker processes only new tasks") {
+    val base = Files.createTempDirectory("graft-queue-resume")
+    val flat = base.resolve("flat").toString
+    val stateDir = base.resolve("state").toString
+    val ckptDir = base.resolve("ckpt").toString
+    new java.io.File(flat).mkdirs()
+
+    def addFile(name: String, rows: Seq[(Long, String)]): Unit = {
+      val tmp = base.resolve(name + ".tmp").toString
+      rows.toDF("task_id", "payload").coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, new java.io.File(s"$flat/$name.parquet").toPath)
+    }
+
+    // run 1: one task file, worker drains and stops (AvailableNow)
+    addFile("t1", Seq((10L, "a")))
+    val q1 = QueueWorker.start(spark, flat, stateDir, ckptDir,
+      keys = Seq("task_id"), versionCol = "batch_id",
+      process = identity, filesPerTrigger = 1)
+    q1.awaitTermination(120000)
+    val afterRun1 = spark.read.parquet(stateDir)
+      .select($"task_id").as[Long].collect().toSet
+    assert(afterRun1 == Set(10L))
+
+    // "crash", new tasks arrive, worker restarts on the SAME checkpoint
+    addFile("t2", Seq((11L, "b")))
+    val q2 = QueueWorker.start(spark, flat, stateDir, ckptDir,
+      keys = Seq("task_id"), versionCol = "batch_id",
+      process = identity, filesPerTrigger = 1)
+    q2.awaitTermination(120000)
+    val state = spark.read.parquet(stateDir)
+    val ids = state.select($"task_id").as[Long].collect().toSet
+    assert(ids == Set(10L, 11L))
+    // task 10 was NOT re-processed: its ack batch_id is from run 1 (0),
+    // task 11's from the resumed numbering (>= 1)
+    val byTask = state.select($"task_id", $"batch_id").as[(Long, Long)]
+      .collect().toMap
+    assert(byTask(10L) == 0L, "resume must not replay already-acked tasks")
+    assert(byTask(11L) >= 1L)
+  }
 }
