@@ -233,6 +233,43 @@ object TextOps extends OpModule {
               |ORDER BY doc_id""".stripMargin),
       doc = "LLM-pipeline: per-shard context-window sequence packing (4096 tokens)",
       sort = Seq("doc_id")
+    ),
+
+    // ── LM-prior quality score (CCNet-style): score each doc by the
+    // mean log10 corpus frequency of its tokens. Two-pass: corpus
+    // unigram table (one fact shuffle, tiny result) broadcast-joined to
+    // exploded tokens, then a per-doc aggregate. log10 addends go
+    // through the dsum decimal path so the fold is order- and
+    // engine-independent. ──
+    "ta_lm_score" -> Q(
+      (s, d) => {
+        val tok = toks(s, d).select(col("doc_id"), explode(col("toks")).as("tok"))
+        val counts = tok.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        val total = counts.agg(sum(col("c")).cast(DoubleType).as("n"))
+        val freqs = counts.crossJoin(broadcast(total))
+          .select(col("tok"), (col("c") / col("n")).as("p"))
+        tok.join(broadcast(freqs), "tok")
+          .groupBy(col("doc_id"))
+          .agg(
+            (Exprs.dsum(log10(col("p"))) / count(lit(1))).as("lm_score"),
+            count(lit(1)).as("n_toks"))
+      },
+      Some(s"""WITH tok AS (
+              |  SELECT doc_id, unnest(toks) AS tok
+              |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
+              |freqs AS (
+              |  SELECT tok, COUNT(*) / (SELECT COUNT(*)::DOUBLE FROM tok) AS p
+              |  FROM tok GROUP BY 1)
+              |SELECT doc_id,
+              |  ${Exprs.dsumSql("log10(p)")} / COUNT(*) AS lm_score,
+              |  COUNT(*) AS n_toks
+              |FROM tok JOIN freqs USING (tok)
+              |GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "LLM-pipeline: corpus-LM-prior quality score (mean log token frequency)",
+      sort = Seq("doc_id")
     )
   )
+
+  private def toks(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"), toksCol.as("toks"))
 }
