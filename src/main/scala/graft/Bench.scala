@@ -38,15 +38,22 @@ object Bench {
         catch { case _: Throwable => () }
       }
     }
+    spark.catalog.clearCache() // drop warmup-pass persists before timing
     var failed = List.empty[String]
     // Two timed runs, min kept: run-to-run variance on a shared box was
     // measured at 2× for the heaviest query; the min is the steady-state
-    // cost of the plan, which is what the recording should track.
+    // cost of the plan, which is what the recording should track. The
+    // cache is cleared between runs so queries that persist an
+    // intermediate (the dedup family) pay their full build cost in BOTH
+    // runs — otherwise run 2 would silently reuse run 1's cache and the
+    // min would exclude the work the query exists to measure.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        dt
       }
       val best =
         try math.min(once(), once())

@@ -25,6 +25,6 @@ object Catalog {
       }
       df.createOrReplaceTempView(t)
     }
-    operators.CustomFnOps.registerParseBrlMoney(spark)
+    // custom functions already registered by Sessions.tune above
   }
 }

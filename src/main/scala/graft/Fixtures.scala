@@ -19,8 +19,13 @@ object Fixtures {
   private def root = sys.props.getOrElse("graft.fixtures.dir", ".fixtures")
 
   private def dirFor(sfDir: String, name: String): String = {
+    val abs = Paths.get(sfDir).toAbsolutePath.normalize.toString
+    // Key on the full absolute path (hashed), not just the basename —
+    // two datasets both named `sf0.1` must not share a cache entry.
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(abs.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
     val base = Paths.get(sfDir).getFileName.toString
-    s"$root/$base/$name"
+    s"$root/$base-$digest/$name"
   }
 
   /** lineitem regrouped as one row per order with ARRAY<STRUCT> items —

@@ -23,10 +23,14 @@ object AsofOps extends OpModule {
     "asof_join_last_purchase" -> Q(
       (s, d) => {
         val e = Tables.events(s, d)
+        // Same-instant purchases collapse to max(value) BEFORE the join:
+        // among equal-ts matches an ASOF picks an arbitrary row, which
+        // neither engine resolves deterministically otherwise.
         val purchases = e.filter(col("event_type") === "purchase")
-          .select(col("user_id"), col("ts"),
-            col("value").as("pv"), lit(1).as("is_p"),
-            lit(null).cast("long").as("event_id"))
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("value")).as("pv"))
+          .select(col("user_id"), col("ts"), col("pv"),
+            lit(1).as("is_p"), lit(null).cast("long").as("event_id"))
         val errors = e.filter(col("event_type") === "error")
           .select(col("user_id"), col("ts"),
             lit(null).cast("double").as("pv"), lit(0).as("is_p"),
@@ -40,9 +44,16 @@ object AsofOps extends OpModule {
           .filter(col("is_p") === 0)
           .select(col("event_id"), col("user_id"), col("last_purchase_value"))
       },
-      Some("""SELECT e.event_id, e.user_id, p.value AS last_purchase_value
-             |FROM (SELECT * FROM events WHERE event_type = 'error') e
-             |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      // `ts::TIMESTAMP` truncates DuckDB's nanosecond timestamps to the
+      // microsecond grain the Spark side loads at — without it a purchase
+      // later than an error WITHIN the same microsecond would match in
+      // Spark but not in the oracle.
+      Some("""SELECT e.event_id, e.user_id, p.pv AS last_purchase_value
+             |FROM (SELECT event_id, user_id, ts::TIMESTAMP AS ts
+             |      FROM events WHERE event_type = 'error') e
+             |ASOF LEFT JOIN (SELECT user_id, ts::TIMESTAMP AS ts, max(value) AS pv
+             |                FROM events WHERE event_type = 'purchase'
+             |                GROUP BY 1, 2) p
              |  ON e.user_id = p.user_id AND p.ts <= e.ts
              |ORDER BY e.event_id""".stripMargin),
       doc = "Extension: as-of join composed from union + last_value window ≡ DuckDB ASOF JOIN",

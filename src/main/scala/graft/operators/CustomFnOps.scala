@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Exprs, OpModule, Q, Tables}
-import graft.functions.{ParseBrlMoney, SaleRow, SalesAgg}
+import graft.functions.{SaleRow, SalesAgg}
 import org.apache.spark.sql.{Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -13,10 +13,11 @@ import org.apache.spark.sql.types._
 object CustomFnOps extends OpModule {
   import Exprs.dsumSql
 
-  /** Temp-register [[ParseBrlMoney]] so SQL/`expr` can call it. */
+  /** Temp-register the custom functions (single source of truth is
+    * [[graft.Functions.all]] — this is just the convenience alias the
+    * specs use on sessions that bypass `Sessions.tune`). */
   def registerParseBrlMoney(s: SparkSession): Unit =
-    s.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "parse_brl_money", exprs => ParseBrlMoney(exprs.head), "scala_udf")
+    graft.Functions.register(s)
 
   def queries: Map[String, Q] = Map(
     // ── Native codegen Expression vs translate+cast (C6). ──

@@ -243,7 +243,10 @@ object TextOps extends OpModule {
     // engine-independent. ──
     "ta_lm_score" -> Q(
       (s, d) => {
+        // persisted: the tokenize+explode subtree feeds both the unigram
+        // build and the join probe (same rationale as the dedup family)
         val tok = toks(s, d).select(col("doc_id"), explode(col("toks")).as("tok"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val counts = tok.groupBy(col("tok")).agg(count(lit(1)).as("c"))
         val total = counts.agg(sum(col("c")).cast(DoubleType).as("n"))
         val freqs = counts.crossJoin(broadcast(total))

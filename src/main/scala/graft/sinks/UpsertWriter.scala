@@ -22,8 +22,12 @@ import java.nio.file.{Files, Paths}
   */
 object UpsertWriter {
 
+  /** A table "exists" only when its last write COMMITTED (_SUCCESS
+    * marker). A directory left by a crashed partial write is treated as
+    * absent and re-initialized rather than merged — the crash-safe
+    * contract QueueWorker's idempotent acks rely on. */
   private def exists(path: String): Boolean =
-    Files.exists(Paths.get(path, "_SUCCESS")) || Files.exists(Paths.get(path))
+    Files.exists(Paths.get(path, "_SUCCESS"))
 
   /** Merge `updates` into the keyed table at `path`.
     *
@@ -60,9 +64,18 @@ object UpsertWriter {
     if (partitionBy.nonEmpty && exists(path)) {
       // Dynamic partition overwrite: replaces exactly the partitions
       // present in `merged`, leaves the rest of the table untouched.
+      // Session conf is restored afterwards — leaking `dynamic` would
+      // silently change the meaning of every later Overwrite write in
+      // this session.
+      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      merged.write.mode(SaveMode.Overwrite)
-        .partitionBy(partitionBy: _*).parquet(path)
+      try
+        merged.write.mode(SaveMode.Overwrite)
+          .partitionBy(partitionBy: _*).parquet(path)
+      finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
     } else if (partitionBy.nonEmpty) {
       merged.write.mode(SaveMode.Overwrite)
         .partitionBy(partitionBy: _*).parquet(path)

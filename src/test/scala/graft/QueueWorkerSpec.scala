@@ -26,10 +26,18 @@ class QueueWorkerSpec extends AnyFunSuite {
     // single flat dir for the file source
     val flat = base.resolve("flat").toString
     new java.io.File(flat).mkdirs()
-    for (f <- Seq("f1", "f2", "f3")) {
+    // explicit, strictly increasing mtimes: FileStreamSource orders new
+    // files by modification time, and copies landing in the same mtime
+    // tick would make the f1→f3 batch order (and the last-write-wins
+    // assertion) flaky
+    val t0 = System.currentTimeMillis() - 60000
+    for ((f, fi) <- Seq("f1", "f2", "f3").zipWithIndex) {
       val src = new java.io.File(s"$queueDir/$f")
       src.listFiles().filter(_.getName.endsWith(".parquet")).zipWithIndex.foreach {
-        case (p, i) => Files.copy(p.toPath, new java.io.File(s"$flat/$f-$i.parquet").toPath)
+        case (p, i) =>
+          val dst = new java.io.File(s"$flat/$f-$i.parquet")
+          Files.copy(p.toPath, dst.toPath)
+          dst.setLastModified(t0 + fi * 2000L)
       }
     }
 
