@@ -82,20 +82,31 @@ object Exprs {
     *
     * Summing raw doubles is non-associative, so a shuffle-order change (or
     * an engine change: Spark vs DuckDB) can flip low bits and break the
-    * driver's hash compare. Casting each addend to DECIMAL(38,6) first makes
-    * the aggregation exact and order-free; no IEEE double is exactly halfway
-    * between two scale-6 decimals (that would need a factor 5^7 denominator),
-    * so the per-row rounding is also engine-independent. The final cast back
-    * to double is IEEE round-to-nearest in both engines.
+    * driver's hash compare. The contract is
+    * `CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE)`: each addend rounds
+    * once to scale 6, the aggregation is exact and order-free, the final
+    * double conversion is correctly rounded in both engines.
+    *
+    * Implementation is [[graft.functions.ExactMoneySum]] — a codegen'd
+    * DeclarativeAggregate over a two-long fixed-point buffer that is
+    * bit-identical to the decimal form (proven exhaustively in
+    * `ExactMoneySumSpec`) without boxing a precision-38 BigDecimal per
+    * row. Domain: |x| ≤ ~9.2·10^12 (beyond that the decimal form is the
+    * right tool; the quantizer fails loudly, like an ANSI cast).
     *
     * DuckDB twin: `CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE)`.
     */
   def dsum(c: Column): Column =
-    sum(c.cast(DecimalType(38, 6))).cast(DoubleType)
+    call_function("dsum_exact", c.cast(DoubleType))
 
   /** Windowed variant of [[dsum]] — exact partition-wide sum. */
   def dsumOver(c: Column, w: org.apache.spark.sql.expressions.WindowSpec): Column =
-    sum(c.cast(DecimalType(38, 6))).over(w).cast(DoubleType)
+    call_function("dsum_exact", c.cast(DoubleType)).over(w)
+
+  /** The original decimal-cast form of [[dsum]] (reference baseline for
+    * the equivalence tests; behaviorally identical). */
+  def dsumDecimal(c: Column): Column =
+    sum(c.cast(DecimalType(38, 6))).cast(DoubleType)
 
   /** SQL fragment twin of [[dsum]] for oracle authoring. */
   def dsumSql(x: String): String =
