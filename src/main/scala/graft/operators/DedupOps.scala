@@ -155,14 +155,20 @@ object DedupOps extends OpModule {
        |SELECT doc_a, doc_b, jaccard FROM scored
        |WHERE jaccard >= $thresh ORDER BY doc_a, doc_b""".stripMargin
 
-  /** Symmetric near-dup edges at minhash settings (used by survivors). */
+  /** Symmetric near-dup edges at minhash settings (used by survivors).
+    * Persisted AND eagerly materialized: the caller references the edge
+    * list once per label-propagation round, and a lazy cache would make
+    * those branches race on per-block compute locks. */
   private def minhashEdges(s: SparkSession, d: String): DataFrame = {
     val sets = shingled(s, d, 3)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sets.count()
     val pairs = jaccardPairs(candidates(bandSigs(sets, 32, 4)), sets, 0.8)
-    pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    edges.count()
+    edges
   }
 
   def queries: Map[String, Q] = Map(
@@ -273,7 +279,6 @@ object DedupOps extends OpModule {
     "dedup_survivors" -> Q(
       (s, d) => {
         val edges = minhashEdges(s, d)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val docs = Tables.documents(s, d).select(col("doc_id"))
         var labels = docs.withColumn("label", col("doc_id"))
         for (_ <- 1 to 3) {
