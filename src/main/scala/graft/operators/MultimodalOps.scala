@@ -74,6 +74,34 @@ object MultimodalOps extends OpModule {
              |ORDER BY doc_id, frame_no""".stripMargin),
       doc = "LLM-pipeline: frame sampling over binary payloads (HOF + explode)",
       sort = Seq("doc_id", "frame_no")
+    ),
+
+    // ── Resize (downsample): keep every 4th byte of the payload — the
+    // stride-sampling shape of an image/audio downsample, done on the
+    // opaque bytes via a higher-order transform (the codec-aware resize
+    // is the decode stub's job; the PLUMBING — stride over binary,
+    // rebuilt compact payload — is what rides the engine). ──
+    "mm_resize" -> Q(
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+          .select(col("doc_id"),
+            length(col("payload")).cast(LongType).as("n_bytes"),
+            expr("""array_join(
+                   |  transform(sequence(0, CAST((length(payload)-1) div 4 AS INT)),
+                   |    i -> upper(hex(substring(payload, i*4+1, 1)))),
+                   |  '')""".stripMargin).as("resized_hex"))
+          .withColumn("resized_bytes", (length(col("resized_hex")) / 2).cast(LongType)),
+      Some("""SELECT doc_id,
+             |  octet_length(encode(text))::BIGINT AS n_bytes,
+             |  array_to_string(
+             |    [ upper(substr(hex(encode(text)), i*8+1, 2))
+             |      FOR i IN range(0, (octet_length(encode(text))-1)//4 + 1) ],
+             |    '') AS resized_hex,
+             |  ((octet_length(encode(text))-1)//4 + 1)::BIGINT AS resized_bytes
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      doc = "LLM-pipeline: stride-4 byte downsample (resize plumbing over opaque payloads)",
+      sort = Seq("doc_id")
     )
   )
 

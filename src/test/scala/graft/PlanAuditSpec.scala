@@ -40,6 +40,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "part dim should broadcast")
   }
 
+  test("dim joins broadcast their small side") {
+    for (name <- Seq("j1_join_map_inner", "j2_join_cost_left", "k3_update_searched")) {
+      assert(plan(name).contains("BroadcastHashJoin"), s"$name should broadcast")
+    }
+  }
+
+  test("s2: date predicate is unwrapped and pushed to the parquet scan") {
+    val p = plan("s2_filter_date")
+    // Catalyst's UnwrapCastInBinaryComparison turns the DATE-cast filter
+    // into raw timestamp bounds the reader can push.
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate")
+      || p.contains("(o_orderdate#"), s"filter not pushed:\n${p.take(600)}")
+  }
+
   test("dedup candidates come from bucket equi-joins, not nested loops") {
     for (name <- Seq("dedup_minhash", "dedup_ngram_jaccard")) {
       val p = plan(name)
