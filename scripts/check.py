@@ -52,6 +52,19 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: {len(bad)}/{len(g)} rows differ; "
                   f"first at {i}:\n  spark={a}\n  duck ={b}")
             n_fail += 1
+            continue
+        # The driver's hash gate is stricter than python-value equality:
+        # round-2 showed it fails whenever a decimal128 column appears on
+        # EITHER side (per-engine decimal canonicalization). Flag that
+        # here so value-identical-but-type-red rows fail locally too.
+        import pyarrow.types as pt
+        decs = [f"{side}:{f.name}:{f.type}"
+                for side, tbl in (("spark", got), ("duck", exp))
+                for f in tbl.schema
+                if pt.is_decimal(f.type)]
+        if decs:
+            print(f"FAIL {name}: decimal128 in output (driver hash-red): {decs}")
+            n_fail += 1
         else:
             print(f"PASS {name} ({got.num_rows} rows)")
             n_pass += 1

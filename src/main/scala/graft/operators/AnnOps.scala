@@ -22,7 +22,9 @@ import org.apache.spark.sql.types._
   *
   * Dot products run in DOUBLE with a left-to-right fold ([[dot]]) and the
   * DuckDB twin replays the identical fold, so scores match bit-for-bit;
-  * emitted similarity is DECIMAL(18,6) as a further guard.
+  * emitted similarity is a 1e-6-quantized DOUBLE (rounded through a LONG
+  * intermediate identically in both engines — never DECIMAL, which the
+  * driver's cross-engine hash canonicalizes per-engine).
   */
 object AnnOps extends OpModule {
 
@@ -77,8 +79,14 @@ object AnnOps extends OpModule {
       .filter(col("rl") <= k)
       .withColumn("rank", row_number().over(wGlobal))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        col("cos").cast(DecimalType(18, 6)).as("cos_sim"))
+      // Quantize to 1e-6 through an integer intermediate (the pattern the
+      // passing ann_ivf_centroids uses): both engines round the identical
+      // double and emit DOUBLE — no decimal128 in the output, which the
+      // driver's cross-engine hash canonicalizes inconsistently.
+      .select(col("query_id"), col("rank").cast(LongType).as("rank"),
+        col("neighbor_id"),
+        (round(col("cos") * 1e6).cast(LongType).cast(DoubleType) / 1e6)
+          .as("cos_sim"))
   }
 
   private def topkSql(k: Int, sameCell: Boolean): String = {
@@ -90,7 +98,7 @@ object AnnOps extends OpModule {
        |  FROM e q JOIN e c
        |    ON q.vec_id < 8 AND c.vec_id <> q.vec_id $cellPred)
        |SELECT query_id, rank, neighbor_id,
-       |       CAST(cos AS DECIMAL(18,6)) AS cos_sim
+       |       CAST(round(cos * 1e6) AS BIGINT) / 1e6 AS cos_sim
        |FROM (
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
        |    ORDER BY cos DESC, neighbor_id) AS rank

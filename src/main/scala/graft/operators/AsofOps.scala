@@ -82,9 +82,11 @@ object AsofOps extends OpModule {
             sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
           .select(col("event_id"), col("user_id"), col("session_seq"))
       },
+      // CAST(... AS BIGINT): DuckDB's windowed SUM widens to HUGEINT →
+      // decimal128, which the driver's cross-engine hash can't canonicalize.
       Some("""SELECT event_id, user_id,
-             |  SUM(new_session) OVER (PARTITION BY user_id
-             |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_seq
+             |  CAST(SUM(new_session) OVER (PARTITION BY user_id
+             |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
              |FROM (
              |  SELECT event_id, user_id, ts,
              |    CASE WHEN prev_us IS NULL

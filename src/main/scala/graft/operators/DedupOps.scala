@@ -230,8 +230,11 @@ object DedupOps extends OpModule {
           .groupBy(col("doc_id"))
           .agg(sum(when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), k)"))
             .otherwise(lit(0L))).as("simhash")),
+      // CAST(... AS BIGINT): DuckDB widens sum(BIGINT) to HUGEINT →
+      // decimal128, which the driver's cross-engine hash can't canonicalize.
       Some(s"""SELECT doc_id,
-              |  sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << k) ELSE 0 END) AS simhash
+              |  CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << k) ELSE 0 END)
+              |       AS BIGINT) AS simhash
               |FROM (
               |  SELECT doc_id, k,
               |    sum(CASE WHEN (th >> k) & 1 = 1 THEN 1 ELSE -1 END) AS s
@@ -329,8 +332,9 @@ object DedupOps extends OpModule {
     // ── Embedding-cosine near-dup inside IVF cells: the fixture `label`
     // is the coarse-quantizer cell; pairs are generated only within a
     // cell (equi-join on label), cosine ≥ 0.4 marks near-dups. Similarity
-    // is emitted as DECIMAL(18,6) so the last-ulp of float summation can
-    // never flip the compare. ──
+    // is a 1e-6-quantized DOUBLE (rounded through a LONG intermediate,
+    // identically in both engines) so the last-ulp of float summation can
+    // never flip the compare and no decimal128 reaches the driver's hash. ──
     "dedup_embedding_cosine" -> Q(
       (s, d) => {
         val e = AnnOps.withNorm(Tables.embeddings(s, d))
@@ -338,19 +342,20 @@ object DedupOps extends OpModule {
           col("v").as("va"), col("norm").as("na"))
         val b = e.select(col("vec_id").as("vec_b"), col("label").as("lb"),
           col("v").as("vb"), col("norm").as("nb"))
+        val raw = AnnOps.dot(col("va"), col("vb")) / (col("na") * col("nb"))
         a.join(b, col("label") === col("lb") && col("vec_a") < col("vec_b"))
           .select(col("vec_a"), col("vec_b"), col("label"),
-            (AnnOps.dot(col("va"), col("vb")) / (col("na") * col("nb")))
-              .cast(DecimalType(18, 6)).as("cos_sim"))
+            (round(raw * 1e6).cast(LongType).cast(DoubleType) / 1e6)
+              .as("cos_sim"))
           .filter(col("cos_sim") >= 0.4)
       },
       Some(s"""WITH e AS (${AnnOps.withNormSql})
-              |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
-              |  CAST(${AnnOps.dotSql("a.v", "b.v")} / (a.norm * b.norm)
-              |       AS DECIMAL(18,6)) AS cos_sim
-              |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-              |WHERE CAST(${AnnOps.dotSql("a.v", "b.v")} / (a.norm * b.norm)
-              |           AS DECIMAL(18,6)) >= 0.4
+              |SELECT * FROM (
+              |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+              |    CAST(round(${AnnOps.dotSql("a.v", "b.v")} / (a.norm * b.norm)
+              |               * 1e6) AS BIGINT) / 1e6 AS cos_sim
+              |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+              |WHERE cos_sim >= 0.4
               |ORDER BY vec_a, vec_b""".stripMargin),
       doc = "LLM-pipeline: embedding cosine near-dup within IVF (label) cells",
       sort = Seq("vec_a", "vec_b")

@@ -221,13 +221,16 @@ object TextOps extends OpModule {
             expr("(cum_toks - n_toks) div 4096").as("bin"),
             ((col("cum_toks") - lit(1)) % 4096).as("end_offset"))
       },
+      // CAST(... AS BIGINT) on the windowed SUM: DuckDB widens it to
+      // HUGEINT → decimal128, and `//` / `%` would stay decimal — which
+      // the driver's cross-engine hash can't canonicalize.
       Some(s"""SELECT doc_id, source, n_toks,
               |  (cum_toks - n_toks) // 4096 AS bin,
               |  (cum_toks - 1) % 4096 AS end_offset
               |FROM (
               |  SELECT doc_id, source, n_toks,
-              |    SUM(n_toks) OVER (PARTITION BY source ORDER BY doc_id
-              |      ROWS UNBOUNDED PRECEDING) AS cum_toks
+              |    CAST(SUM(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+              |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_toks
               |  FROM (SELECT doc_id, source,
               |          len($toksSql)::BIGINT AS n_toks FROM documents))
               |ORDER BY doc_id""".stripMargin),
@@ -237,9 +240,13 @@ object TextOps extends OpModule {
 
     // ── LM-prior quality score (CCNet-style): score each doc by the
     // mean log10 corpus frequency of its tokens. Two-pass: corpus
-    // unigram table (one fact shuffle, tiny result) broadcast-joined to
-    // exploded tokens, then a per-doc aggregate. log10 addends go
-    // through the dsum decimal path so the fold is order- and
+    // unigram table (one fact shuffle) SHUFFLE-joined to the exploded
+    // tokens, then a per-doc aggregate. The unigram table is NOT
+    // broadcast: a web-scale corpus's vocabulary is unbounded (billions
+    // of distinct tokens), so the probe must be a shuffle join — the
+    // token relation is already shuffling into the per-doc aggregate
+    // anyway. Only the 1-row corpus total rides a broadcast. log10
+    // addends go through the dsum decimal path so the fold is order- and
     // engine-independent. ──
     "ta_lm_score" -> Q(
       (s, d) => {
@@ -251,7 +258,7 @@ object TextOps extends OpModule {
         val total = counts.agg(sum(col("c")).cast(DoubleType).as("n"))
         val freqs = counts.crossJoin(broadcast(total))
           .select(col("tok"), (col("c") / col("n")).as("p"))
-        tok.join(broadcast(freqs), "tok")
+        tok.hint("shuffle_hash").join(freqs.hint("shuffle_hash"), "tok")
           .groupBy(col("doc_id"))
           .agg(
             (Exprs.dsum(log10(col("p"))) / count(lit(1))).as("lm_score"),

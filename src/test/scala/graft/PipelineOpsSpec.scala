@@ -31,11 +31,11 @@ class PipelineOpsSpec extends AnyFunSuite {
     val out = SparkEntry.queries("ann_topk_bruteforce")(spark, sf).collect()
     val byQuery = out.groupBy(_.getAs[Long]("query_id"))
     byQuery.foreach { case (q, rows) =>
-      val ranks = rows.map(_.getAs[Int]("rank")).sorted
-      assert(ranks.sameElements(1 to rows.length))
+      val ranks = rows.map(_.getAs[Long]("rank")).sorted
+      assert(ranks.sameElements((1 to rows.length).map(_.toLong)))
       assert(rows.forall(_.getAs[Long]("neighbor_id") != q))
       assert(rows.forall { r =>
-        val c = r.getAs[java.math.BigDecimal]("cos_sim").doubleValue
+        val c = r.getAs[Double]("cos_sim")
         c >= -1.0001 && c <= 1.0001
       })
     }

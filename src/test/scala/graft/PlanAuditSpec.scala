@@ -60,4 +60,14 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$name nested-loops")
     }
   }
+
+  test("ta_lm_score never broadcasts the unigram table") {
+    // A web-scale corpus's vocabulary is unbounded, so the freqs→tokens
+    // probe must be a shuffle join. The only broadcast allowed in this
+    // plan is the 1-row corpus total riding the crossJoin.
+    val p = plan("ta_lm_score")
+    assert(!p.contains("BroadcastHashJoin"),
+      s"unigram table must shuffle-join, not broadcast:\n${p.take(800)}")
+    assert(p.contains("ShuffledHashJoin"), "expected a shuffle hash join")
+  }
 }
