@@ -28,13 +28,22 @@ object Tables {
     * threads, 17 s inside a broadcast build). The explicit partition
     * count matters: these rows are tiny in BYTES but enormous in CPU per
     * byte (md5 per shingle), and AQE coalesces a no-arg `repartition()`
-    * back to 1 partition on byte-size grounds. At real scale file splits
-    * provide the parallelism and this narrow reshuffle of a few thousand
-    * skinny rows is noise. */
+    * back to 1 partition on byte-size grounds.
+    *
+    * The spread is CONDITIONAL on the scan actually being split-starved:
+    * at real scale file splits already provide the parallelism, and an
+    * unconditional `repartition()` would glue a full shuffle of the
+    * corpus into every load. Only when the scan yields fewer splits than
+    * the cluster has cores is the narrow reshuffle of a few thousand
+    * skinny rows worth it (and then it's noise). */
+  private def spreadIfStarved(s: SparkSession, df: DataFrame): DataFrame = {
+    val par = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
   def documents(s: SparkSession, d: String): DataFrame =
-    load(s, d, "documents").repartition(s.sparkContext.defaultParallelism)
+    spreadIfStarved(s, load(s, d, "documents"))
   def embeddings(s: SparkSession, d: String): DataFrame =
-    load(s, d, "embeddings").repartition(s.sparkContext.defaultParallelism)
+    spreadIfStarved(s, load(s, d, "embeddings"))
 
   /** events.parquet stores TIMESTAMP(NANOS). With
     * `spark.sql.legacy.parquet.nanosAsLong=true` Spark surfaces it as a

@@ -61,6 +61,31 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("loader spread is conditional: well-split scans don't reshuffle") {
+    // A corpus that already yields >= cores splits must NOT pay a full
+    // shuffle on load; the single-file fixture must still spread.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-splits").toString
+    val par = spark.sparkContext.defaultParallelism
+    Tables.load(spark, sf, "documents").repartition(par)
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val oldMax = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    val oldCost = spark.conf.get("spark.sql.files.openCostInBytes")
+    try {
+      // shrink split size so each written file is its own split
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "4096")
+      spark.conf.set("spark.sql.files.openCostInBytes", "4096")
+      val df = Tables.documents(spark, tmp)
+      assert(df.rdd.getNumPartitions >= par, "premise: scan is well-split")
+      assert(!df.queryExecution.executedPlan.toString.contains("Exchange"),
+        "well-split scan must load shuffle-free")
+    } finally {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", oldMax)
+      spark.conf.set("spark.sql.files.openCostInBytes", oldCost)
+    }
+    val p = Tables.documents(spark, sf).queryExecution.executedPlan.toString
+    assert(p.contains("Exchange"), "split-starved fixture scan must spread")
+  }
+
   test("ta_lm_score never broadcasts the unigram table") {
     // A web-scale corpus's vocabulary is unbounded, so the freqs→tokens
     // probe must be a shuffle join. The only broadcast allowed in this
