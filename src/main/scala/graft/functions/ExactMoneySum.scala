@@ -52,6 +52,11 @@ case class ExactMoneySum(child: Expression) extends DeclarativeAggregate {
   override lazy val initialValues: Seq[Expression] =
     Seq(Literal(0L), Literal(0L), Literal(true))
 
+  // ANSI mode pinned explicitly: the documented fail-loud-on-overflow
+  // contract must hold regardless of the session's ansi.enabled setting.
+  private def ansiAdd(a: Expression, b: Expression): Expression =
+    Add(a, b, EvalMode.ANSI)
+
   override lazy val updateExpressions: Seq[Expression] = {
     val q = QuantizeMicros(child)
     val M = Literal(1000000L)
@@ -59,14 +64,14 @@ case class ExactMoneySum(child: Expression) extends DeclarativeAggregate {
     val qHi = IntegralDivide(q, M)
     val qLo = Subtract(q, Multiply(Cast(qHi, LongType), M))
     Seq(
-      If(IsNull(child), sumHi, Add(sumHi, Cast(qHi, LongType))),
-      If(IsNull(child), sumLo, Add(sumLo, qLo)),
+      If(IsNull(child), sumHi, ansiAdd(sumHi, Cast(qHi, LongType))),
+      If(IsNull(child), sumLo, ansiAdd(sumLo, qLo)),
       And(isEmpty, IsNull(child)))
   }
 
   override lazy val mergeExpressions: Seq[Expression] = Seq(
-    Add(sumHi.left, sumHi.right),
-    Add(sumLo.left, sumLo.right),
+    ansiAdd(sumHi.left, sumHi.right),
+    ansiAdd(sumLo.left, sumLo.right),
     And(isEmpty.left, isEmpty.right))
 
   override lazy val evaluateExpression: Expression =

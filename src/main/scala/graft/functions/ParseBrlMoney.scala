@@ -13,9 +13,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * reference never sees malformed input — PHP would coerce a prefix, we
   * prefer an explicit null over silent truncation).
   *
+  * Accepted grammar is STRICTLY decimal: optional sign, digits, one
+  * decimal point, optional exponent. Java-only numeric forms — hex
+  * floats ("0x1.8p3"), trailing type suffixes ("12,34d"), "NaN" /
+  * "Infinity" — parse as NULL. Spark's own string→double cast accepts
+  * those (it delegates to Java parsing); a money column must not, and
+  * DuckDB's TRY_CAST agrees with the strict grammar, keeping the oracle
+  * twins engine-exact on malformed input.
+  *
   * Both the interpreted `nullSafeEval` and the generated Java are exercised
   * against the built-in `translate + cast` pipeline in
-  * `ParseBrlMoneySpec` — equivalence is the correctness argument.
+  * `ParseBrlMoneySpec` — equivalence on the decimal grammar is the
+  * correctness argument; the Java-only forms are pinned as intentional
+  * divergence.
   */
 case class ParseBrlMoney(child: Expression) extends UnaryExpression {
   override def dataType: DataType = DoubleType
@@ -52,10 +62,17 @@ case class ParseBrlMoney(child: Expression) extends UnaryExpression {
 }
 
 object ParseBrlMoney {
+  /** Plain decimal literal, optionally signed/exponented. Pre-validation
+    * before Double.valueOf, which alone would also accept Java-only forms
+    * the translate+cast contract rejects as NULL: hex floats ("0x1.8p3"),
+    * trailing type suffixes ("12,34d"), and "NaN"/"Infinity" literals. */
+  private val Decimal =
+    java.util.regex.Pattern.compile("""[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?""")
+
   /** Shared by interpreted eval and generated code (null = unparseable). */
   def parse(s: UTF8String): java.lang.Double = {
     val normalized = s.toString.replace(',', '.').trim
-    try java.lang.Double.valueOf(normalized)
-    catch { case _: NumberFormatException => null }
+    if (!Decimal.matcher(normalized).matches()) null
+    else java.lang.Double.valueOf(normalized)
   }
 }

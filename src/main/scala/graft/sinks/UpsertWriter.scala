@@ -12,13 +12,21 @@ import java.nio.file.{Files, Paths}
   *    partitioned, only partitions touched by the updates are rewritten
   *    (dynamic partition overwrite — the 100 TB behavior: a daily restate
   *    rewrites days, not the table). Unpartitioned tables are rewritten
-  *    via a staging directory + atomic-ish swap, since parquet can't be
+  *    via a staging directory + rename-aside swap, since parquet can't be
   *    read and overwritten in one job.
   *  - K5 `TRUNCATE TABLE` → [[truncate]]: overwrite with empty.
   *
   * On a lakehouse this is `MERGE INTO` (Delta/Iceberg); plain parquet is
   * the driver-fixture contract here and the merge semantics are the same:
-  * last-write-wins per key, ties broken to the update side.
+  * last-write-wins per key, ties broken to the update side, and within
+  * one update batch to the later row (the reference's row-by-row
+  * `ON DUPLICATE KEY UPDATE` applies arrivals in order, so last wins).
+  *
+  * Crash safety: the committed table is never deleted before its
+  * replacement is in place. The swap renames live aside (`.__old`),
+  * promotes staging, then drops `.__old`; [[recover]] repairs either
+  * half-done state on the next call, so a crash at any point leaves the
+  * previously committed table readable.
   */
 object UpsertWriter {
 
@@ -28,6 +36,40 @@ object UpsertWriter {
     * contract QueueWorker's idempotent acks rely on. */
   private def exists(path: String): Boolean =
     Files.exists(Paths.get(path, "_SUCCESS"))
+
+  private def deleteTree(path: String): Unit = {
+    val p = Paths.get(path)
+    if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+  }
+
+  /** Repair a swap that crashed mid-way. A dangling `.__old` WITHOUT a
+    * live directory means the crash hit between rename-aside and promote:
+    * move the committed state back (the in-flight batch is lost, the
+    * caller retries). With a live directory present only the final
+    * cleanup was missed: drop the leftover. Dangling staging is always
+    * discarded — it never held committed state. */
+  private def recover(path: String): Unit = {
+    val old = Paths.get(path + ".__old")
+    if (Files.exists(old)) {
+      if (Files.exists(Paths.get(path))) deleteTree(path + ".__old")
+      else Files.move(old, Paths.get(path))
+    }
+    deleteTree(path + ".__staging")
+  }
+
+  /** Write the new table image into staging, then swap it live without a
+    * window where committed data is deleted but not yet replaced. */
+  private def swapIn(path: String)(writeStaging: String => Unit): Unit = {
+    val staging = path + ".__staging"
+    writeStaging(staging)
+    val target = Paths.get(path)
+    if (Files.exists(target)) Files.move(target, Paths.get(path + ".__old"))
+    Files.move(Paths.get(staging), target)
+    deleteTree(path + ".__old")
+  }
 
   /** Merge `updates` into the keyed table at `path`.
     *
@@ -45,8 +87,19 @@ object UpsertWriter {
       versionCol: String,
       partitionBy: Seq[String] = Nil): Unit = {
 
+    recover(path)
+
+    // __seq: within-batch arrival order (partition-major), the tertiary
+    // tie-break. Two same-key same-version rows in one batch — e.g. one
+    // QueueWorker micro-batch sharing a batch_id — resolve to the LATER
+    // row, matching the reference's row-by-row ON DUPLICATE KEY UPDATE.
+    // Existing rows rank below any update (__seq = -1).
+    val seqd = updates
+      .withColumn("__upd", lit(1))
+      .withColumn("__seq", monotonically_increasing_id())
+
     val merged: DataFrame = if (!exists(path)) {
-      dedup(updates.withColumn("__upd", lit(1)), keys, versionCol)
+      dedup(seqd, keys, versionCol)
     } else {
       val existing = spark.read.parquet(path)
       val scoped =
@@ -56,8 +109,8 @@ object UpsertWriter {
             broadcast(updates.select(partitionBy.map(col): _*).distinct()),
             partitionBy, "left_semi")
       dedup(
-        scoped.withColumn("__upd", lit(0))
-          .unionByName(updates.withColumn("__upd", lit(1))),
+        scoped.withColumn("__upd", lit(0)).withColumn("__seq", lit(-1L))
+          .unionByName(seqd),
         keys, versionCol)
     }
 
@@ -80,36 +133,27 @@ object UpsertWriter {
       merged.write.mode(SaveMode.Overwrite)
         .partitionBy(partitionBy: _*).parquet(path)
     } else {
-      // Unpartitioned: stage the merged state, then swap directories.
-      val staging = path + ".__staging"
-      merged.write.mode(SaveMode.Overwrite).parquet(staging)
-      val target = Paths.get(path)
-      if (Files.exists(target)) {
-        import scala.jdk.CollectionConverters._
-        Files.walk(target).iterator().asScala.toSeq.reverse
-          .foreach(Files.delete)
+      swapIn(path) { staging =>
+        merged.write.mode(SaveMode.Overwrite).parquet(staging)
       }
-      Files.move(Paths.get(staging), target)
     }
   }
 
   private def dedup(unioned: DataFrame, keys: Seq[String], versionCol: String): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(versionCol).desc, col("__upd").desc)
+      .orderBy(col(versionCol).desc, col("__upd").desc, col("__seq").desc)
     unioned
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
-      .drop("__rn", "__upd")
+      .drop("__rn", "__upd", "__seq")
   }
 
   /** K5: truncate = overwrite the table with an empty slice of itself. */
   def truncate(spark: SparkSession, path: String): Unit = {
+    recover(path)
     val empty = spark.read.parquet(path).limit(0)
-    val staging = path + ".__staging"
-    empty.write.mode(SaveMode.Overwrite).parquet(staging)
-    val target = Paths.get(path)
-    import scala.jdk.CollectionConverters._
-    Files.walk(target).iterator().asScala.toSeq.reverse.foreach(Files.delete)
-    Files.move(Paths.get(staging), target)
+    swapIn(path) { staging =>
+      empty.write.mode(SaveMode.Overwrite).parquet(staging)
+    }
   }
 }

@@ -39,6 +39,22 @@ class ParseBrlMoneySpec extends AnyFunSuite {
     assert(run(in, codegen = false) == expected)
   }
 
+  test("Java-only numeric forms parse as NULL (intentional cast divergence)") {
+    // Spark's string→double cast accepts all of these (Java parsing);
+    // a money parser must not, and DuckDB's TRY_CAST agrees with us.
+    val javaOnly = Seq("0x1.8p3", "12,34d", "12,34f", "NaN", "Infinity", "-Infinity")
+    assert(run(javaOnly, codegen = true) == Seq.fill(6)(None))
+    assert(run(javaOnly, codegen = false) == Seq.fill(6)(None))
+    assert(builtin(javaOnly).forall(_.isDefined),
+      "premise: the built-in cast really does accept Java-only forms")
+    // still inside the decimal grammar (and the built-in cast agrees):
+    val decimal = Seq("1e3", ",5", "5,")
+    val expected = Seq(Some(1000.0), Some(0.5), Some(5.0))
+    assert(run(decimal, codegen = true) == expected)
+    assert(run(decimal, codegen = false) == expected)
+    assert(builtin(decimal) == expected)
+  }
+
   test("property: matches translate+cast on well-formed money strings") {
     val money: Gen[String] = for {
       int   <- Gen.chooseNum(0L, 99999999L)

@@ -47,6 +47,52 @@ class UpsertWriterSpec extends AnyFunSuite {
     assert(state == Map(1L -> "x", 2L -> "y2"))
   }
 
+  test("K1: same-key same-version rows in one batch resolve to the later row") {
+    val path = tmp()
+    // one batch, shared version (a QueueWorker micro-batch's batch_id):
+    // the reference applies arrivals in order, so the later row wins.
+    UpsertWriter.upsert(spark, path,
+      Seq((1L, "first", 7L), (1L, "second", 7L), (1L, "third", 7L))
+        .toDF("id", "v", "ver").coalesce(1),
+      keys = Seq("id"), versionCol = "ver")
+    val state = spark.read.parquet(path)
+      .select($"id", $"v").as[(Long, String)].collect().toMap
+    assert(state == Map(1L -> "third"))
+  }
+
+  test("K1: committed state survives a crash between rename-aside and promote") {
+    val path = tmp()
+    UpsertWriter.upsert(spark, path,
+      Seq((1L, "committed", 1L)).toDF("id", "v", "ver"),
+      keys = Seq("id"), versionCol = "ver")
+    // simulate the crash window: live renamed aside, staging never promoted
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(path), java.nio.file.Paths.get(path + ".__old"))
+    // next call recovers the committed table and merges on top of it
+    UpsertWriter.upsert(spark, path,
+      Seq((2L, "after", 2L)).toDF("id", "v", "ver"),
+      keys = Seq("id"), versionCol = "ver")
+    val state = spark.read.parquet(path)
+      .select($"id", $"v").as[(Long, String)].collect().toMap
+    assert(state == Map(1L -> "committed", 2L -> "after"),
+      "pre-crash committed keys were lost")
+  }
+
+  test("K7: alert side output round-trips; a rerun updates, not duplicates") {
+    val path = tmp()
+    val unmapped = SparkEntry.queries("j6_join_anti_alerts")(spark, TestSpark.sf0001)
+    val n = unmapped.count()
+    assert(n > 0, "fixture must yield unmapped parts")
+    graft.sinks.AlertSink.emit(spark, path, unmapped, runVersion = 1L)
+    graft.sinks.AlertSink.emit(spark, path, unmapped, runVersion = 2L)
+    val alerts = spark.read.parquet(path)
+    assert(alerts.count() == n, "rerun must update alerts in place, not append")
+    assert(alerts.filter($"run_version" === 2L).count() == n)
+    assert(alerts.filter($"status" === "OPEN").count() == n)
+    val msg = alerts.orderBy($"alert_key").select($"message").as[String].first()
+    assert(msg.contains("has no qualifying lineitem mapping"))
+  }
+
   test("K5: truncate leaves an empty table with the same schema") {
     val path = tmp()
     UpsertWriter.upsert(spark, path,
