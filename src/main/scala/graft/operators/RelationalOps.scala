@@ -57,16 +57,18 @@ object RelationalOps extends OpModule {
           .part(s, d)
           .filter(
             ($("p_size") > 25 && !$("p_name").startsWith("a") &&
-              $("p_name").isNotNull && $("p_type") === "STANDARD") ||
+              $("p_name").isNotNull && $("p_name") =!= "" &&
+              $("p_type") === "STANDARD") ||
               $("p_brand") === "Brand#13")
           .select($("p_partkey"), $("p_name"), $("p_brand"), $("p_type"), $("p_size")),
       Some("""SELECT p_partkey, p_name, p_brand, p_type, p_size
              |FROM part
              |WHERE (p_size > 25 AND p_name NOT LIKE 'a%'
-             |       AND p_name IS NOT NULL AND p_type = 'STANDARD')
+             |       AND p_name IS NOT NULL AND p_name != ''
+             |       AND p_type = 'STANDARD')
              |   OR p_brand = 'Brand#13'
              |ORDER BY p_partkey""".stripMargin),
-      doc = "SURVEY F4/F5/F6 — precedence quirk kept verbatim",
+      doc = "SURVEY F4/F5/F6 — precedence quirk + non-empty guard kept verbatim",
       sort = Seq("p_partkey")
     ),
 

@@ -27,6 +27,24 @@ class SemanticsSpec extends AnyFunSuite {
     assert(kept == Set("SKU1", "EMB3"))
   }
 
+  test("F4: `sku IS NOT NULL AND sku != ''` drops empty strings AND nulls") {
+    // The literal guard pair of tarefa_consolidar_mapa.php:22 /
+    // tarefa_popular_fila_estoque.php:10 — empty string and NULL are
+    // distinct values in MySQL and both must be excluded; `!= ''` alone
+    // would leave NULL rows in 3-valued-logic limbo (filtered, but only
+    // because UNKNOWN is not TRUE — the explicit IS NOT NULL is the
+    // reference's belt and braces, kept verbatim).
+    val df = Seq(
+      (1L, Some("SKU-A")), // kept
+      (2L, Some("")),      // empty string: dropped by != ''
+      (3L, None),          // NULL: dropped by IS NOT NULL
+      (4L, Some(" "))      // whitespace is NOT empty in MySQL's !=: kept
+    ).toDF("id", "sku_produto")
+    val kept = df.filter($"sku_produto".isNotNull && $"sku_produto" =!= "")
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L))
+  }
+
   test("C5: UTC timestamps land on the São Paulo calendar day (-03:00)") {
     val df = Seq(
       "2024-05-10 02:59:00", // 23:59 previous day in São Paulo
