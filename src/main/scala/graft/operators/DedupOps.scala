@@ -171,6 +171,52 @@ object DedupOps extends OpModule {
     edges
   }
 
+  /** Production variant of the survivor query: min-label propagation to
+    * FIXPOINT, not a fixed round count. The registered `dedup_survivors`
+    * keeps 3 fixed rounds so its DuckDB twin can replay the exact state;
+    * this is what a real run uses — clusters whose diameter exceeds the
+    * fixed count under-converge there, and a production corpus gives no
+    * diameter bound.
+    *
+    * Per-round costs stay the scalable CC shape (join + groupBy on
+    * skinny (doc,label) rows). Two loop-specific cares: lineage is
+    * truncated every round with an eager `localCheckpoint` (an iterative
+    * plan otherwise re-derives all prior rounds each action and the
+    * optimizer walk grows superlinearly), and the convergence probe is a
+    * `limit(1)` existence check on changed labels, not a full count.
+    *
+    * @param docs  (doc_id) universe
+    * @param edges symmetric (src,dst) near-dup edge list
+    * @param maxRounds safety bound; CC converges in O(diameter) rounds
+    * @return (doc_id, cluster_id, is_survivor, rounds) — `rounds` is the
+    *         number of propagation rounds actually run (constant column)
+    */
+  def survivorsToFixpoint(
+      docs: DataFrame, edges: DataFrame, maxRounds: Int = 50): DataFrame = {
+    var labels = docs.select(col("doc_id")).withColumn("label", col("doc_id"))
+      .localCheckpoint(eager = true)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      round += 1
+      val fromNeighbors = edges
+        .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
+        .select(col("src").as("doc_id"), col("label"))
+      val next = labels.unionByName(fromNeighbors)
+        .groupBy(col("doc_id"))
+        .agg(min(col("label")).as("label"))
+        .localCheckpoint(eager = true)
+      converged = next.as("n")
+        .join(labels.as("o"), "doc_id")
+        .filter(col("n.label") =!= col("o.label"))
+        .limit(1).count() == 0
+      labels = next
+    }
+    labels.select(col("doc_id"), col("label").as("cluster_id"),
+      (col("doc_id") === col("label")).as("is_survivor"),
+      lit(round).as("rounds"))
+  }
+
   def queries: Map[String, Q] = Map(
     // ── Exact dedup: content-hash groupBy, keep lowest doc_id. One
     // shuffle keyed by the hash; survivor choice is deterministic. ──

@@ -41,6 +41,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("survivor CC fixpoint converges past the fixed-3-round horizon") {
+    // Planted diameter-4 chain 1—2—3—4—5: min-label propagation needs 4
+    // rounds to reach node 5, one more than the replayable fixed-round
+    // query runs — exactly the case the production variant exists for.
+    val docs = (1L to 6L).toDF("doc_id") // 6 is an isolated singleton
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val edges = (chain ++ chain.map(_.swap)).toDF("src", "dst")
+    val out = DedupOps.survivorsToFixpoint(docs, edges).collect()
+    val byDoc = out.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(byDoc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L, 6L -> 6L))
+    assert(out.count(_.getAs[Boolean]("is_survivor")) == 2) // doc 1 and doc 6
+    val rounds = out.head.getAs[Int]("rounds")
+    // 4 rounds to converge + 1 to observe no change
+    assert(rounds == 5, s"expected 5 rounds, got $rounds")
+  }
+
   test("multimodal decode stub: batch decode matches the SQL-side metadata") {
     val docs = Tables.documents(spark, sf)
     val decoded = MultimodalOps.decodeFeatures(docs).collect()
