@@ -29,11 +29,17 @@ object Functions {
 }
 
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     Functions.all.foreach { case (name, builder) =>
       e.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft", name),
         builder))
     }
+    // the whole-operator extension (SURVEY §2.10 level c): logical
+    // SimilarityJoinPlan → SimilarityJoinExec, plus the threshold-
+    // pushdown optimizer rule
+    e.injectPlannerStrategy(_ => plans.SimilarityJoinStrategy)
+    e.injectOptimizerRule(_ => plans.SimilarityThresholdPushdown)
+  }
 }

@@ -78,9 +78,11 @@ object Sessions {
     // skips empty arrays; the inferred filter is pure overhead here.
     spark.conf.set("spark.sql.optimizer.excludedRules",
       "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
-    // Custom Catalyst functions (parse_brl_money, dot_product). Deployed
+    // Custom Catalyst functions (parse_brl_money, dot_product) and the
+    // similarity-join operator (strategy + optimizer rule). Deployed
     // clusters inject these via graft.GraftExtensions instead.
     Functions.register(spark)
+    plans.SimilarityJoin.install(spark)
     spark
   }
 }

@@ -217,6 +217,14 @@ object DedupOps extends OpModule {
       lit(round).as("rounds"))
   }
 
+  /** Shared oracle twin for the composed minhash query and its custom-
+    * operator equivalent. */
+  private val minhashOracleSql: String =
+    s"""WITH sh AS (${shingledSql(3)}),
+       |${bandSigsSql(32, 4)},
+       |$candidatesSql,
+       |${jaccardPairsSql(0.8)}""".stripMargin
+
   def queries: Map[String, Q] = Map(
     // ── Exact dedup: content-hash groupBy, keep lowest doc_id. One
     // shuffle keyed by the hash; survivor choice is deterministic. ──
@@ -253,11 +261,22 @@ object DedupOps extends OpModule {
         sets.count()
         jaccardPairs(candidates(bandSigs(sets, 32, 4)), sets, 0.8)
       },
-      Some(s"""WITH sh AS (${shingledSql(3)}),
-              |${bandSigsSql(32, 4)},
-              |$candidatesSql,
-              |${jaccardPairsSql(0.8)}""".stripMargin),
+      Some(minhashOracleSql),
       doc = "LLM-pipeline: MinHash+LSH banded near-dup (shingle→minhash→band→bucket-join)",
+      sort = Seq("doc_a", "doc_b")
+    ),
+
+    // ── The same near-dup join as ONE custom Catalyst operator (SURVEY
+    // §2.10 level c): SimilarityJoinPlan → SimilarityJoinExec via the
+    // injected strategy. Same hash family, same oracle twin — the
+    // composed plan, the custom operator, and DuckDB all replay
+    // identical signatures. ──
+    "dedup_minhash_native" -> Q(
+      (s, d) => graft.plans.SimilarityJoin(
+        Tables.documents(s, d), "doc_id", "text",
+        shingleN = 3, numHashes = 32, bandRows = 4, threshold = 0.8),
+      Some(minhashOracleSql),
+      doc = "Custom operator: banded-LSH similarity join as LogicalPlan+Rule+Strategy+SparkPlan",
       sort = Seq("doc_a", "doc_b")
     ),
 
