@@ -56,6 +56,31 @@ object AnnOps extends OpModule {
     s"""SELECT vec_id, label, v, ${normSql("v")} AS norm
        |FROM (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)""".stripMargin
 
+  /** Two-phase top-k rank over scored (query_id, neighbor_id, cos) rows:
+    * local top-k per (query, salt) bucket, then a global re-rank over
+    * ≤ #salts × k survivors — never one window over a query's whole
+    * candidate list. */
+  private def rankTopk(scored: DataFrame, k: Int): DataFrame = {
+    val ord = Seq(col("cos").desc, col("neighbor_id").asc)
+    val wLocal = Window
+      .partitionBy(col("query_id"), pmod(col("neighbor_id"), lit(32)))
+      .orderBy(ord: _*)
+    val wGlobal = Window.partitionBy(col("query_id")).orderBy(ord: _*)
+    scored
+      .withColumn("rl", row_number().over(wLocal))
+      .filter(col("rl") <= k)
+      .withColumn("rank", row_number().over(wGlobal))
+      .filter(col("rank") <= k)
+      // Quantize to 1e-6 through an integer intermediate (the pattern the
+      // passing ann_ivf_centroids uses): both engines round the identical
+      // double and emit DOUBLE — no decimal128 in the output, which the
+      // driver's cross-engine hash canonicalizes inconsistently.
+      .select(col("query_id"), col("rank").cast(LongType).as("rank"),
+        col("neighbor_id"),
+        (round(col("cos") * 1e6).cast(LongType).cast(DoubleType) / 1e6)
+          .as("cos_sim"))
+  }
+
   /** Two-phase cosine top-k of `cand` per query row (queries must be tiny
     * — they get broadcast). `sameCell` adds the IVF label restriction. */
   private def topk(queries: DataFrame, cand: DataFrame, k: Int,
@@ -69,24 +94,7 @@ object AnnOps extends OpModule {
         else col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         (dot(col("qv"), col("v")) / (col("qn") * col("norm"))).as("cos"))
-    val ord = Seq(col("cos").desc, col("neighbor_id").asc)
-    val wLocal = Window
-      .partitionBy(col("query_id"), pmod(col("neighbor_id"), lit(32)))
-      .orderBy(ord: _*)
-    val wGlobal = Window.partitionBy(col("query_id")).orderBy(ord: _*)
-    joined
-      .withColumn("rl", row_number().over(wLocal))
-      .filter(col("rl") <= k)
-      .withColumn("rank", row_number().over(wGlobal))
-      .filter(col("rank") <= k)
-      // Quantize to 1e-6 through an integer intermediate (the pattern the
-      // passing ann_ivf_centroids uses): both engines round the identical
-      // double and emit DOUBLE — no decimal128 in the output, which the
-      // driver's cross-engine hash canonicalizes inconsistently.
-      .select(col("query_id"), col("rank").cast(LongType).as("rank"),
-        col("neighbor_id"),
-        (round(col("cos") * 1e6).cast(LongType).cast(DoubleType) / 1e6)
-          .as("cos_sim"))
+    rankTopk(joined, k)
   }
 
   private def topkSql(k: Int, sameCell: Boolean): String = {
@@ -127,6 +135,81 @@ object AnnOps extends OpModule {
       },
       Some(topkSql(5, sameCell = true)),
       doc = "LLM-pipeline: IVF cell-probed cosine top-k (label = coarse quantizer)",
+      sort = Seq("query_id", "rank")
+    ),
+
+    // ── Multiprobe IVF top-5: the REAL inverted-file search shape. The
+    // coarse quantizer (per-label centroid, engine-exact via the 1e-7
+    // fixed-point mean) ranks cells by query↔centroid cosine; each query
+    // probes its 2 NEAREST cells — not its own label, which for a point
+    // near a cell boundary is exactly the wrong restriction — and only
+    // those cells' members are scored. Probe ranking runs on the tiny
+    // (queries × cells) relation; candidate scoring joins through a
+    // broadcast probe list, so the big relation never shuffles. ──
+    "ann_topk_ivf_multiprobe" -> Q(
+      (s, d) => {
+        val e = withNorm(Tables.embeddings(s, d))
+        // centroid vectors: (label, cv DOUBLE[], cn norm), engine-exact
+        val cent = Tables.embeddings(s, d)
+          .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .groupBy(col("label"), (col("pos") + 1).as("dim"))
+          .agg((sum(round(col("v").cast(DoubleType) * 1e7).cast(LongType))
+            .cast(DoubleType) / 1e7 / count(lit(1))).as("c"))
+          .groupBy(col("label"))
+          .agg(expr("transform(array_sort(collect_list(struct(dim, c))), x -> x.c)")
+            .as("cv"))
+          .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
+        val q = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"),
+            col("norm").as("qn"))
+        val wProbe = Window.partitionBy(col("query_id"))
+          .orderBy(col("csim").desc, col("label").asc)
+        val probes = q.crossJoin(broadcast(cent))
+          .withColumn("csim", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+          .withColumn("crank", row_number().over(wProbe))
+          .filter(col("crank") <= 2)
+          .select(col("query_id"), col("label").as("p_label"),
+            col("qv"), col("qn"))
+        val scored = e
+          .join(broadcast(probes),
+            col("label") === col("p_label") && col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            (dot(col("qv"), col("v")) / (col("qn") * col("norm"))).as("cos"))
+        rankTopk(scored, 5)
+      },
+      Some(s"""WITH e AS ($withNormSql),
+              |cent AS (
+              |  SELECT label, i AS dim,
+              |    CAST(SUM(CAST(round(embedding[i]::DOUBLE * 1e7) AS BIGINT)) AS DOUBLE)
+              |      / 1e7 / COUNT(*) AS c
+              |  FROM embeddings, range(1, 65) t(i) GROUP BY 1, 2),
+              |centv AS (
+              |  SELECT label, list(c ORDER BY dim) AS cv FROM cent GROUP BY 1),
+              |centn AS (
+              |  SELECT label, cv, sqrt(${dotSql("cv", "cv")}) AS cn FROM centv),
+              |q AS (SELECT vec_id AS query_id, v AS qv, norm AS qn
+              |      FROM e WHERE vec_id < 8),
+              |probes AS (
+              |  SELECT query_id, label, qv, qn FROM (
+              |    SELECT q.query_id, c.label, q.qv, q.qn,
+              |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+              |        ORDER BY ${dotSql("q.qv", "c.cv")} / (q.qn * c.cn) DESC,
+              |                 c.label) AS crank
+              |    FROM q, centn c)
+              |  WHERE crank <= 2),
+              |scored AS (
+              |  SELECT p.query_id, c.vec_id AS neighbor_id,
+              |    ${dotSql("p.qv", "c.v")} / (p.qn * c.norm) AS cos
+              |  FROM probes p JOIN e c
+              |    ON c.label = p.label AND c.vec_id <> p.query_id)
+              |SELECT query_id, rank, neighbor_id,
+              |       CAST(round(cos * 1e6) AS BIGINT) / 1e6 AS cos_sim
+              |FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              |    ORDER BY cos DESC, neighbor_id) AS rank
+              |  FROM scored)
+              |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+      doc = "LLM-pipeline: multiprobe IVF top-k (2 nearest cells by centroid cosine)",
       sort = Seq("query_id", "rank")
     ),
 
