@@ -238,6 +238,78 @@ object TextOps extends OpModule {
       sort = Seq("doc_id")
     ),
 
+    // ── PII scrubbing: mask emails and long digit runs (the standard
+    // pre-training redaction pass). Map-only — runs at scan speed; both
+    // engines share the RE2-compatible regex subset, so the oracle
+    // replays the exact rewrite. ──
+    "ta_scrub_pii" -> Q(
+      (s, d) => {
+        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val digits = "[0-9]{6,}"
+        Tables.documents(s, d)
+          .select(
+            col("doc_id"),
+            size(expr(s"regexp_extract_all(text, '$email', 0)"))
+              .cast(LongType).as("n_emails"),
+            size(expr(s"regexp_extract_all(text, '$digits', 0)"))
+              .cast(LongType).as("n_long_digit_runs"),
+            regexp_replace(
+              regexp_replace(col("text"), email, "<EMAIL>"),
+              digits, "<NUM>").as("clean_text"))
+      },
+      Some("""SELECT doc_id,
+             |  len(regexp_extract_all(text,
+             |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT
+             |    AS n_emails,
+             |  len(regexp_extract_all(text, '[0-9]{6,}'))::BIGINT
+             |    AS n_long_digit_runs,
+             |  regexp_replace(
+             |    regexp_replace(text,
+             |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+             |      '<EMAIL>', 'g'),
+             |    '[0-9]{6,}', '<NUM>', 'g') AS clean_text
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      doc = "LLM-pipeline: PII scrubbing (email + long-digit-run masking)",
+      sort = Seq("doc_id")
+    ),
+
+    // ── Repetition filters (the Gopher/C4-style quality signals):
+    // duplicate-token and duplicate-bigram fractions. High repetition is
+    // the canonical low-quality-document marker. Map-only. ──
+    "ta_repetition" -> Q(
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"), toksCol.as("toks"))
+          .withColumn("bg",
+            when(size(col("toks")) >= 2,
+              expr("transform(sequence(0, size(toks)-2), i -> concat(toks[i], ' ', toks[i+1]))"))
+              .otherwise(array().cast(ArrayType(StringType))))
+          .select(
+            col("doc_id"),
+            size(col("toks")).cast(LongType).as("n_toks"),
+            (lit(1.0) - size(array_distinct(col("toks"))).cast(DoubleType)
+              / size(col("toks"))).as("dup_tok_ratio"),
+            when(size(col("bg")) > 0,
+              lit(1.0) - size(array_distinct(col("bg"))).cast(DoubleType)
+                / size(col("bg")))
+              .otherwise(lit(0.0)).as("dup_bigram_ratio")),
+      Some(s"""SELECT doc_id,
+              |  len(toks)::BIGINT AS n_toks,
+              |  1.0 - len(list_distinct(toks))::DOUBLE / len(toks) AS dup_tok_ratio,
+              |  CASE WHEN len(bg) > 0
+              |       THEN 1.0 - len(list_distinct(bg))::DOUBLE / len(bg)
+              |       ELSE 0.0 END AS dup_bigram_ratio
+              |FROM (
+              |  SELECT doc_id, toks,
+              |    CASE WHEN len(toks) >= 2
+              |         THEN [toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))]
+              |         ELSE [] END AS bg
+              |  FROM (SELECT doc_id, $toksSql AS toks FROM documents))
+              |ORDER BY doc_id""".stripMargin),
+      doc = "LLM-pipeline: Gopher-style repetition quality filters (dup token/bigram ratios)",
+      sort = Seq("doc_id")
+    ),
+
     // ── LM-prior quality score (CCNet-style): score each doc by the
     // mean log10 corpus frequency of its tokens. Two-pass: corpus
     // unigram table (one fact shuffle) SHUFFLE-joined to the exploded
