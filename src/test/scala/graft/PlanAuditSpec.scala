@@ -86,6 +86,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("Exchange"), "split-starved fixture scan must spread")
   }
 
+  test("scan-speed family plans at most the loader spread, no other exchange") {
+    // These claim "map-only, runs at parquet scan speed" — hold them to
+    // it: the only allowed Exchange is the fixture loader's conditional
+    // split-starvation spread (one RoundRobin repartition).
+    for (name <- Seq("ta_langid", "ta_quality", "ta_token_stats",
+        "ta_fingerprint", "ta_scrub_pii", "ta_repetition",
+        "ta_sample_stratified", "mm_metadata", "mm_frame_sample", "mm_resize")) {
+      val p = plan(name)
+      val exchanges = "Exchange".r.findAllIn(p).length
+      assert(exchanges <= 1, s"$name plans $exchanges exchanges:\n${p.take(600)}")
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$name shuffles on a key — not map-only")
+    }
+  }
+
   test("ta_lm_score never broadcasts the unigram table") {
     // A web-scale corpus's vocabulary is unbounded, so the freqs→tokens
     // probe must be a shuffle join. The only broadcast allowed in this
