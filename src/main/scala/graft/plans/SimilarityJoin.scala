@@ -189,6 +189,16 @@ case class SimilarityJoinExec(
   override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
     org.apache.spark.sql.catalyst.expressions.AttributeSet(output)
 
+  // first-class operator means first-class observability: candidate
+  // volume is THE health metric of a banded-LSH join (a saturated band
+  // explodes it quadratically), so surface it in the Spark UI next to
+  // the row count.
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "numCandidatePairs" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "LSH candidate pairs verified"))
+
   override protected def doExecute(): RDD[InternalRow] = {
     val idOrd = child.output.indexWhere(_.exprId == idAttr.exprId)
     val textOrd = child.output.indexWhere(_.exprId == textAttr.exprId)
@@ -197,6 +207,8 @@ case class SimilarityJoinExec(
     val (n, nh, br, th) = (shingleN, numHashes, bandRows, threshold)
     val numBands = nh / br
     val types = output.map(_.dataType).toArray
+    val candMetric = longMetric("numCandidatePairs")
+    val rowsMetric = longMetric("numOutputRows")
 
     val docs: RDD[(Long, Array[String])] = child.execute().mapPartitions { it =>
       it.map(row =>
@@ -234,6 +246,7 @@ case class SimilarityJoinExec(
     val sizes: RDD[(Long, Int)] = docs.mapValues(_.length)
 
     val inter: RDD[((Long, Long), Long)] = pairs
+      .map { p => candMetric += 1; p }
       .join(ex) // doc_a → (doc_b, shingle of a)
       .map { case (a, (b, s)) => ((b, s), a) }
       .join(ex.map { case (id, s) => ((id, s), ()) })
@@ -250,6 +263,7 @@ case class SimilarityJoinExec(
       .mapPartitions { it =>
         val proj = UnsafeProjection.create(types)
         it.map { case (a, b, j) =>
+          rowsMetric += 1
           proj(InternalRow(a, b, j))
         }
       }
