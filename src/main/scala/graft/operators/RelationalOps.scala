@@ -362,6 +362,34 @@ object RelationalOps extends OpModule {
       sort = Seq("o_custkey")
     ),
 
+    // ── L2: first-of-list — the reference reads `resultados[0]` of each
+    // API response list (worker_processar_estoque.php:61,
+    // tarefa_atualizar_custos_erp.php:43); relationally, the FIRST row
+    // per group in the group's natural order. Window rn=1 on the
+    // high-cardinality group key — the same scalable shape as k1. ──
+    "l2_first_of_list" -> Q(
+      (s, d) => {
+        // the synthetic fixture duplicates (orderkey, linenumber) rows;
+        // ordering by every emitted column makes the winner value-unique
+        val w = Window
+          .partitionBy($("l_orderkey"))
+          .orderBy($("l_linenumber").asc, $("l_partkey").asc, $("l_quantity").asc)
+        Tables
+          .lineitem(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter($("rn") === 1)
+          .select($("l_orderkey"), $("l_partkey"), $("l_linenumber"), $("l_quantity"))
+      },
+      Some("""SELECT l_orderkey, l_partkey, l_linenumber, l_quantity
+             |FROM (
+             |  SELECT *, ROW_NUMBER() OVER (PARTITION BY l_orderkey
+             |    ORDER BY l_linenumber, l_partkey, l_quantity) AS rn
+             |  FROM lineitem)
+             |WHERE rn = 1 ORDER BY l_orderkey""".stripMargin),
+      doc = "SURVEY L2 — first element of each response list worker_processar_estoque.php:61",
+      sort = Seq("l_orderkey")
+    ),
+
     // ── K2: INSERT IGNORE queue populate = anti-join append. ──
     "k2_insert_if_absent" -> Q(
       (s, d) => {
