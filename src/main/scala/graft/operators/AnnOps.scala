@@ -56,6 +56,33 @@ object AnnOps extends OpModule {
     s"""SELECT vec_id, label, v, ${normSql("v")} AS norm
        |FROM (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)""".stripMargin
 
+  /** Random-hyperplane LSH: 6-bit signatures. Hyperplane component
+    * r(i,d) = phash("i:d")/2^59 − 1 — md5-derived like every hash here,
+    * so the oracle recomputes the identical matrix in SQL (long→double
+    * rounds the same way in both engines; /2^59 and −1 are exact). */
+  private[operators] val LshBits = 6
+
+  private def hyper(i: Int, d: Int): Double = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$i:$d".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = digest.map(b => f"${b & 0xff}%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16).toDouble /
+      576460752303423488L.toDouble - 1.0
+  }
+
+  /** Map-only signature: the tiny matrix is baked into the plan as
+    * literals (at scale: a broadcast), never a per-dimension shuffle of
+    * the corpus. */
+  private def lshSigExpr(v: Column): Column =
+    (0 until LshBits).map { i =>
+      val row = array((1 to 64).map(d => lit(hyper(i, d))): _*)
+      when(dot(v, row) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Own bucket + the 6 Hamming-1 neighbors. */
+  private def probeSigs(sig: Column): Column =
+    array(sig +: (0 until LshBits).map(j => sig.bitwiseXOR(lit(1L << j))): _*)
+
   /** Two-phase top-k rank over scored (query_id, neighbor_id, cos) rows:
     * local top-k per (query, salt) bucket, then a global re-rank over
     * ≤ #salts × k survivors — never one window over a query's whole
@@ -210,6 +237,64 @@ object AnnOps extends OpModule {
               |  FROM scored)
               |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
       doc = "LLM-pipeline: multiprobe IVF top-k (2 nearest cells by centroid cosine)",
+      sort = Seq("query_id", "rank")
+    ),
+
+    // ── Random-hyperplane LSH top-5 with Hamming-1 multiprobe: the
+    // data-INDEPENDENT scale path (no training pass, unlike IVF). Each
+    // vector gets a 6-bit signature — bit i = sign of v·r_i against 6
+    // pseudo-random hyperplanes derived from the portable md5 family, so
+    // the DuckDB twin REPLAYS the exact matrix (phash/2^59 − 1 is an
+    // exact exponent shift: bit-identical doubles in both engines). The
+    // Spark side bakes the matrix in as literals → signatures compute
+    // MAP-ONLY (at 100 TB you broadcast the tiny matrix, never shuffle
+    // the corpus per-dimension); queries probe their own bucket plus the
+    // 6 Hamming-1 neighbors, the standard multiprobe recall trade. ──
+    "ann_topk_lsh" -> Q(
+      (s, d) => {
+        val signed = withNorm(Tables.embeddings(s, d))
+          .withColumn("sig", lshSigExpr(col("v")))
+        val probes = signed.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"),
+            col("norm").as("qn"), explode(probeSigs(col("sig"))).as("psig"))
+        val scored = signed
+          .join(broadcast(probes),
+            col("sig") === col("psig") && col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            (dot(col("qv"), col("v")) / (col("qn") * col("norm"))).as("cos"))
+        rankTopk(scored, 5)
+      },
+      Some(s"""WITH e AS ($withNormSql),
+              |hp AS (
+              |  SELECT i, list(r ORDER BY d) AS rv FROM (
+              |    SELECT i, d,
+              |      CAST(${graft.Exprs.phashSeededSql("i", "CAST(d AS VARCHAR)")} AS DOUBLE)
+              |        / 576460752303423488 - 1 AS r
+              |    FROM range(0, $LshBits) t(i), range(1, 65) u(d))
+              |  GROUP BY i),
+              |sigs AS (
+              |  SELECT vec_id, label, v, norm,
+              |    CAST(SUM(CASE WHEN ${dotSql("v", "hp.rv")} > 0
+              |             THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS sig
+              |  FROM e, hp GROUP BY vec_id, label, v, norm),
+              |probes AS (
+              |  SELECT vec_id AS query_id, v AS qv, norm AS qn,
+              |    unnest([sig] ||
+              |      [xor(sig, CAST(1 AS BIGINT) << j) FOR j IN range(0, $LshBits)]) AS psig
+              |  FROM sigs WHERE vec_id < 8),
+              |scored AS (
+              |  SELECT p.query_id, c.vec_id AS neighbor_id,
+              |    ${dotSql("p.qv", "c.v")} / (p.qn * c.norm) AS cos
+              |  FROM probes p JOIN sigs c
+              |    ON c.sig = p.psig AND c.vec_id <> p.query_id)
+              |SELECT query_id, rank, neighbor_id,
+              |       CAST(round(cos * 1e6) AS BIGINT) / 1e6 AS cos_sim
+              |FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              |    ORDER BY cos DESC, neighbor_id) AS rank
+              |  FROM scored)
+              |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+      doc = "LLM-pipeline: random-hyperplane LSH top-k with Hamming-1 multiprobe",
       sort = Seq("query_id", "rank")
     ),
 
