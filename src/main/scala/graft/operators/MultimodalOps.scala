@@ -76,6 +76,36 @@ object MultimodalOps extends OpModule {
       sort = Seq("doc_id", "frame_no")
     ),
 
+    // ── Byte-value histogram: REAL feature extraction that needs no
+    // codec — 16 buckets by high nibble over the raw payload bytes (the
+    // cheap content signature multimodal pipelines use for corruption
+    // and format drift detection). Both engines walk the hex string's
+    // odd positions, so counts are engine-exact integers. Map-only. ──
+    "mm_byte_histogram" -> Q(
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            upper(hex(encode(col("text"), "UTF-8"))).as("h"))
+          .select(col("doc_id"),
+            explode(expr(
+              """transform(sequence(0, 15), b -> named_struct(
+                |  'bucket', CAST(b AS BIGINT),
+                |  'cnt', CAST(CASE WHEN length(h) = 0 THEN 0 ELSE
+                |    size(filter(sequence(1, length(h), 2),
+                |      i -> substring(h, i, 1) =
+                |           substring('0123456789ABCDEF', b + 1, 1)))
+                |    END AS BIGINT)))""".stripMargin)).as("e"))
+          .select(col("doc_id"), col("e.bucket").as("bucket"), col("e.cnt").as("cnt")),
+      Some("""SELECT doc_id, b::BIGINT AS bucket,
+             |  len([i FOR i IN range(1, len(h) + 1, 2)
+             |       IF h[i] = '0123456789ABCDEF'[b + 1]])::BIGINT AS cnt
+             |FROM (SELECT doc_id, upper(hex(encode(text))) AS h FROM documents),
+             |     range(0, 16) t(b)
+             |ORDER BY doc_id, bucket""".stripMargin),
+      doc = "LLM-pipeline: high-nibble byte histogram (codec-free payload features)",
+      sort = Seq("doc_id", "bucket")
+    ),
+
     // ── Resize (downsample): keep every 4th byte of the payload — the
     // stride-sampling shape of an image/audio downsample, done on the
     // opaque bytes via a higher-order transform (the codec-aware resize

@@ -92,7 +92,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // split-starvation spread (one RoundRobin repartition).
     for (name <- Seq("ta_langid", "ta_quality", "ta_token_stats",
         "ta_fingerprint", "ta_scrub_pii", "ta_repetition",
-        "ta_sample_stratified", "mm_metadata", "mm_frame_sample", "mm_resize")) {
+        "ta_sample_stratified", "mm_metadata", "mm_frame_sample", "mm_resize",
+        "mm_byte_histogram")) {
       val p = plan(name)
       val exchanges = "Exchange".r.findAllIn(p).length
       assert(exchanges <= 1, s"$name plans $exchanges exchanges:\n${p.take(600)}")
