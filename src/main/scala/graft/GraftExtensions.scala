@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, ExactMoneySum, ParseBrlMoney}
+import graft.functions.{DotProduct, ExactMoneySum, ParseBrlMoney, WordShingles}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -19,7 +19,8 @@ object Functions {
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "parse_brl_money" -> (exprs => ParseBrlMoney(exprs.head)),
     "dot_product" -> (exprs => DotProduct(exprs.head, exprs(1))),
-    "dsum_exact" -> (exprs => ExactMoneySum(exprs.head)))
+    "dsum_exact" -> (exprs => ExactMoneySum(exprs.head)),
+    "word_shingles" -> (exprs => WordShingles(exprs.head, exprs(1))))
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, builder) =>

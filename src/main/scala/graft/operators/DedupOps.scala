@@ -39,16 +39,16 @@ object DedupOps extends OpModule {
   private[operators] val toksSql =
     "SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents"
 
-  /** Distinct word n-gram shingle set per doc (empty when too short). */
-  private def shingled(s: SparkSession, d: String, n: Int): DataFrame = {
-    val parts = (0 until n).map(i => s"toks[i+$i]").mkString(", ' ', ")
-    toks(s, d).select(
+  /** Distinct word n-gram shingle set per doc (empty when too short).
+    * The native codegen'd [[graft.functions.WordShingles]] — bit-identical
+    * to the composed HOF tower it replaced (`WordShinglesSpec`), which is
+    * still what [[shingledSql]] replays in DuckDB; HOFs don't codegen, so
+    * the one native call keeps the dedup family's hottest scan stage
+    * inside WholeStageCodegen. */
+  private def shingled(s: SparkSession, d: String, n: Int): DataFrame =
+    Tables.documents(s, d).select(
       col("doc_id"),
-      array_distinct(
-        when(size(col("toks")) >= n,
-          expr(s"transform(sequence(0, size(toks)-$n), i -> concat($parts))"))
-          .otherwise(array().cast(ArrayType(StringType)))).as("shingles"))
-  }
+      call_function("word_shingles", col("text"), lit(n)).as("shingles"))
 
   private def shingledSql(n: Int): String = {
     val parts = (0 until n).map(i => s"toks[i+$i]").mkString(" || ' ' || ")
@@ -285,8 +285,10 @@ object DedupOps extends OpModule {
     // land close. Shuffle is (doc, bit) keyed partial sums. ──
     "dedup_simhash" -> Q(
       (s, d) =>
-        toks(s, d)
-          .select(col("doc_id"), explode(array_distinct(col("toks"))).as("tok"))
+        Tables.documents(s, d)
+          // word_shingles(text, 1) = distinct tokens (order-free downstream)
+          .select(col("doc_id"),
+            explode(call_function("word_shingles", col("text"), lit(1))).as("tok"))
           .select(col("doc_id"), phash(col("tok")).as("th"))
           .select(col("doc_id"), col("th"),
             explode(sequence(lit(0), lit(59))).as("k"))
