@@ -57,13 +57,15 @@ case class WordShingles(left: Expression, right: Expression)
 object WordShingles {
   private val Ws = java.util.regex.Pattern.compile("\\s+")
 
-  /** Shared by interpreted eval and generated code. Distinct n-grams in
-    * first-occurrence order (array_distinct semantics). */
-  def shingle(text: UTF8String, n: Int): ArrayData = {
+  /** Distinct n-grams in first-occurrence order (array_distinct
+    * semantics), as plain strings — the single source of tokenizer truth
+    * shared with [[graft.plans.SimilarityJoinExec]], so the custom
+    * physical operator can never drift from the declarative form. */
+  def shingleStrings(text: UTF8String, n: Int): Array[String] = {
     // UTF8String lower + trim, THEN limit −1 regex split: the exact
     // pipeline of the composed split(trim(lower(text)), '\s+')
     val toks = Ws.split(text.toLowerCase.trim.toString, -1)
-    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    if (toks.length < n) return Array.empty
     val seen = new java.util.LinkedHashSet[String]
     val sb = new java.lang.StringBuilder
     var i = 0
@@ -78,10 +80,13 @@ object WordShingles {
       seen.add(sb.toString)
       i += 1
     }
-    val arr = new Array[Any](seen.size())
-    val it = seen.iterator()
-    var k = 0
-    while (it.hasNext) { arr(k) = UTF8String.fromString(it.next()); k += 1 }
-    new GenericArrayData(arr)
+    val arr = new Array[String](seen.size())
+    seen.toArray(arr)
+    arr
   }
+
+  /** Shared by interpreted eval and generated code. */
+  def shingle(text: UTF8String, n: Int): ArrayData =
+    new GenericArrayData(
+      shingleStrings(text, n).map(UTF8String.fromString): Array[Any])
 }

@@ -82,11 +82,14 @@ object SimilarityJoin {
     sb.toString
   }
 
-  private[plans] def shingles(text: String, n: Int): Array[String] = {
-    val toks = text.toLowerCase(java.util.Locale.ROOT).trim.split("\\s+")
-    if (toks.length < n) Array.empty
-    else toks.sliding(n).map(_.mkString(" ")).toArray.distinct
-  }
+  /** Delegates to the [[graft.functions.WordShingles]] core so the
+    * physical operator tokenizes EXACTLY like the declarative form
+    * (UTF8String lower/0x20-trim, limit −1 split — Java's
+    * String.trim/split would silently diverge on control chars and
+    * trailing separators). */
+  private[plans] def shingles(text: org.apache.spark.unsafe.types.UTF8String,
+      n: Int): Array[String] =
+    graft.functions.WordShingles.shingleStrings(text, n)
 
   private[plans] def minhashes(sh: Array[String], numHashes: Int): Array[Long] = {
     val mh = Array.fill(numHashes)(Long.MaxValue)
@@ -213,7 +216,7 @@ case class SimilarityJoinExec(
     val docs: RDD[(Long, Array[String])] = child.execute().mapPartitions { it =>
       it.map(row =>
         (row.getLong(idOrd),
-          SimilarityJoin.shingles(row.getUTF8String(textOrd).toString, n)))
+          SimilarityJoin.shingles(row.getUTF8String(textOrd), n)))
     }.persist(StorageLevel.MEMORY_AND_DISK)
 
     val pairs: RDD[(Long, Long)] = docs
