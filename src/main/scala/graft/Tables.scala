@@ -139,6 +139,21 @@ object Exprs {
   def phashSql(x: String): String =
     s"CAST('0x' || substr(md5($x), 1, 15) AS BIGINT)"
 
+  /** Client-side twin of the engines' md5-hex — for plan-time constants
+    * (LSH hyperplanes) and the custom physical operator, so every
+    * consumer derives from the identical hash family. */
+  def md5Hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val sb = new java.lang.StringBuilder(32)
+    d.foreach(b => sb.append(f"${b & 0xff}%02x"))
+    sb.toString
+  }
+
+  /** Client-side twin of [[phash]]. */
+  def phashLong(s: String): Long =
+    java.lang.Long.parseLong(md5Hex(s).substring(0, 15), 16)
+
   /** Seeded member of the [[phash]] family (seed prefixed into the input —
     * avoids 64-bit modular multiplication overflow entirely). */
   def phashSeeded(seed: Column, c: Column): Column =

@@ -62,13 +62,8 @@ object AnnOps extends OpModule {
     * rounds the same way in both engines; /2^59 and −1 are exact). */
   private[operators] val LshBits = 6
 
-  private def hyper(i: Int, d: Int): Double = {
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$i:$d".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val hex = digest.map(b => f"${b & 0xff}%02x").mkString
-    java.lang.Long.parseLong(hex.substring(0, 15), 16).toDouble /
-      576460752303423488L.toDouble - 1.0
-  }
+  private def hyper(i: Int, d: Int): Double =
+    graft.Exprs.phashLong(s"$i:$d").toDouble / 576460752303423488L.toDouble - 1.0
 
   /** Map-only signature: the tiny matrix is baked into the plan as
     * literals (at scale: a broadcast), never a per-dimension shuffle of

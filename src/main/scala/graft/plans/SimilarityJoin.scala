@@ -74,13 +74,7 @@ object SimilarityJoin {
   // operator, the composed plan, and the DuckDB oracle all replay the
   // same signatures. ──
 
-  private[plans] def md5Hex(s: String): String = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val sb = new java.lang.StringBuilder(32)
-    d.foreach(b => sb.append(f"${b & 0xff}%02x"))
-    sb.toString
-  }
+  private[plans] def md5Hex(s: String): String = graft.Exprs.md5Hex(s)
 
   /** Delegates to the [[graft.functions.WordShingles]] core so the
     * physical operator tokenizes EXACTLY like the declarative form
