@@ -156,4 +156,31 @@ object UpsertWriter {
       empty.write.mode(SaveMode.Overwrite).parquet(staging)
     }
   }
+
+  /** Bin-pack the table's data files to ~`targetBytes` each — the
+    * maintenance pass every keyed upsert table needs at scale: each
+    * merge emits `shuffle.partitions` files, and the accreted small
+    * files tax every subsequent scan (per-file open cost, starved
+    * splits, bloated listings). Values are untouched; the rewrite rides
+    * the same crash-safe swap as [[upsert]].
+    *
+    * Partitioned tables: run per partition directory (this rewrites the
+    * whole table image — fine unpartitioned, wasteful when only a few
+    * partitions fragmented). */
+  def compact(
+      spark: SparkSession,
+      path: String,
+      targetBytes: Long = 128L << 20): Unit = {
+    recover(path)
+    require(exists(path), s"no committed table at $path")
+    import scala.jdk.CollectionConverters._
+    val bytes = Files.walk(Paths.get(path)).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+      .map(Files.size).sum
+    val parts = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val df = spark.read.parquet(path).repartition(parts)
+    swapIn(path) { staging =>
+      df.write.mode(SaveMode.Overwrite).parquet(staging)
+    }
+  }
 }

@@ -93,6 +93,24 @@ class UpsertWriterSpec extends AnyFunSuite {
     assert(msg.contains("has no qualifying lineitem mapping"))
   }
 
+  test("compact: collapses accreted small files, values untouched") {
+    val path = tmp()
+    // a large merge at scale leaves shuffle.partitions files — simulate
+    // with an explicit multi-file committed write
+    (1L to 200L).map(i => (i, s"v$i", 1L)).toDF("id", "v", "ver")
+      .repartition(8).write.parquet(path)
+    def files = new java.io.File(path).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    val before = spark.read.parquet(path)
+      .as[(Long, String, Long)].collect().toSet
+    assert(files == 8, "premise: committed table is fragmented")
+    UpsertWriter.compact(spark, path)
+    assert(files == 1, "tiny table must compact to a single file")
+    val after = spark.read.parquet(path)
+      .as[(Long, String, Long)].collect().toSet
+    assert(after == before, "compaction must not change values")
+  }
+
   test("K5: truncate leaves an empty table with the same schema") {
     val path = tmp()
     UpsertWriter.upsert(spark, path,
