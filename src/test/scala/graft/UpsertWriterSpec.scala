@@ -111,6 +111,40 @@ class UpsertWriterSpec extends AnyFunSuite {
     assert(after == before, "compaction must not change values")
   }
 
+  test("property: table state == sequential row-by-row apply model") {
+    // The reference applies rows one at a time (ON DUPLICATE KEY UPDATE)
+    // with keep-highest-version semantics; the distributed merge must
+    // reach the same final state for ANY batch sequence. Model rule per
+    // row, in arrival order: replace when ver >= current (update wins
+    // ties, later row wins within a batch), keep when lower.
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val row = for {
+      id  <- Gen.chooseNum(1L, 8L)
+      v   <- Gen.alphaStr.map(_.take(4))
+      ver <- Gen.chooseNum(1L, 4L)
+    } yield (id, v, ver)
+    val prop = Prop.forAll(Gen.listOfN(3, Gen.listOfN(6, row))) { batches =>
+      val path = tmp()
+      val model = scala.collection.mutable.Map.empty[Long, (String, Long)]
+      for (batch <- batches) {
+        UpsertWriter.upsert(spark, path,
+          batch.toDF("id", "v", "ver").coalesce(1),
+          keys = Seq("id"), versionCol = "ver")
+        for ((id, v, ver) <- batch) model.get(id) match {
+          case Some((_, curVer)) if curVer > ver => ()
+          case _                                 => model(id) = (v, ver)
+        }
+      }
+      val state = spark.read.parquet(path)
+        .as[(Long, String, Long)].collect()
+        .map { case (id, v, ver) => id -> ((v, ver)) }.toMap
+      state == model.toMap
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(5), prop)
+    assert(result.passed, result.status.toString)
+  }
+
   test("K5: truncate leaves an empty table with the same schema") {
     val path = tmp()
     UpsertWriter.upsert(spark, path,
