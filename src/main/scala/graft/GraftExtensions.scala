@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, ExactMoneySum, ParseBrlMoney, WordShingles}
+import graft.functions.{DotProduct, ExactMoneySum, NibbleHistogram, ParseBrlMoney, WordShingles}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -20,7 +20,8 @@ object Functions {
     "parse_brl_money" -> (exprs => ParseBrlMoney(exprs.head)),
     "dot_product" -> (exprs => DotProduct(exprs.head, exprs(1))),
     "dsum_exact" -> (exprs => ExactMoneySum(exprs.head)),
-    "word_shingles" -> (exprs => WordShingles(exprs.head, exprs(1))))
+    "word_shingles" -> (exprs => WordShingles(exprs.head, exprs(1))),
+    "nibble_histogram" -> (exprs => NibbleHistogram(exprs.head)))
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, builder) =>
