@@ -338,6 +338,28 @@ object DedupOps extends OpModule {
       sort = Seq("doc_a", "doc_b")
     ),
 
+    // ── Boilerplate detection: the 20 word-4-grams shared by the most
+    // documents — the corpus diagnostic that surfaces templated spans
+    // (headers, footers, licence blurbs) before near-dup thresholds are
+    // tuned. word_shingles emits DISTINCT shingles per doc, so a plain
+    // count per shingle IS document frequency; one skinny shuffle, then
+    // a semantic top-k (TakeOrdered, never a global sort). ──
+    "dedup_boilerplate_ngrams" -> Q(
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(explode(call_function("word_shingles", col("text"), lit(4)))
+            .as("sh"))
+          .groupBy(col("sh"))
+          .agg(count(lit(1)).as("df"))
+          .orderBy(col("df").desc, col("sh").asc)
+          .limit(20),
+      Some(s"""SELECT sh, COUNT(*) ::BIGINT AS df
+              |FROM (SELECT doc_id, unnest(shingles) AS sh FROM (${shingledSql(4)}))
+              |GROUP BY 1 ORDER BY df DESC, sh LIMIT 20""".stripMargin),
+      doc = "LLM-pipeline: boilerplate span detection (top n-grams by document frequency)",
+      sort = Nil
+    ),
+
     // ── Cluster the near-dup graph and pick one survivor per cluster:
     // THREE fixed rounds of min-label propagation over the (symmetric)
     // minhash edge list — enough for the planted clusters' diameter, and
