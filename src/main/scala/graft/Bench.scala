@@ -9,6 +9,12 @@ import java.nio.file.{Files, Paths}
   * and without timing an output sink. Failures are recorded per query
   * (`"name": -1`) and flip the exit code — a broken query can't hide inside
   * a healthy-looking total.
+  *
+  * Besides wall time, the JSON carries per-query `shuffle_mb` / `spill_mb`
+  * (from a stage-metrics listener, attributed to the timed run that was
+  * kept): shuffle volume is the number that predicts 100 TB behavior —
+  * a query can look fast at sf0.1 while moving the whole input through
+  * an exchange.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -39,6 +45,21 @@ object Bench {
       }
     }
     spark.catalog.clearCache() // drop warmup-pass persists before timing
+
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    val spillBytes = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val m = e.stageInfo.taskMetrics
+          if (m != null) {
+            shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+            spillBytes.addAndGet(m.diskBytesSpilled + m.memoryBytesSpilled)
+          }
+        }
+      })
+
     var failed = List.empty[String]
     // Two timed runs, min kept: run-to-run variance on a shared box was
     // measured at 2× for the heaviest query; the min is the steady-state
@@ -48,28 +69,43 @@ object Bench {
     // runs — otherwise run 2 would silently reuse run 1's cache and the
     // min would exclude the work the query exists to measure.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Double = {
+      // (seconds, shuffleMB, spillMB) for one execution; the listener is
+      // async, so drain briefly before snapshotting the deltas
+      def once(): (Double, Double, Double) = {
+        Thread.sleep(120)
+        val (sh0, sp0) = (shuffleBytes.get, spillBytes.get)
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
-        dt
+        Thread.sleep(120)
+        (dt, (shuffleBytes.get - sh0) / 1048576.0,
+          (spillBytes.get - sp0) / 1048576.0)
       }
       val best =
-        try math.min(once(), once())
-        catch {
+        try {
+          val (a, b) = (once(), once())
+          if (a._1 <= b._1) a else b
+        } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             failed ::= name
-            -1.0
+            (-1.0, -1.0, -1.0)
         }
       name -> best
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def jmap(f: ((Double, Double, Double)) => Double): String =
+      results.map { case (k, v) =>
+        // Locale.ROOT: a comma-decimal locale would emit invalid JSON
+        "\"" + k + "\":" + "%.3f".formatLocal(java.util.Locale.ROOT, f(v))
+      }.mkString("{", ",", "}")
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v._1 }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val total = results.collect { case (_, v) if v._1 >= 0 => v._1 }.sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${failed.size}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""shuffle_mb":${jmap(_._2)},"spill_mb":${jmap(_._3)},""" +
+        s""""sf":"$sfDir","failed":${failed.size}}"""
     println(line)
     // Stdout from sbt is noisy; keep a clean copy for the driver.
     try Files.writeString(Paths.get("bench_last.json"), line + "\n")
