@@ -46,16 +46,24 @@ object UpsertWriter {
   }
 
   /** Repair a swap that crashed mid-way. A dangling `.__old` WITHOUT a
-    * live directory means the crash hit between rename-aside and promote:
-    * move the committed state back (the in-flight batch is lost, the
-    * caller retries). With a live directory present only the final
-    * cleanup was missed: drop the leftover. Dangling staging is always
-    * discarded — it never held committed state. */
+    * live directory means the crash hit between rename-aside and promote.
+    * If staging carries a COMMITTED image (_SUCCESS — swapIn always
+    * finishes the staging write before any rename), the crashed swap is
+    * simply completed: promote staging, drop `.__old`, nothing lost.
+    * Otherwise move the committed state back (the in-flight batch is
+    * lost, the caller retries). With a live directory present only the
+    * final cleanup was missed: drop the leftover. Uncommitted staging is
+    * always discarded — it never held committed state. */
   private def recover(path: String): Unit = {
     val old = Paths.get(path + ".__old")
+    val staging = Paths.get(path + ".__staging")
+    val live = Paths.get(path)
     if (Files.exists(old)) {
-      if (Files.exists(Paths.get(path))) deleteTree(path + ".__old")
-      else Files.move(old, Paths.get(path))
+      if (Files.exists(live)) deleteTree(path + ".__old")
+      else if (Files.exists(staging.resolve("_SUCCESS"))) {
+        Files.move(staging, live)
+        deleteTree(path + ".__old")
+      } else Files.move(old, live)
     }
     deleteTree(path + ".__staging")
   }

@@ -93,6 +93,27 @@ class UpsertWriterSpec extends AnyFunSuite {
     assert(msg.contains("has no qualifying lineitem mapping"))
   }
 
+  test("K1: a swap crashed after staging committed completes on recovery") {
+    val path = tmp()
+    UpsertWriter.upsert(spark, path,
+      Seq((1L, "old", 1L)).toDF("id", "v", "ver"),
+      keys = Seq("id"), versionCol = "ver")
+    // simulate: merge (old + id=2) fully committed to staging, live
+    // renamed aside, then crash before the promote
+    Seq((1L, "old", 1L), (2L, "merged", 1L)).toDF("id", "v", "ver")
+      .write.parquet(path + ".__staging")
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(path), java.nio.file.Paths.get(path + ".__old"))
+    // next call completes the crashed swap FIRST, then applies its batch
+    UpsertWriter.upsert(spark, path,
+      Seq((3L, "after", 1L)).toDF("id", "v", "ver"),
+      keys = Seq("id"), versionCol = "ver")
+    val state = spark.read.parquet(path)
+      .select($"id", $"v").as[(Long, String)].collect().toMap
+    assert(state == Map(1L -> "old", 2L -> "merged", 3L -> "after"),
+      "the staged merge must survive, nothing lost")
+  }
+
   test("compact: collapses accreted small files, values untouched") {
     val path = tmp()
     // a large merge at scale leaves shuffle.partitions files — simulate
