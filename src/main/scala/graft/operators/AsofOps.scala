@@ -60,6 +60,49 @@ object AsofOps extends OpModule {
       sort = Seq("event_id")
     ),
 
+    // ── FORWARD as-of: for every 'error', the user's EARLIEST 'purchase'
+    // at or after the error — the direction ML pipelines use to check
+    // label leakage (did an outcome land after the cutoff?). Same
+    // union + running-value window machinery as the backward join,
+    // scanning time DESCENDING; the DuckDB twin is the native ASOF with
+    // the inequality flipped. ──
+    "asof_join_next_purchase" -> Q(
+      (s, d) => {
+        val e = Tables.events(s, d)
+        // same-instant purchases collapse BEFORE the join (ties would be
+        // engine-arbitrary otherwise), mirroring the backward query
+        val purchases = e.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("value")).as("pv"))
+          .select(col("user_id"), col("ts"), col("pv"),
+            lit(1).as("is_p"), lit(null).cast("long").as("event_id"))
+        val errors = e.filter(col("event_type") === "error")
+          .select(col("user_id"), col("ts"),
+            lit(null).cast("double").as("pv"), lit(0).as("is_p"),
+            col("event_id"))
+        // scanning ts DESC, the last purchase seen is the earliest one at
+        // or after the error; purchases sort first at equal ts so "at or
+        // after" admits the same instant
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("is_p").desc)
+          .rowsBetween(Window.unboundedPreceding, 0)
+        purchases.unionByName(errors)
+          .withColumn("next_purchase_value", last(col("pv"), ignoreNulls = true).over(w))
+          .filter(col("is_p") === 0)
+          .select(col("event_id"), col("user_id"), col("next_purchase_value"))
+      },
+      Some("""SELECT e.event_id, e.user_id, p.pv AS next_purchase_value
+             |FROM (SELECT event_id, user_id, ts::TIMESTAMP AS ts
+             |      FROM events WHERE event_type = 'error') e
+             |ASOF LEFT JOIN (SELECT user_id, ts::TIMESTAMP AS ts, max(value) AS pv
+             |                FROM events WHERE event_type = 'purchase'
+             |                GROUP BY 1, 2) p
+             |  ON e.user_id = p.user_id AND p.ts >= e.ts
+             |ORDER BY e.event_id""".stripMargin),
+      doc = "Extension: forward as-of join (earliest at-or-after) ≡ DuckDB ASOF >=",
+      sort = Seq("event_id")
+    ),
+
     // ── Sessionization: gap-based session assignment over the event
     // stream — lag → new-session flag → running sum, all inside one
     // per-user window (high-cardinality partition key; the standard
