@@ -103,6 +103,58 @@ object AsofOps extends OpModule {
       sort = Seq("event_id")
     ),
 
+    // ── Range (interval) join, banded: purchases within ±1 h of each
+    // error, per user. Spark plans a raw `BETWEEN` join as a
+    // nested-loop — the banded form buckets time into 1 h cells,
+    // equi-joins on (user, bucket) with each error probing its 3
+    // candidate cells, and post-filters the exact interval. Each
+    // (error, purchase) pair matches exactly one candidate cell (the
+    // purchase's own), so no dedup is needed; the quadratic blowup is
+    // confined to same-cell collisions, the standard banding contract.
+    // The DuckDB twin is the plain BETWEEN join (its IEJoin handles it
+    // natively at fixture scale). ──
+    "range_join_purchases_1h" -> Q(
+      (s, d) => {
+        val BandUs = 3600L * 1000 * 1000
+        val e = Tables.events(s, d)
+        val errors = e.filter(col("event_type") === "error")
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("eus"))
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"),
+            unix_micros(col("ts")).as("pus"),
+            // SQL `div`: integral division (a double round-trip could be
+            // a ulp off at epoch-micros magnitudes)
+            expr(s"unix_micros(ts) div ${BandUs}L").as("p_bucket"))
+        val probed = errors.withColumn("nb",
+          explode(array(
+            expr(s"eus div ${BandUs}L") - 1,
+            expr(s"eus div ${BandUs}L"),
+            expr(s"eus div ${BandUs}L") + 1)))
+        val counted = probed
+          .join(purchases,
+            col("user_id") === col("p_user") && col("nb") === col("p_bucket"))
+          .filter(abs(col("pus") - col("eus")) <= BandUs)
+          .groupBy(col("event_id"))
+          .agg(count(lit(1)).as("c"))
+        errors
+          .join(counted, Seq("event_id"), "left")
+          .select(col("event_id"), col("user_id"),
+            coalesce(col("c"), lit(0L)).as("purchases_within_1h"))
+      },
+      Some("""SELECT e.event_id, e.user_id,
+             |  CAST(COUNT(p.pus) AS BIGINT) AS purchases_within_1h
+             |FROM (SELECT event_id, user_id, epoch_us(ts::TIMESTAMP) AS eus
+             |      FROM events WHERE event_type = 'error') e
+             |LEFT JOIN (SELECT user_id, epoch_us(ts::TIMESTAMP) AS pus
+             |           FROM events WHERE event_type = 'purchase') p
+             |  ON p.user_id = e.user_id
+             |  AND p.pus BETWEEN e.eus - 3600000000 AND e.eus + 3600000000
+             |GROUP BY 1, 2 ORDER BY 1""".stripMargin),
+      doc = "Extension: banded range join (±1 h interval, bucket equi-join + post-filter)",
+      sort = Seq("event_id")
+    ),
+
     // ── Sessionization: gap-based session assignment over the event
     // stream — lag → new-session flag → running sum, all inside one
     // per-user window (high-cardinality partition key; the standard
