@@ -102,6 +102,16 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("range and as-of joins plan as equi-joins, never nested loops") {
+    // a raw BETWEEN/inequality join would nested-loop; the banded and
+    // union-window forms must keep everything equi-keyed
+    for (name <- Seq("range_join_purchases_1h", "asof_join_last_purchase",
+        "asof_join_next_purchase")) {
+      assert(!plan(name).contains("BroadcastNestedLoopJoin"),
+        s"$name plans a nested-loop join")
+    }
+  }
+
   test("ta_lm_score never broadcasts the unigram table") {
     // A web-scale corpus's vocabulary is unbounded, so the freqs→tokens
     // probe must be a shuffle join. The only broadcast allowed in this
