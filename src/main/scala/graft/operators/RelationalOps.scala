@@ -115,6 +115,58 @@ object RelationalOps extends OpModule {
       sort = Seq("l_partkey")
     ),
 
+    // ── Quantiles per group: exact interpolated median/p90 (both engines
+    // use the same (n−1)·q linear interpolation; outputs quantized to
+    // 1e-6 through a LONG so a last-ulp difference can't flip the hash).
+    // At 100 TB the exact sort-based percentile gives way to
+    // approx_percentile (t-digest, mergeable partial aggs) — approx
+    // results are engine-specific, so the oracle-gated query keeps the
+    // exact form. ──
+    "a8_quantiles" -> Q(
+      (s, d) => {
+        def q6(c: org.apache.spark.sql.Column) =
+          round(c * 1e6).cast(LongType).cast(DoubleType) / 1e6
+        Tables
+          .lineitem(s, d)
+          .groupBy($("l_returnflag"))
+          .agg(
+            percentile($("l_quantity"), lit(0.5)).as("raw_med"),
+            percentile($("l_quantity"), lit(0.9)).as("raw_p90"),
+            count(lit(1)).as("n_rows"))
+          .select($("l_returnflag"),
+            q6($("raw_med")).as("median_qty"),
+            q6($("raw_p90")).as("p90_qty"),
+            $("n_rows"))
+      },
+      Some("""SELECT l_returnflag,
+             |  CAST(round(quantile_cont(l_quantity, 0.5) * 1e6) AS BIGINT) / 1e6
+             |    AS median_qty,
+             |  CAST(round(quantile_cont(l_quantity, 0.9) * 1e6) AS BIGINT) / 1e6
+             |    AS p90_qty,
+             |  COUNT(*) AS n_rows
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "Extension: exact interpolated quantiles per group (approx_percentile is the 100 TB path)",
+      sort = Seq("l_returnflag")
+    ),
+
+    // ── ROLLUP: grouping-set subtotals + grand total in one pass — the
+    // OLAP mart staple (per-flag-and-status rows, per-flag subtotals,
+    // grand total), one Expand-backed aggregate instead of three
+    // unioned scans. ──
+    "a9_rollup" -> Q(
+      (s, d) =>
+        Tables
+          .lineitem(s, d)
+          .rollup($("l_returnflag"), $("l_linestatus"))
+          .agg(dsum($("l_quantity")).as("sum_qty"), count(lit(1)).as("n_rows")),
+      Some(s"""SELECT l_returnflag, l_linestatus,
+              |  ${dsumSql("l_quantity")} AS sum_qty, COUNT(*) AS n_rows
+              |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+              |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin),
+      doc = "Extension: ROLLUP grouping sets (subtotals + grand total in one aggregate)",
+      sort = Seq("l_returnflag", "l_linestatus")
+    ),
+
     // ── A5: DISTINCT. ──
     "a5_distinct" -> Q(
       (s, d) =>
