@@ -167,6 +167,34 @@ object RelationalOps extends OpModule {
       sort = Seq("l_returnflag", "l_linestatus")
     ),
 
+    // ── Set operators: INTERSECT / EXCEPT (distinct set semantics in
+    // both engines) — shuffle-on-key set algebra, emitted as one tagged
+    // relation. ──
+    "set1_except_intersect" -> Q(
+      (s, d) => {
+        val sold = Tables.lineitem(s, d)
+          .filter($("l_returnflag") === "A")
+          .select($("l_partkey").as("partkey")).distinct()
+        val small = Tables.part(s, d)
+          .filter($("p_size") < 10)
+          .select($("p_partkey").as("partkey")).distinct()
+        sold.intersect(small).withColumn("op", lit("intersect"))
+          .unionByName(sold.except(small).withColumn("op", lit("except")))
+      },
+      Some("""SELECT partkey, 'intersect' AS op FROM (
+             |  SELECT DISTINCT l_partkey AS partkey FROM lineitem WHERE l_returnflag = 'A'
+             |  INTERSECT
+             |  SELECT DISTINCT p_partkey FROM part WHERE p_size < 10)
+             |UNION ALL
+             |SELECT partkey, 'except' AS op FROM (
+             |  SELECT DISTINCT l_partkey AS partkey FROM lineitem WHERE l_returnflag = 'A'
+             |  EXCEPT
+             |  SELECT DISTINCT p_partkey FROM part WHERE p_size < 10)
+             |ORDER BY op, partkey""".stripMargin),
+      doc = "Extension: INTERSECT/EXCEPT set algebra (distinct semantics both engines)",
+      sort = Seq("op", "partkey")
+    ),
+
     // ── A5: DISTINCT. ──
     "a5_distinct" -> Q(
       (s, d) =>
