@@ -167,6 +167,26 @@ object RelationalOps extends OpModule {
       sort = Seq("l_returnflag", "l_linestatus")
     ),
 
+    // ── Sketch: HyperLogLog++ distinct counts — the 100 TB path for A5/
+    // A7-style cardinalities (mergeable fixed-size state, no distinct
+    // shuffle). Sketch results are ENGINE-SPECIFIC (Spark HLL++ vs
+    // DuckDB's approx_count_distinct differ by design), so there is no
+    // oracle twin — the driver records the rows-only check, and
+    // `SketchSpec` pins the 2% relative-error contract against the exact
+    // counts instead. ──
+    "sk1_hll_distinct" -> Q(
+      (s, d) =>
+        Tables
+          .lineitem(s, d)
+          .groupBy($("l_returnflag"))
+          .agg(
+            approx_count_distinct($("l_orderkey"), rsd = 0.02).as("approx_orders"),
+            approx_count_distinct($("l_partkey"), rsd = 0.02).as("approx_parts")),
+      None,
+      doc = "Extension: HLL++ approximate distinct counts (rows-only check; ε pinned in SketchSpec)",
+      sort = Seq("l_returnflag")
+    ),
+
     // ── Set operators: INTERSECT / EXCEPT (distinct set semantics in
     // both engines) — shuffle-on-key set algebra, emitted as one tagged
     // relation. ──
