@@ -167,6 +167,55 @@ object RelationalOps extends OpModule {
       sort = Seq("l_returnflag", "l_linestatus")
     ),
 
+    // ── UNPIVOT (melt): wide metric columns → (key, metric, value) rows,
+    // the inverse of F11's pivot and the standard mart-to-long-form
+    // reshape. Narrow (Expand-backed), no shuffle beyond the feeding
+    // aggregate. ──
+    "f12_unpivot" -> Q(
+      (s, d) =>
+        Tables
+          .lineitem(s, d)
+          .groupBy($("l_returnflag"))
+          .agg(
+            dsum($("l_quantity")).as("sum_qty"),
+            dsum($("l_extendedprice")).as("sum_fat"))
+          .unpivot(
+            Array($("l_returnflag")),
+            Array($("sum_qty"), $("sum_fat")),
+            "metric", "value"),
+      Some(s"""UNPIVOT (
+              |  SELECT l_returnflag,
+              |    ${dsumSql("l_quantity")} AS sum_qty,
+              |    ${dsumSql("l_extendedprice")} AS sum_fat
+              |  FROM lineitem GROUP BY 1)
+              |ON sum_qty, sum_fat
+              |INTO NAME metric VALUE value
+              |ORDER BY l_returnflag, metric""".stripMargin),
+      doc = "Extension: UNPIVOT/melt (wide metrics to long form, inverse of F11 pivot)",
+      sort = Seq("l_returnflag", "metric")
+    ),
+
+    // ── String aggregation: ordered, delimited concat per group (the
+    // GROUP_CONCAT the reference's MySQL would use for report columns).
+    // Ordered collect keeps it deterministic across engines. ──
+    "a10_string_agg" -> Q(
+      (s, d) =>
+        Tables
+          .orders(s, d)
+          .groupBy($("o_orderstatus"))
+          .agg(
+            concat_ws(",",
+              sort_array(collect_set($("o_orderpriority")))).as("priorities"),
+            count(lit(1)).as("n_rows")),
+      Some("""SELECT o_orderstatus,
+             |  string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority)
+             |    AS priorities,
+             |  COUNT(*) AS n_rows
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "Extension: ordered string aggregation (GROUP_CONCAT) per group",
+      sort = Seq("o_orderstatus")
+    ),
+
     // ── Sketch: HyperLogLog++ distinct counts — the 100 TB path for A5/
     // A7-style cardinalities (mergeable fixed-size state, no distinct
     // shuffle). Sketch results are ENGINE-SPECIFIC (Spark HLL++ vs
