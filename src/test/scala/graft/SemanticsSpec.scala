@@ -11,6 +11,25 @@ class SemanticsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("range join: the ±1h interval is inclusive at exactly the boundary") {
+    // purchases at exactly -1h, +1h (kept), and 1µs beyond (dropped)
+    import java.sql.Timestamp
+    val t0 = Timestamp.valueOf("2024-05-01 12:00:00")
+    def shifted(us: Long) = new Timestamp(t0.getTime + us / 1000) // ms grain here
+    val rows = Seq(
+      (1L, 9L, "error", t0),
+      (2L, 9L, "purchase", shifted(-3600L * 1000 * 1000)),  // exactly -1h
+      (3L, 9L, "purchase", shifted(3600L * 1000 * 1000)),   // exactly +1h
+      (4L, 9L, "purchase", shifted(3600L * 1000 * 1000 + 1000)), // +1h +1ms
+      (5L, 8L, "purchase", t0) // other user: never counted
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-range").toString
+    rows.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = SparkEntry.queries("range_join_purchases_1h")(spark, tmp)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out == Map(1L -> 2L), s"boundary purchases must count once each: $out")
+  }
+
   test("F6: `a AND b AND t='S' OR t='K'` keeps kit rows that fail every other filter") {
     // Mirror of the quirk shape in f6_filter_quirk / the reference's
     // tarefa_popular_fila_estoque.php:10 — kit ('K') bypasses all guards.

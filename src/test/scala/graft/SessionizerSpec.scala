@@ -53,6 +53,25 @@ class SessionizerSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("an event exactly at the gap boundary extends the session") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val sessions = Sessionizer.closedSessions(
+      input.toDS().withWatermark("ts", "0 seconds").as[Event], GapMs)
+    val q = sessions.writeStream.format("memory").queryName("boundary_sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // Δ == gap extends (<=); Δ == gap + 1min closes
+      input.addData(Event(3L, 1L, ts(0)), Event(3L, 2L, ts(10)), Event(3L, 3L, ts(21)))
+      q.processAllAvailable()
+      val closed = spark.table("boundary_sessions")
+        .as[Sessionizer.ClosedSession].collect()
+      assert(closed.length == 1)
+      assert(closed.head.n_events == 2 && closed.head.session_end == ts(10),
+        "the exactly-at-gap event must belong to the first session")
+    } finally q.stop()
+  }
+
   test("unordered events inside one batch still form ordered sessions") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
