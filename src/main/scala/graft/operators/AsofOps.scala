@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{OpModule, Q, Tables}
+import graft.{Exprs, OpModule, Q, Tables}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -153,6 +153,30 @@ object AsofOps extends OpModule {
              |GROUP BY 1, 2 ORDER BY 1""".stripMargin),
       doc = "Extension: banded range join (±1 h interval, bucket equi-join + post-filter)",
       sort = Seq("event_id")
+    ),
+
+    // ── Tumbling time windows in BATCH: the same `window()` construct
+    // the streaming paths use, oracle-checked against date_trunc
+    // bucketing — event count + value sum per 1-day window per type.
+    // One shuffle keyed by (window, type); map-side combined. ──
+    "w8_tumbling_window" -> Q(
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy(
+            window(col("ts"), "1 day").as("w"),
+            col("event_type"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            Exprs.dsum(col("value")).as("sum_value"))
+          .select(
+            col("w.start").cast("date").as("dia"),
+            col("event_type"), col("n_events"), col("sum_value")),
+      Some(s"""SELECT CAST(date_trunc('day', ts::TIMESTAMP) AS DATE) AS dia,
+              |  event_type, COUNT(*) AS n_events,
+              |  ${Exprs.dsumSql("value")} AS sum_value
+              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      doc = "Extension: tumbling 1-day windows in batch (same window() as streaming)",
+      sort = Seq("dia", "event_type")
     ),
 
     // ── Sessionization: gap-based session assignment over the event

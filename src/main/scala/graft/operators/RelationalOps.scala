@@ -167,6 +167,23 @@ object RelationalOps extends OpModule {
       sort = Seq("l_returnflag", "l_linestatus")
     ),
 
+    // ── CUBE: all 2^n grouping combinations (per-pair, per-flag,
+    // per-status, grand total) — the slice-and-dice companion of A9's
+    // ROLLUP, one Expand-backed aggregate. ──
+    "a11_cube" -> Q(
+      (s, d) =>
+        Tables
+          .lineitem(s, d)
+          .cube($("l_returnflag"), $("l_linestatus"))
+          .agg(dsum($("l_quantity")).as("sum_qty"), count(lit(1)).as("n_rows")),
+      Some(s"""SELECT l_returnflag, l_linestatus,
+              |  ${dsumSql("l_quantity")} AS sum_qty, COUNT(*) AS n_rows
+              |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+              |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin),
+      doc = "Extension: CUBE grouping sets (all slice-and-dice combinations)",
+      sort = Seq("l_returnflag", "l_linestatus")
+    ),
+
     // ── UNPIVOT (melt): wide metric columns → (key, metric, value) rows,
     // the inverse of F11's pivot and the standard mart-to-long-form
     // reshape. Narrow (Expand-backed), no shuffle beyond the feeding
