@@ -34,6 +34,31 @@ class SimilarityJoinSpec extends AnyFunSuite {
     assert(got.nonEmpty, "fixture has planted near-dups; result must not be empty")
   }
 
+  test("row-identical to the composed form on adversarial text too") {
+    // control chars, trailing separators, unicode case, duplicates —
+    // the edges where a tokenizer drift between the RDD operator and
+    // the declarative form would first show
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta alpha beta gamma delta  \n"),
+      (3L, "ALPHA beta GAMMA delta alpha BETA gamma DELTA"),
+      (4L, "alpha\tbeta\ngamma delta alpha beta gamma delta"),
+      (5L, "Ä Ö ß strasse Ä Ö ß strasse Ä Ö ß strasse"),
+      (6L, "ä ö ß strasse ä ö ß strasse ä ö ß strasse"),
+      (7L, "")
+    ).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-simadv").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val composed = SparkEntry.queries("dedup_minhash")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val native = SparkEntry.queries("dedup_minhash_native")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(native == composed, s"native=$native composed=$composed")
+    assert(composed.exists { case (a, b, _) => (a, b) == (5L, 6L) },
+      "case-folded unicode docs must pair")
+  }
+
   test("jaccard >= x filter above the operator folds into its threshold") {
     val filtered = native().filter(col("jaccard") >= 0.9)
     val optimized = filtered.queryExecution.optimizedPlan
