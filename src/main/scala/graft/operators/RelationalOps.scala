@@ -167,6 +167,43 @@ object RelationalOps extends OpModule {
       sort = Seq("l_returnflag", "l_linestatus")
     ),
 
+    // ── Data-quality audit: the constraint checks every mart load runs
+    // before publishing — referential integrity via anti-joins (the
+    // reference implicitly assumes FK integrity when it probes its hash
+    // maps; a miss there IS this violation) and null-rate probes, one
+    // tagged row per check. Anti-joins broadcast the dim key set. ──
+    "dq1_referential_audit" -> Q(
+      (s, d) => {
+        def check(name: String, df: org.apache.spark.sql.DataFrame) =
+          df.agg(count(lit(1)).as("violations"))
+            .select(lit(name).as("check"), $("violations"))
+        val li = Tables.lineitem(s, d)
+        val orphanParts = li.join(
+          Tables.part(s, d).select($("p_partkey")),
+          $("l_partkey") === $("p_partkey"), "left_anti")
+        val orphanCust = Tables.orders(s, d).join(
+          Tables.customer(s, d).select($("c_custkey")),
+          $("o_custkey") === $("c_custkey"), "left_anti")
+        check("lineitem_orphan_parts", orphanParts)
+          .unionByName(check("orders_orphan_customers", orphanCust))
+          .unionByName(check("lineitem_null_partkey",
+            li.filter($("l_partkey").isNull)))
+      },
+      Some("""SELECT 'lineitem_orphan_parts' AS check, COUNT(*)::BIGINT AS violations
+             |FROM lineitem l
+             |WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+             |UNION ALL
+             |SELECT 'orders_orphan_customers', COUNT(*)::BIGINT
+             |FROM orders o
+             |WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+             |UNION ALL
+             |SELECT 'lineitem_null_partkey', COUNT(*)::BIGINT
+             |FROM lineitem WHERE l_partkey IS NULL
+             |ORDER BY 1""".stripMargin),
+      doc = "Extension: data-quality audit (referential integrity + null probes)",
+      sort = Seq("check")
+    ),
+
     // ── CUBE: all 2^n grouping combinations (per-pair, per-flag,
     // per-status, grand total) — the slice-and-dice companion of A9's
     // ROLLUP, one Expand-backed aggregate. ──
