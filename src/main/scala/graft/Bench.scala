@@ -99,16 +99,24 @@ object Bench {
         // Locale.ROOT: a comma-decimal locale would emit invalid JSON
         "\"" + k + "\":" + "%.3f".formatLocal(java.util.Locale.ROOT, f(v))
       }.mkString("{", ",", "}")
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v._1 }
-      .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v._1 >= 0 => v._1 }.sum
+    // The stdout line is deliberately COMPACT (per-query seconds at 3
+    // decimals, no shuffle/spill maps): the recorder keeps only a bounded
+    // tail of the sbt output, and round 3's full-detail line (~6 KB for 73
+    // queries) was truncated mid-JSON there. The complete measurement —
+    // full-precision times plus per-query shuffle_mb/spill_mb — goes to
+    // bench_last.json.
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""shuffle_mb":${jmap(_._2)},"spill_mb":${jmap(_._3)},""" +
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._1)},""" +
+        s""""sf":"$sfDir","failed":${failed.size}}"""
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${
+        results.map { case (k, v) => "\"" + k + "\":" + v._1 }.mkString("{", ",", "}")
+      },"shuffle_mb":${jmap(_._2)},"spill_mb":${jmap(_._3)},""" +
         s""""sf":"$sfDir","failed":${failed.size}}"""
     println(line)
-    // Stdout from sbt is noisy; keep a clean copy for the driver.
-    try Files.writeString(Paths.get("bench_last.json"), line + "\n")
+    // Stdout from sbt is noisy; keep a clean full-detail copy on disk.
+    try Files.writeString(Paths.get("bench_last.json"), full + "\n")
     catch { case _: Throwable => () }
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)

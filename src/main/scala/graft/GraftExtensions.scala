@@ -3,7 +3,8 @@ package graft
 import graft.functions.{DotProduct, ExactMoneySum, NibbleHistogram, ParseBrlMoney, WordShingles}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
 /** The library's custom Catalyst functions, exposed two ways:
   *
@@ -21,7 +22,17 @@ object Functions {
     "dot_product" -> (exprs => DotProduct(exprs.head, exprs(1))),
     "dsum_exact" -> (exprs => ExactMoneySum(exprs.head)),
     "word_shingles" -> (exprs => WordShingles(exprs.head, exprs(1))),
-    "nibble_histogram" -> (exprs => NibbleHistogram(exprs.head)))
+    "nibble_histogram" -> (exprs => NibbleHistogram(exprs.head)),
+    // Runtime-filter building blocks (Spark's own BloomFilterAggregate /
+    // BloomFilterMightContain, surfaced as SQL functions): `bloom_agg(k)`
+    // folds a key column into a fixed-size mergeable sketch;
+    // `bloom_might_contain(bf, k)` is the probe. Both sides hash through
+    // the same XxHash64 so agg and probe agree. The probe's bloom input
+    // must be a constant or scalar subquery (Spark's own rule) — see
+    // `sk2_bloom_prune_join` for the intended join-pruning shape.
+    "bloom_agg" -> (exprs => new BloomFilterAggregate(new XxHash64(Seq(exprs.head)))),
+    "bloom_might_contain" ->
+      (exprs => BloomFilterMightContain(exprs.head, new XxHash64(Seq(exprs(1))))))
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, builder) =>

@@ -293,6 +293,58 @@ object AnnOps extends OpModule {
       sort = Seq("query_id", "rank")
     ),
 
+    // ── SQ8 scalar-quantized top-5: the MEMORY-side ANN trade. Each
+    // vector is compressed to int8 (per-vector scale 127/max|v_i|, the
+    // symmetric scalar quantizer) — 4× smaller than FP32, which at 100 TB
+    // is the difference between an in-memory candidate set and a spilled
+    // one; scoring runs in the quantized space and only the (tiny) top-k
+    // survivors would be re-ranked against full-precision vectors. The
+    // quantization is engine-exact: scale division, component product and
+    // round() agree bit-for-bit in Spark and DuckDB, and the quantized
+    // dot products are small-integer sums (≤ 64·127² ≈ 10⁶) — exact in
+    // DOUBLE, no decimal anywhere. ──
+    "ann_topk_sq8" -> Q(
+      (s, d) => {
+        val fv = transform(col("embedding"), x => x.cast(DoubleType))
+        val ma = greatest(array_max(transform(fv, x => abs(x))), lit(1e-30))
+        val qv = transform(fv, x => round(x * (lit(127.0) / ma))
+          .cast(LongType).cast(DoubleType))
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), qv.as("v"))
+          .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+        val q = broadcast(e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"),
+            col("norm").as("qn")))
+        val scored = e
+          .join(q, col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            (dot(col("qv"), col("v")) / (col("qn") * col("norm"))).as("cos"))
+        rankTopk(scored, 5)
+      },
+      Some(s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS fv FROM embeddings),
+              |q8 AS (
+              |  SELECT vec_id,
+              |    [CAST(round(fv[i] * (127.0 / ma)) AS BIGINT)::DOUBLE
+              |       FOR i IN range(1, len(fv) + 1)] AS v
+              |  FROM (SELECT vec_id, fv,
+              |          greatest(list_max([abs(x) FOR x IN fv]), 1e-30) AS ma
+              |        FROM base)),
+              |e AS (SELECT vec_id, v, ${normSql("v")} AS norm FROM q8),
+              |scored AS (
+              |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+              |    ${dotSql("q.v", "c.v")} / (q.norm * c.norm) AS cos
+              |  FROM e q JOIN e c ON q.vec_id < 8 AND c.vec_id <> q.vec_id)
+              |SELECT query_id, rank, neighbor_id,
+              |       CAST(round(cos * 1e6) AS BIGINT) / 1e6 AS cos_sim
+              |FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              |    ORDER BY cos DESC, neighbor_id) AS rank
+              |  FROM scored)
+              |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+      doc = "LLM-pipeline: int8 scalar-quantized cosine top-k (4× memory compression)",
+      sort = Seq("query_id", "rank")
+    ),
+
     // ── IVF training step: per-cell centroids, element-wise mean via
     // posexplode → (label, dim) partial-sum aggregation — the shape that
     // scales (shuffle is cells × dims rows, map-side combined).

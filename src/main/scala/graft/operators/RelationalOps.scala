@@ -290,6 +290,54 @@ object RelationalOps extends OpModule {
       sort = Seq("l_returnflag")
     ),
 
+    // ── Sketch: bloom-filter join pruning — the 100 TB path for a
+    // selective dim⋈fact join. Catalyst's InjectRuntimeFilter does this
+    // automatically when thresholds line up; this query is the explicit,
+    // always-on form. The dim's join keys fold into ONE fixed-size bloom
+    // sketch (scalar subquery → broadcast to every scan task), the fact
+    // is pre-filtered BEFORE its shuffle — at 1% dim selectivity that's
+    // ~99% of the fact's shuffle volume dropped — and the exact semi-join
+    // afterwards removes bloom false positives, so the result is
+    // value-identical to the plain semi-join oracle. bloom_agg /
+    // bloom_might_contain are Spark's own runtime-filter expressions
+    // surfaced as SQL functions (see Functions.all). ──
+    "sk2_bloom_prune_join" -> Q(
+      (s, d) => {
+        Tables.orders(s, d)
+          .filter($("o_orderpriority") === "1-URGENT" && $("o_orderstatus") === "F")
+          .select($("o_orderkey"))
+          .createOrReplaceTempView("sk2_dim_keys")
+        Tables.lineitem(s, d)
+          .select($("l_orderkey"), $("l_returnflag"), $("l_extendedprice"))
+          .createOrReplaceTempView("sk2_fact")
+        s.sql("""
+          WITH pruned AS (
+            SELECT l_orderkey, l_returnflag, l_extendedprice
+            FROM sk2_fact
+            WHERE bloom_might_contain(
+                    (SELECT bloom_agg(o_orderkey) FROM sk2_dim_keys),
+                    l_orderkey)
+          )
+          SELECT l_returnflag,
+                 COUNT(*) AS n,
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+          FROM pruned
+          WHERE EXISTS (SELECT 1 FROM sk2_dim_keys k
+                        WHERE k.o_orderkey = pruned.l_orderkey)
+          GROUP BY 1
+        """)
+      },
+      Some("""SELECT l_returnflag, COUNT(*) AS n,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+             |FROM lineitem
+             |WHERE EXISTS (SELECT 1 FROM orders
+             |              WHERE o_orderkey = l_orderkey
+             |                AND o_orderpriority = '1-URGENT' AND o_orderstatus = 'F')
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "Extension: explicit bloom runtime filter + exact semi-join ≡ plain semi-join",
+      sort = Seq("l_returnflag")
+    ),
+
     // ── Set operators: INTERSECT / EXCEPT (distinct set semantics in
     // both engines) — shuffle-on-key set algebra, emitted as one tagged
     // relation. ──
@@ -673,6 +721,47 @@ object RelationalOps extends OpModule {
               |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
       doc = "SURVEY F11 — deposito Geral/Direct pivot worker_processar_estoque.php:71-80",
       sort = Seq("user_id")
+    ),
+
+    // ── J10: skew-mitigated fact⋈dim join via key salting. ──
+    // The 100 TB problem: one hot join key (a mega-order, a bot user)
+    // lands every matching fact row in ONE shuffle partition and the
+    // stage runs at the speed of that task. AQE's skew-join split covers
+    // the sort-merge case at runtime; explicit salting is the structural
+    // fix that also works under shuffled-hash joins and inside
+    // aggregations. Shape: the fact side gets a deterministic salt in
+    // [0,S) derived from NON-join columns (spreading each hot key over S
+    // partitions); the dim side is replicated ×S with an exploded
+    // sequence; the join adds `salt = rep` to the key. Results are
+    // value-identical to the unsalted join — the oracle below IS the
+    // plain join — while the hottest key's rows now hash to S partitions
+    // instead of one. Cost model: dim shuffle volume ×S, so pick
+    // S ≈ ceil(hottest-key rows / rows-per-healthy-task), not 1000.
+    "j10_salted_skew_join" -> Q(
+      (s, d) => {
+        val S = 8
+        val fact = Tables
+          .lineitem(s, d)
+          .select(
+            $("l_orderkey"),
+            ($("l_extendedprice") * (lit(1.0) - $("l_discount"))).as("revenue"),
+            pmod(hash($("l_partkey"), $("l_suppkey"), $("l_linenumber")), lit(S)).as("salt"))
+        val dim = Tables
+          .orders(s, d)
+          .select($("o_orderkey"), $("o_orderpriority"))
+          .withColumn("rep", explode(sequence(lit(0), lit(S - 1))))
+        fact
+          .join(dim, $("l_orderkey") === $("o_orderkey") && $("salt") === $("rep"))
+          .groupBy($("o_orderpriority"))
+          .agg(dsum($("revenue")).as("revenue"), count(lit(1)).as("n"))
+      },
+      Some(s"""SELECT o_orderpriority,
+              |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+              |  COUNT(*) AS n
+              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              |GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "Skew-salted join ≡ plain join; spreads a hot o_orderkey over 8 partitions",
+      sort = Seq("o_orderpriority")
     )
   )
 
