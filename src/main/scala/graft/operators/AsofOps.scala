@@ -3,6 +3,7 @@ package graft.operators
 import graft.{Exprs, OpModule, Q, Tables}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** As-of (point-in-time) join — a beyond-the-reference extension operator
   * (the brief's canonical "operator Spark lacks"). Composed Spark-first
@@ -218,6 +219,87 @@ object AsofOps extends OpModule {
              |    FROM events))
              |ORDER BY event_id""".stripMargin),
       doc = "Extension: gap-based sessionization (lag → flag → running sum)",
+      sort = Seq("event_id")
+    ),
+
+    // ── Funnel analysis: view → click → purchase, strictly ordered per
+    // user. Each stage is an aggregate (earliest qualifying timestamp)
+    // joined to the previous stage with a strict `>` — the sequential
+    // constraint that a windowed min can't express. Scale shape: one
+    // shuffle on user_id for the first groupBy, then every later join
+    // and groupBy reuses that key — co-partitioned, no second wide
+    // shuffle; stage relations only shrink. ──
+    "funnel_view_click_purchase" -> Q(
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val v = e.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+        val c = e.filter(col("event_type") === "click")
+          .join(v, "user_id")
+          .filter(col("ts") > col("t_view"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+        val p = e.filter(col("event_type") === "purchase")
+          .join(c, "user_id")
+          .filter(col("ts") > col("t_click"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+        v.join(c, Seq("user_id"), "left")
+          .join(p, Seq("user_id"), "left")
+          .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
+            (lit(1L) +
+              when(col("t_click").isNotNull, 1L).otherwise(0L) +
+              when(col("t_purchase").isNotNull, 1L).otherwise(0L)).as("stage"))
+      },
+      Some("""WITH ev AS (SELECT user_id, event_type, ts::TIMESTAMP AS ts FROM events),
+             |v AS (SELECT user_id, min(ts) AS t_view
+             |      FROM ev WHERE event_type = 'view' GROUP BY 1),
+             |c AS (SELECT e.user_id, min(e.ts) AS t_click
+             |      FROM ev e JOIN v ON v.user_id = e.user_id
+             |      WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1),
+             |p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+             |      FROM ev e JOIN c ON c.user_id = e.user_id
+             |      WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1)
+             |SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+             |  1 + CAST(c.user_id IS NOT NULL AS BIGINT)
+             |    + CAST(p.user_id IS NOT NULL AS BIGINT) AS stage
+             |FROM v LEFT JOIN c ON c.user_id = v.user_id
+             |       LEFT JOIN p ON p.user_id = v.user_id
+             |ORDER BY v.user_id""".stripMargin),
+      doc = "Extension: ordered conversion funnel (stage mins chained by strict >)",
+      sort = Seq("user_id")
+    ),
+
+    // ── Time-RANGE window frame: per-user trailing 1-hour average —
+    // `RANGE BETWEEN INTERVAL PRECEDING` semantics, the frame type the
+    // tumbling window (w8) and row-frame queries don't cover. Spark's
+    // range frame needs a numeric ordering column, so the frame runs
+    // over unix_micros(ts); DuckDB orders by the timestamp itself with
+    // an INTERVAL bound — identical inclusive [t−1h, t] window at the
+    // shared microsecond grain. The windowed sum is decimal-exact
+    // (dsum contract) so the emitted average is engine-identical. ──
+    "w9_trailing_1h_avg" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(unix_micros(col("ts")))
+          .rangeBetween(-3600L * 1000 * 1000, 0)
+        Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+          .withColumn("n_1h", count(lit(1)).over(w))
+          .withColumn("avg_1h",
+            sum(col("value").cast(DecimalType(38, 6))).over(w)
+              .cast(DoubleType) / col("n_1h"))
+          .select(col("event_id"), col("user_id"), col("n_1h"), col("avg_1h"))
+      },
+      Some("""SELECT event_id, user_id,
+             |  COUNT(*) OVER w AS n_1h,
+             |  CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE)
+             |    / COUNT(*) OVER w AS avg_1h
+             |FROM (SELECT event_id, user_id, ts::TIMESTAMP AS ts, value
+             |      FROM events WHERE event_type = 'purchase')
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             |             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+             |ORDER BY event_id""".stripMargin),
+      doc = "Extension: time-RANGE window frame (trailing 1 h inclusive, decimal-exact avg)",
       sort = Seq("event_id")
     )
   )

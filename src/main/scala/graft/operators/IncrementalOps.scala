@@ -229,6 +229,66 @@ object IncrementalOps extends OpModule {
               |WHERE rn = 1 ORDER BY id_lancamento""".stripMargin),
       doc = "SURVEY T3/C5/C6 — ledger dd/MM/yyyy + decimal-comma + weekly restate",
       sort = Seq("id_lancamento")
+    ),
+
+    // ── T7: SCD2 (slowly-changing-dimension type 2) history build — the
+    // warehouse-side twin of K1's keep-latest upsert: instead of
+    // overwriting, every per-customer run of consecutive equal statuses
+    // becomes a versioned row with [valid_from, valid_to) and an
+    // is_current flag. Gaps-and-islands via the rn − rn_by_status trick:
+    // two row_numbers and one aggregate, all partitioned by customer
+    // (high-cardinality key — scales), never a global sort. first_key
+    // (the run's smallest orderkey) is the deterministic island anchor:
+    // two runs of one customer can share valid_from when orders tie on
+    // date, and lead() needs a total order. ──
+    "t7_scd2_history" -> Q(
+      (s, d) => {
+        val o = Tables.orders(s, d)
+          .select(col("o_custkey"), col("o_orderstatus").as("status"),
+            to_date(col("o_orderdate")).as("dt"), col("o_orderkey"))
+        val wAll = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("dt"), col("o_orderkey"))
+        val wByStatus = Window.partitionBy(col("o_custkey"), col("status"))
+          .orderBy(col("dt"), col("o_orderkey"))
+        val runs = o
+          .withColumn("grp", row_number().over(wAll) - row_number().over(wByStatus))
+          .groupBy(col("o_custkey"), col("status"), col("grp"))
+          .agg(min(col("dt")).as("valid_from"),
+            min(col("o_orderkey")).as("first_key"),
+            count(lit(1)).as("n_orders"))
+        val wSeq = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("valid_from"), col("first_key"))
+        runs
+          .withColumn("valid_to", lead(col("valid_from"), 1).over(wSeq))
+          .select(col("o_custkey"), col("status"), col("valid_from"),
+            col("valid_to"), col("first_key"), col("n_orders"),
+            col("valid_to").isNull.as("is_current"))
+      },
+      Some("""WITH o AS (
+             |  SELECT o_custkey, o_orderstatus AS status,
+             |         CAST(o_orderdate AS DATE) AS dt, o_orderkey
+             |  FROM orders),
+             |isl AS (
+             |  SELECT *,
+             |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+             |                       ORDER BY dt, o_orderkey)
+             |  - ROW_NUMBER() OVER (PARTITION BY o_custkey, status
+             |                       ORDER BY dt, o_orderkey) AS grp
+             |  FROM o),
+             |runs AS (
+             |  SELECT o_custkey, status,
+             |         min(dt) AS valid_from, min(o_orderkey) AS first_key,
+             |         COUNT(*) AS n_orders
+             |  FROM isl GROUP BY o_custkey, status, grp)
+             |SELECT o_custkey, status, valid_from,
+             |  LEAD(valid_from) OVER w AS valid_to,
+             |  first_key, n_orders,
+             |  (LEAD(valid_from) OVER w IS NULL) AS is_current
+             |FROM runs
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY valid_from, first_key)
+             |ORDER BY o_custkey, valid_from, first_key""".stripMargin),
+      doc = "Extension: SCD2 versioned history (gaps-and-islands runs + lead validity)",
+      sort = Seq("o_custkey", "valid_from", "first_key")
     )
   )
 }
