@@ -372,6 +372,47 @@ object AnnOps extends OpModule {
              |GROUP BY 1, 2 ORDER BY label, dim""".stripMargin),
       doc = "LLM-pipeline: IVF coarse-quantizer centroid build (element-wise mean)",
       sort = Seq("label", "dim")
+    ),
+
+    // ── Distributed Gramian (Xᵀ X upper triangle) — the front half of
+    // PCA / whitening over an embedding corpus. One narrow pass: each row
+    // expands to its d(d+1)/2 = 2080 component products via a nested HOF
+    // (codegen'd, no join, no per-row shuffle), then a hash aggregate on
+    // (i, j). Map-side partial aggregation collapses every partition to
+    // ≤ 2080 rows before the exchange, so the shuffle carries
+    // O(d² × partitions) — independent of corpus size. That is exactly
+    // how you'd build the covariance of 100 TB of vectors; the d×d
+    // eigensolve then happens driver-side on 2080 numbers
+    // (`PcaSpec` exercises that step). Products are quantized to 1e-6
+    // fixed point BEFORE summing — same engine-exactness argument as
+    // `ann_ivf_centroids` (both engines round the identical double
+    // product; the LONG sum is order-free and exact). ──
+    "emb_gramian" -> Q(
+      (s, d) =>
+        Tables.embeddings(s, d)
+          .select(transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+          .select(expr(
+            """explode(flatten(transform(sequence(0, size(v) - 1),
+              |  i -> transform(sequence(i, size(v) - 1),
+              |    j -> named_struct('i', i, 'j', j, 'p', v[i] * v[j])))))"""
+              .stripMargin).as("t"))
+          .select((col("t.i") + 1).cast(LongType).as("i"),
+            (col("t.j") + 1).cast(LongType).as("j"), col("t.p").as("p"))
+          .groupBy(col("i"), col("j"))
+          .agg(
+            (sum(round(col("p") * 1e6).cast(LongType)).cast(DoubleType) / 1e6)
+              .as("gram"),
+            count(lit(1)).as("n_vectors")),
+      Some("""SELECT i, j,
+             |  CAST(SUM(CAST(round(v[i] * v[j] * 1e6) AS BIGINT)) AS DOUBLE) / 1e6
+             |    AS gram,
+             |  COUNT(*) AS n_vectors
+             |FROM (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+             |     range(1, 65) s(i), range(1, 65) t(j)
+             |WHERE j >= i
+             |GROUP BY 1, 2 ORDER BY i, j""".stripMargin),
+      doc = "LLM-pipeline: distributed Gramian XᵀX (PCA/whitening front half, d² shuffle)",
+      sort = Seq("i", "j")
     )
   )
 }

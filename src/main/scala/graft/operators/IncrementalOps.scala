@@ -289,6 +289,71 @@ object IncrementalOps extends OpModule {
              |ORDER BY o_custkey, valid_from, first_key""".stripMargin),
       doc = "Extension: SCD2 versioned history (gaps-and-islands runs + lead validity)",
       sort = Seq("o_custkey", "valid_from", "first_key")
+    ),
+
+    // ── CDC snapshot diff: derive an insert/update/delete change stream
+    // from two table snapshots — what an incremental pipeline emits when
+    // the upstream has no changelog (the reference re-reads whole MySQL
+    // tables each cron tick; a 100 TB pipeline diffs snapshots instead
+    // and ships only the delta). The two snapshots here are carved
+    // deterministically from `orders` so both engines see identical
+    // inputs: keys ≡ 3 (mod 23) are absent from the old snapshot
+    // (→ inserts), keys ≡ 7 (mod 19) absent from the new (→ deletes),
+    // and keys ≡ 5 (mod 17) get a perturbed price in old (→ updates).
+    // Plan shape: ONE full-outer sort-merge join on the PK — both sides
+    // hash-partition on the same key, unchanged rows are discarded at
+    // the join, and the emitted delta is the (small) changed set. No
+    // window, no global sort, no driver state: this is the shape that
+    // holds when each snapshot is 100 TB and the delta is 0.1%. ──
+    "cdc_snapshot_diff" -> Q(
+      (s, d) => {
+        val base = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        val prev = base
+          .filter(pmod(col("o_orderkey"), lit(23)) =!= 3)
+          .select(col("o_orderkey").as("pk"),
+            col("o_orderstatus").as("old_status"),
+            when(pmod(col("o_orderkey"), lit(17)) === 5, col("o_totalprice") + 10.0)
+              .otherwise(col("o_totalprice")).as("old_price"))
+        val next = base
+          .filter(pmod(col("o_orderkey"), lit(19)) =!= 7)
+          .select(col("o_orderkey").as("nk"),
+            col("o_orderstatus").as("new_status"),
+            col("o_totalprice").as("new_price"))
+        prev.join(next, col("pk") === col("nk"), "full_outer")
+          .withColumn("op",
+            when(col("pk").isNull, "I")
+              .when(col("nk").isNull, "D")
+              .when(!(col("old_price") <=> col("new_price")) ||
+                !(col("old_status") <=> col("new_status")), "U"))
+          .filter(col("op").isNotNull)
+          .select(coalesce(col("pk"), col("nk")).as("o_orderkey"), col("op"),
+            col("old_status"), col("new_status"),
+            col("old_price"), col("new_price"))
+      },
+      Some("""WITH base AS (
+             |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+             |prev AS (
+             |  SELECT o_orderkey AS pk, o_orderstatus AS old_status,
+             |    CASE WHEN o_orderkey % 17 = 5 THEN o_totalprice + 10.0
+             |         ELSE o_totalprice END AS old_price
+             |  FROM base WHERE o_orderkey % 23 <> 3),
+             |nxt AS (
+             |  SELECT o_orderkey AS nk, o_orderstatus AS new_status,
+             |    o_totalprice AS new_price
+             |  FROM base WHERE o_orderkey % 19 <> 7)
+             |SELECT COALESCE(pk, nk) AS o_orderkey,
+             |  CASE WHEN pk IS NULL THEN 'I'
+             |       WHEN nk IS NULL THEN 'D'
+             |       ELSE 'U' END AS op,
+             |  old_status, new_status, old_price, new_price
+             |FROM prev FULL JOIN nxt ON pk = nk
+             |WHERE pk IS NULL OR nk IS NULL
+             |   OR old_price IS DISTINCT FROM new_price
+             |   OR old_status IS DISTINCT FROM new_status
+             |ORDER BY o_orderkey""".stripMargin),
+      doc = "Extension: CDC snapshot diff (I/U/D delta via one co-partitioned full-outer join)",
+      sort = Seq("o_orderkey")
     )
   )
 }

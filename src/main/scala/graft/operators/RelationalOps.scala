@@ -270,6 +270,67 @@ object RelationalOps extends OpModule {
       sort = Seq("o_orderstatus")
     ),
 
+    // ── GROUPING SETS: disjoint per-dimension subtotals in one
+    // Expand-backed aggregate — the grouping-set shape ROLLUP (a9) and
+    // CUBE (a11) can't express (each dimension alone, no combined or
+    // grand-total rows). `grouping_id` disambiguates which set a row
+    // came from; both engines share the leftmost-column-is-MSB bitmask
+    // convention. ──
+    "a12_grouping_sets" -> Q(
+      (s, d) =>
+        Tables
+          .lineitem(s, d)
+          .groupingSets(
+            Seq(Seq($("l_returnflag")), Seq($("l_linestatus"))),
+            $("l_returnflag"), $("l_linestatus"))
+          .agg(
+            grouping_id().cast(LongType).as("gid"),
+            dsum($("l_quantity")).as("sum_qty"),
+            count(lit(1)).as("n_rows")),
+      Some(s"""SELECT l_returnflag, l_linestatus,
+              |  GROUPING(l_returnflag, l_linestatus) AS gid,
+              |  ${dsumSql("l_quantity")} AS sum_qty, COUNT(*) AS n_rows
+              |FROM lineitem
+              |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+              |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
+        .stripMargin),
+      doc = "Extension: GROUPING SETS (disjoint per-dimension subtotals + grouping_id)",
+      sort = Seq("l_returnflag", "l_linestatus")
+    ),
+
+    // ── Rank-function family over a HIGH-CARDINALITY partition key:
+    // ntile quartiles, percent_rank, cume_dist per order. Partitioning
+    // by l_orderkey means millions of small independent partitions at
+    // scale — each window sorts ≤ 7 rows, hash-distributed across the
+    // cluster; contrast w6's two-phase global top-k, which this family
+    // deliberately is not. The (l_linenumber) ordering is unique within
+    // an order, so rank ≡ row_number and every emitted fraction is
+    // deterministic. ──
+    "w10_rank_family" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy($("l_orderkey")).orderBy($("l_linenumber"))
+        Tables
+          .lineitem(s, d)
+          .select($("l_orderkey"), $("l_linenumber"))
+          .withColumn("quartile", ntile(4).over(w).cast(LongType))
+          .withColumn("pct_rank", percent_rank().over(w))
+          .withColumn("cume", cume_dist().over(w))
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+             |  PERCENT_RANK() OVER w AS pct_rank,
+             |  CUME_DIST() OVER w AS cume
+             |FROM lineitem
+             |WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber)
+             |ORDER BY l_orderkey, l_linenumber, quartile""".stripMargin),
+      // quartile joins the determinism sort: the fixture carries duplicate
+      // (l_orderkey, l_linenumber) pairs, and ntile splits such ties across
+      // tiles positionally — the multiset is deterministic, the tie order
+      // isn't.
+      doc = "Extension: rank-function family (ntile/percent_rank/cume_dist, per-key windows)",
+      sort = Seq("l_orderkey", "l_linenumber", "quartile")
+    ),
+
     // ── Sketch: HyperLogLog++ distinct counts — the 100 TB path for A5/
     // A7-style cardinalities (mergeable fixed-size state, no distinct
     // shuffle). Sketch results are ENGINE-SPECIFIC (Spark HLL++ vs

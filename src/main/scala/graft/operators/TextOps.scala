@@ -349,6 +349,77 @@ object TextOps extends OpModule {
               |GROUP BY 1 ORDER BY 1""".stripMargin),
       doc = "LLM-pipeline: corpus-LM-prior quality score (mean log token frequency)",
       sort = Seq("doc_id")
+    ),
+
+    // ── Data-mixing budget: compute per-language sampling rates FROM the
+    // corpus to hit a token budget (30% of corpus tokens, split evenly
+    // across languages — the "rebalance a skewed crawl" step that
+    // precedes `ta_sample_stratified`'s fixed-rate apply). Three stages,
+    // each cheap at 100 TB: (1) per-doc token counts map-side, one tiny
+    // shuffle to per-language totals; (2) the per-language rate table is
+    // a handful of rows — joined back BROADCAST (languages are bounded,
+    // unlike `ta_lm_score`'s unbounded vocab); (3) the selection itself
+    // is the same content-stable hash-threshold filter as
+    // ta_sample_stratified, map-only. Rate arithmetic is pure double
+    // with one expression shape on both engines, so the emitted rates
+    // compare exactly. `docs` is a def: each use builds a fresh plan,
+    // sidestepping self-join exprId ambiguity. ──
+    "ta_mixture_budget" -> Q(
+      (s, d) => {
+        def docs: DataFrame = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            size(toksCol).cast(LongType).as("n_toks"),
+            pmod(phash(col("doc_id").cast(StringType)), lit(1000000)).as("bucket"))
+        val byLang = docs.groupBy(col("lang"))
+          .agg(sum(col("n_toks")).as("tot_toks"), count(lit(1)).as("n_docs"))
+        val totals = byLang.agg(
+          sum(col("tot_toks")).cast(DoubleType).as("corpus_toks"),
+          count(lit(1)).cast(DoubleType).as("n_langs"))
+        val rates = byLang.crossJoin(broadcast(totals))
+          .withColumn("rate",
+            least(lit(1.0),
+              col("corpus_toks") * 0.3 / col("n_langs") / col("tot_toks")))
+        val sel = docs
+          .join(broadcast(rates.select(col("lang").as("l2"), col("rate"))),
+            col("lang") === col("l2"))
+          .filter(col("bucket").cast(DoubleType) < col("rate") * 1000000.0)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("sel_docs"), sum(col("n_toks")).as("sel_toks"))
+        rates.select(col("lang"), col("tot_toks"), col("n_docs"), col("rate"))
+          .join(sel, Seq("lang"), "left")
+          .select(col("lang"), col("tot_toks"), col("n_docs"), col("rate"),
+            coalesce(col("sel_docs"), lit(0L)).as("sel_docs"),
+            coalesce(col("sel_toks"), lit(0L)).as("sel_toks"))
+      },
+      Some(s"""WITH docs AS (
+              |  SELECT doc_id, lang, len($toksSql)::BIGINT AS n_toks,
+              |    ${phashSql("CAST(doc_id AS VARCHAR)")} % 1000000 AS bucket
+              |  FROM documents),
+              |by_lang AS (
+              |  SELECT lang, CAST(SUM(n_toks) AS BIGINT) AS tot_toks,
+              |    COUNT(*) AS n_docs
+              |  FROM docs GROUP BY 1),
+              |tot AS (
+              |  SELECT CAST(SUM(tot_toks) AS BIGINT)::DOUBLE AS corpus_toks,
+              |    COUNT(*)::DOUBLE AS n_langs
+              |  FROM by_lang),
+              |rates AS (
+              |  SELECT lang, tot_toks, n_docs,
+              |    least(1.0, corpus_toks * 0.3 / n_langs / tot_toks) AS rate
+              |  FROM by_lang, tot),
+              |sel AS (
+              |  SELECT d.lang, COUNT(*) AS sel_docs,
+              |    CAST(SUM(d.n_toks) AS BIGINT) AS sel_toks
+              |  FROM docs d JOIN rates r ON r.lang = d.lang
+              |  WHERE d.bucket::DOUBLE < r.rate * 1000000.0
+              |  GROUP BY 1)
+              |SELECT r.lang, r.tot_toks, r.n_docs, r.rate,
+              |  COALESCE(s.sel_docs, 0) AS sel_docs,
+              |  COALESCE(s.sel_toks, 0) AS sel_toks
+              |FROM rates r LEFT JOIN sel s ON s.lang = r.lang
+              |ORDER BY r.lang""".stripMargin),
+      doc = "LLM-pipeline: data-mixing budget (per-language rates from corpus token totals)",
+      sort = Seq("lang")
     )
   )
 
