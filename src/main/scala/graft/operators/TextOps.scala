@@ -420,6 +420,85 @@ object TextOps extends OpModule {
               |ORDER BY r.lang""".stripMargin),
       doc = "LLM-pipeline: data-mixing budget (per-language rates from corpus token totals)",
       sort = Seq("lang")
+    ),
+
+    // ── End-to-end corpus preparation — the integration query that chains
+    // the pipeline's stages the way a real pre-training run does:
+    // (1) exact dedup on the bag-of-words fingerprint (one window over
+    // hash-partitioned fingerprint groups, keep-first by doc_id);
+    // (2) quality scoring + threshold (map-only, ta_quality's formula);
+    // (3) per-source-shard sequence packing over the survivors (the
+    // ta_pack_sequences window, now on the filtered set). Stage order
+    // matters at scale: dedup before scoring avoids scoring dropped
+    // copies, and packing must run last because bins depend on which
+    // docs survive. Two shuffles total (fingerprint groups, source
+    // shards) — both on keys that scale with the corpus. ──
+    "ta_corpus_prep" -> Q(
+      (s, d) => {
+        val wFp = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("bow_fp")).orderBy(col("doc_id"))
+        val wPack = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col("doc_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), col("source"), col("text"),
+            toksCol.as("toks"))
+          .withColumn("bow_fp",
+            md5(array_join(array_sort(array_distinct(col("toks"))), " ")))
+          .withColumn("rn", row_number().over(wFp))
+          .filter(col("rn") === 1)
+          .select(
+            col("doc_id"), col("lang"), col("source"),
+            size(col("toks")).cast(LongType).as("n_toks"),
+            expr(hitsExpr(lex.head._2)).cast(LongType).as("stop_hits"),
+            length(regexp_replace(col("text"), "[^0-9]", "")).cast(LongType)
+              .as("n_digits"),
+            length(col("text")).cast(LongType).as("n_chars_m"))
+          .withColumn("quality_score",
+            least(lit(1.0), col("n_toks") / lit(100.0)) *
+              (lit(0.5) + lit(0.5) * least(lit(1.0), col("stop_hits") / lit(5.0))) *
+              (lit(1.0) - col("n_digits").cast(DoubleType) / col("n_chars_m")))
+          .filter(col("quality_score") >= 0.2)
+          .withColumn("cum_toks", sum(col("n_toks")).over(wPack))
+          .select(col("doc_id"), col("source"), col("lang"), col("n_toks"),
+            col("quality_score"),
+            expr("(cum_toks - n_toks) div 4096").as("bin"))
+      },
+      Some(s"""WITH base AS (
+              |  SELECT doc_id, lang, source, text, $toksSql AS toks
+              |  FROM documents),
+              |ded AS (
+              |  SELECT * FROM (
+              |    SELECT *, ROW_NUMBER() OVER (
+              |      PARTITION BY md5(array_to_string(
+              |        list_sort(list_distinct(toks)), ' '))
+              |      ORDER BY doc_id) AS rn
+              |    FROM base)
+              |  WHERE rn = 1),
+              |scored AS (
+              |  SELECT doc_id, lang, source, n_toks,
+              |    least(1.0, n_toks / 100.0)
+              |      * (0.5 + 0.5 * least(1.0, stop_hits / 5.0))
+              |      * (1.0 - n_digits::DOUBLE / n_chars_m) AS quality_score
+              |  FROM (
+              |    SELECT doc_id, lang, source,
+              |      len(toks)::BIGINT AS n_toks,
+              |      ${hitsSql(lex.head._2)}::BIGINT AS stop_hits,
+              |      length(regexp_replace(text, '[^0-9]', '', 'g'))::BIGINT
+              |        AS n_digits,
+              |      length(text)::BIGINT AS n_chars_m
+              |    FROM ded)),
+              |keep AS (SELECT * FROM scored WHERE quality_score >= 0.2)
+              |SELECT doc_id, source, lang, n_toks, quality_score,
+              |  (cum_toks - n_toks) // 4096 AS bin
+              |FROM (
+              |  SELECT *, CAST(SUM(n_toks) OVER (PARTITION BY source
+              |    ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+              |    AS cum_toks
+              |  FROM keep)
+              |ORDER BY doc_id""".stripMargin),
+      doc = "LLM-pipeline: end-to-end corpus prep (dedup -> quality gate -> shard packing)",
+      sort = Seq("doc_id")
     )
   )
 
