@@ -229,6 +229,56 @@ object AsofOps extends OpModule {
     // shuffle on user_id for the first groupBy, then every later join
     // and groupBy reuses that key — co-partitioned, no second wide
     // shuffle; stage relations only shrink. ──
+    // ── As-of join with TOLERANCE: the backward as-of, but a match only
+    // counts within 1 hour — pandas' merge_asof(tolerance=...) /
+    // kdb wj-style semantics. Same single-shuffle union + running-window
+    // machinery as asof_join_last_purchase, carrying the matched
+    // purchase's timestamp alongside its value so the tolerance is a
+    // map-side post-filter (no second join). DuckDB has no native
+    // tolerance, so the twin is ASOF LEFT JOIN + the same CASE guard. ──
+    "asof_join_tolerance_1h" -> Q(
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val purchases = e.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("value")).as("pv"))
+          .select(col("user_id"), col("ts"), col("pv"),
+            lit(1).as("is_p"), lit(null).cast("long").as("event_id"))
+        val errors = e.filter(col("event_type") === "error")
+          .select(col("user_id"), col("ts"),
+            lit(null).cast("double").as("pv"), lit(0).as("is_p"),
+            col("event_id"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("is_p").desc)
+          .rowsBetween(Window.unboundedPreceding, 0)
+        purchases.unionByName(errors)
+          .withColumn("last_pv", last(col("pv"), ignoreNulls = true).over(w))
+          .withColumn("last_pts",
+            last(when(col("is_p") === 1, col("ts")), ignoreNulls = true).over(w))
+          .filter(col("is_p") === 0)
+          .select(col("event_id"), col("user_id"),
+            when(
+              unix_micros(col("ts")) - unix_micros(col("last_pts")) <=
+                3600L * 1000 * 1000,
+              col("last_pv")).as("tol_purchase_value"))
+      },
+      Some("""SELECT event_id, user_id,
+             |  CASE WHEN pts IS NOT NULL AND e_ts - pts <= INTERVAL 1 HOUR
+             |       THEN pv END AS tol_purchase_value
+             |FROM (
+             |  SELECT e.event_id, e.user_id, e.ts AS e_ts, p.ts AS pts, p.pv
+             |  FROM (SELECT event_id, user_id, ts::TIMESTAMP AS ts
+             |        FROM events WHERE event_type = 'error') e
+             |  ASOF LEFT JOIN (SELECT user_id, ts::TIMESTAMP AS ts,
+             |                    max(value) AS pv
+             |                  FROM events WHERE event_type = 'purchase'
+             |                  GROUP BY 1, 2) p
+             |    ON e.user_id = p.user_id AND p.ts <= e.ts)
+             |ORDER BY event_id""".stripMargin),
+      doc = "Extension: as-of join with 1 h tolerance (pandas merge_asof semantics)",
+      sort = Seq("event_id")
+    ),
+
     "funnel_view_click_purchase" -> Q(
       (s, d) => {
         val e = Tables.events(s, d)

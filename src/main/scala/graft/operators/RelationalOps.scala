@@ -351,6 +351,28 @@ object RelationalOps extends OpModule {
       sort = Seq("l_returnflag")
     ),
 
+    // ── Sketch: approximate quantiles — the 100 TB path for a8's exact
+    // interpolated percentiles. percentile_approx's GK sketch is
+    // mergeable fixed-size state (map-side partials, one tiny shuffle)
+    // where exact percentile must materialize each group's values.
+    // Engine-specific by design → rows-only check; `SketchSpec` pins the
+    // rank-error contract against the exact values. ──
+    "sk3_approx_quantiles" -> Q(
+      (s, d) =>
+        Tables
+          .lineitem(s, d)
+          .groupBy($("l_returnflag"))
+          .agg(
+            percentile_approx($("l_extendedprice"), lit(0.5), lit(10000))
+              .as("approx_median"),
+            percentile_approx($("l_extendedprice"), lit(0.9), lit(10000))
+              .as("approx_p90"),
+            count(lit(1)).as("n_rows")),
+      None,
+      doc = "Extension: GK approximate quantiles (rows-only check; rank error pinned in SketchSpec)",
+      sort = Seq("l_returnflag")
+    ),
+
     // ── Sketch: bloom-filter join pruning — the 100 TB path for a
     // selective dim⋈fact join. Catalyst's InjectRuntimeFilter does this
     // automatically when thresholds line up; this query is the explicit,

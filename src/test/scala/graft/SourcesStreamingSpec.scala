@@ -55,4 +55,34 @@ class SourcesStreamingSpec extends AnyFunSuite {
       "late straggler must not be counted")
     assert(rows(java.sql.Date.valueOf("2024-05-10")) == 1L)
   }
+
+  test("streaming dedup within watermark drops redelivered events, bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    val deduped = input.toDF().toDF("event_id", "ts")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+    val q = deduped.writeStream
+      .format("memory").queryName("stream_dedup").outputMode("append").start()
+    def ts(s: String) = Timestamp.valueOf(s)
+    // original + same-batch redelivery + cross-batch redelivery: one row
+    input.addData((1L, ts("2024-05-01 10:00:00")), (1L, ts("2024-05-01 10:00:30")))
+    q.processAllAvailable()
+    input.addData((1L, ts("2024-05-01 10:05:00")), (2L, ts("2024-05-01 10:05:00")))
+    q.processAllAvailable()
+    // advance the watermark far past id 1's state; a much later replay of
+    // id 1 is a NEW event by contract (state is bounded, not forever)
+    input.addData((3L, ts("2024-05-01 11:00:00")))
+    q.processAllAvailable()
+    input.addData((1L, ts("2024-05-01 11:00:01")))
+    q.processAllAvailable()
+    q.stop()
+
+    val ids = spark.table("stream_dedup")
+      .as[(Long, Timestamp)].collect().toSeq.map(_._1)
+    assert(ids.count(_ == 1L) == 2, s"ids: $ids") // original + post-eviction replay
+    assert(ids.count(_ == 2L) == 1)
+    assert(ids.count(_ == 3L) == 1)
+  }
 }
