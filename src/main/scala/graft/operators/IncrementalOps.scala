@@ -354,6 +354,55 @@ object IncrementalOps extends OpModule {
              |ORDER BY o_orderkey""".stripMargin),
       doc = "Extension: CDC snapshot diff (I/U/D delta via one co-partitioned full-outer join)",
       sort = Seq("o_orderkey")
+    ),
+
+    // ── Time-series gap filling: build each series' calendar spine with
+    // `sequence` (data-derived bounds — no driver loop, no collected
+    // dates), left-join the observed daily aggregate, then emit both
+    // fill policies a mart uses: zero-fill (a missing sales day IS zero
+    // revenue) and carry-forward (`last_value IGNORE NULLS` — the fill
+    // for level/state metrics). Spine generation and the fill window
+    // both partition by the series key; the fixture key is the 3-value
+    // returnflag, but the shape is per-series (sensor, SKU) where the
+    // key is high-cardinality and each window stays small. ──
+    "ts_gapfill_daily" -> Q(
+      (s, d) => {
+        val daily = Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag").as("flag"),
+            to_date(col("l_shipdate")).as("d"))
+          .agg(dsum(col("l_extendedprice")).as("rev"))
+        val spine = daily.groupBy(col("flag"))
+          .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+          .select(col("flag"),
+            explode(sequence(col("d0"), col("d1"), expr("interval 1 day")))
+              .as("d"))
+        val w = Window.partitionBy(col("flag")).orderBy(col("d"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        spine.join(daily, Seq("flag", "d"), "left")
+          .select(col("flag"), col("d"),
+            coalesce(col("rev"), lit(0.0)).as("rev_zero_filled"),
+            last(col("rev"), ignoreNulls = true).over(w).as("rev_carry_forward"),
+            col("rev").isNull.as("is_gap"))
+      },
+      Some(s"""WITH daily AS (
+              |  SELECT l_returnflag AS flag, CAST(l_shipdate AS DATE) AS d,
+              |    ${dsumSql("l_extendedprice")} AS rev
+              |  FROM lineitem GROUP BY 1, 2),
+              |spine AS (
+              |  SELECT flag,
+              |    unnest(generate_series(d0::TIMESTAMP, d1::TIMESTAMP,
+              |      INTERVAL 1 DAY))::DATE AS d
+              |  FROM (SELECT flag, min(d) AS d0, max(d) AS d1
+              |        FROM daily GROUP BY 1))
+              |SELECT s.flag, s.d,
+              |  COALESCE(rev, 0.0) AS rev_zero_filled,
+              |  last_value(rev IGNORE NULLS) OVER (PARTITION BY s.flag
+              |    ORDER BY s.d ROWS UNBOUNDED PRECEDING) AS rev_carry_forward,
+              |  rev IS NULL AS is_gap
+              |FROM spine s LEFT JOIN daily USING (flag, d)
+              |ORDER BY s.flag, s.d""".stripMargin),
+      doc = "Extension: calendar-spine gap filling (zero-fill + carry-forward, per-series windows)",
+      sort = Seq("flag", "d")
     )
   )
 }

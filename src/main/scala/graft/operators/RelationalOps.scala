@@ -373,6 +373,85 @@ object RelationalOps extends OpModule {
       sort = Seq("l_returnflag")
     ),
 
+    // ── Sketch: HLL rollup via MERGEABLE state — per-(flag, status)
+    // Datasketches HLL sketches built in one pass, then UNIONED per flag
+    // without touching the raw data again. This is the property that
+    // makes sketches the 100 TB answer: the fine-grain sketch table is
+    // tiny and re-aggregates to any coarser grain (day→month, SKU→brand)
+    // at sketch-merge cost. Rows-only check (sketch estimates are
+    // engine-specific); `SketchSpec` pins the estimate-vs-exact
+    // contract at both grains. ──
+    "sk4_hll_merge_rollup" -> Q(
+      (s, d) => {
+        val fine = Tables.lineitem(s, d)
+          .groupBy($("l_returnflag"), $("l_linestatus"))
+          .agg(hll_sketch_agg($("l_orderkey"), lit(12)).as("sk"))
+        fine.groupBy($("l_returnflag"))
+          .agg(hll_sketch_estimate(hll_union_agg($("sk"), lit(false)))
+            .as("approx_orders"),
+            count(lit(1)).as("n_sketches"))
+      },
+      None,
+      doc = "Extension: mergeable HLL sketch rollup (fine sketches union to coarse grain)",
+      sort = Seq("l_returnflag")
+    ),
+
+    // ── Data-quality: two-pass z-score outlier detection. Pass 1 is one
+    // hash aggregate producing engine-exact moment sums (n, Σx, Σx²
+    // through the dsum decimal path); mean/σ derive from them in
+    // identical double arithmetic on both engines — NOT the built-in
+    // stddev, whose streaming update order is engine- and
+    // partition-dependent — then quantize to 1e-6 through a LONG
+    // intermediate (DuckDB's double→decimal conversion can sit 1 ulp
+    // off Spark's exact path on rare Σx² addends, and the quantized
+    // stats feed both the output AND the 3σ comparison, so a last-ulp
+    // σ can never flip a borderline row). Pass 2 re-scans with the
+    // tiny moments table broadcast and counts |x − μ| > 3σ. Two scans,
+    // zero wide shuffles of the fact. ──
+    "dq2_zscore_outliers" -> Q(
+      (s, d) => {
+        def q6(c: org.apache.spark.sql.Column) =
+          round(c * 1e6).cast(LongType).cast(DoubleType) / 1e6
+        val li = Tables.lineitem(s, d)
+        val moments = li.groupBy($("l_returnflag"))
+          .agg(
+            count(lit(1)).as("n"),
+            dsum($("l_extendedprice")).as("s1"),
+            dsum($("l_extendedprice") * $("l_extendedprice")).as("s2"))
+          .withColumn("mean", q6($("s1") / $("n")))
+          .withColumn("sigma",
+            q6(sqrt(($("s2") - $("s1") * $("s1") / $("n")) / ($("n") - 1))))
+        li.select($("l_returnflag"), $("l_extendedprice"))
+          .join(broadcast(moments.select($("l_returnflag"), $("mean"), $("sigma"))),
+            Seq("l_returnflag"))
+          .groupBy($("l_returnflag"), $("mean"), $("sigma"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(when(abs($("l_extendedprice") - $("mean")) > lit(3.0) * $("sigma"), 1L)
+              .otherwise(0L)).as("n_outliers"))
+          .select($("l_returnflag"), $("n"), $("mean"), $("sigma"), $("n_outliers"))
+      },
+      Some(s"""WITH moments AS (
+              |  SELECT l_returnflag, COUNT(*) AS n,
+              |    ${dsumSql("l_extendedprice")} AS s1,
+              |    ${dsumSql("l_extendedprice * l_extendedprice")} AS s2
+              |  FROM lineitem GROUP BY 1),
+              |m2 AS (
+              |  SELECT l_returnflag, n,
+              |    CAST(round(s1 / n * 1e6) AS BIGINT) / 1e6 AS mean,
+              |    CAST(round(sqrt((s2 - s1 * s1 / n) / (n - 1)) * 1e6) AS BIGINT)
+              |      / 1e6 AS sigma
+              |  FROM moments)
+              |SELECT l.l_returnflag, m.n, m.mean, m.sigma,
+              |  CAST(SUM(CASE WHEN abs(l.l_extendedprice - m.mean) > 3.0 * m.sigma
+              |                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+              |FROM lineitem l JOIN m2 m ON m.l_returnflag = l.l_returnflag
+              |GROUP BY 1, 2, 3, 4
+              |ORDER BY 1""".stripMargin),
+      doc = "Extension: two-pass z-score outlier audit (exact moment sums, broadcast stats)",
+      sort = Seq("l_returnflag")
+    ),
+
     // ── Sketch: bloom-filter join pruning — the 100 TB path for a
     // selective dim⋈fact join. Catalyst's InjectRuntimeFilter does this
     // automatically when thresholds line up; this query is the explicit,

@@ -54,4 +54,17 @@ class SketchSpec extends AnyFunSuite {
       assert(a90 >= lo90 && a90 <= hi90, s"$k p90 $a90 outside [$lo90,$hi90]")
     }
   }
+
+  test("sk4: merged HLL sketches estimate within 5% of exact distinct at the coarse grain") {
+    val sf = TestSpark.sf0001
+    val merged = SparkEntry.queries("sk4_hll_merge_rollup")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    val exact = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged.keySet == exact.keySet)
+    for ((k, e) <- exact)
+      assert(math.abs(merged(k) - e) / e < 0.05, s"$k: ${merged(k)} vs $e")
+  }
 }
