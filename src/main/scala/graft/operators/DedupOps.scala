@@ -382,17 +382,15 @@ object DedupOps extends OpModule {
       (s, d) => {
         val edges = minhashEdges(s, d)
         val docs = Tables.documents(s, d).select(col("doc_id"))
-        // Propagate only over the edge-touched subgraph: a doc with no
-        // near-dup edge keeps its own label through every round, so the
-        // iterative joins/groupBys run on the (small) node set of the
-        // similarity graph, not the corpus. Singletons rejoin at the end
-        // via an anti-join (no forced broadcast: the node set is usually
-        // tiny and AQE picks the broadcast plan itself, but an adversarial
-        // corpus where most docs have a near-dup must not pin an
-        // unbounded relation to a broadcast). Value-identical to
-        // propagating over all docs (the oracle twin replays that form).
-        val nodes = edges.select(col("src").as("doc_id")).distinct()
-        var labels = nodes.withColumn("label", col("doc_id"))
+        // Labels iterate over ALL docs. The alternative — propagate only
+        // the edge-touched subgraph and anti-join singletons back — was
+        // measured SLOWER here (interleaved A/B at sf0.01: 1.5 s vs
+        // 3.4 s steady-state): with 3 fixed rounds the extra
+        // distinct/anti-join/union exchanges cost more than the smaller
+        // per-round relations save, at any scale where 3 rounds is the
+        // right depth. The subgraph restriction lives where it pays:
+        // [[survivorsToFixpoint]], whose round count is unbounded.
+        var labels = docs.withColumn("label", col("doc_id"))
         for (_ <- 1 to 3) {
           val fromNeighbors = edges
             .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
@@ -401,16 +399,8 @@ object DedupOps extends OpModule {
             .groupBy(col("doc_id"))
             .agg(min(col("label")).as("label"))
         }
-        // anti-join against `nodes`, not `labels`: same key set, but
-        // `labels` is the whole 3-round iterative subtree and appears in
-        // the union branch already — referencing it twice would execute
-        // the propagation twice (measured: +75% on this query).
-        val singletons = docs
-          .join(nodes, Seq("doc_id"), "left_anti")
-          .withColumn("label", col("doc_id"))
-        labels.unionByName(singletons)
-          .select(col("doc_id"), col("label").as("cluster_id"),
-            (col("doc_id") === col("label")).as("is_survivor"))
+        labels.select(col("doc_id"), col("label").as("cluster_id"),
+          (col("doc_id") === col("label")).as("is_survivor"))
       },
       Some {
         val mh = s"""WITH sh AS (${shingledSql(3)}),

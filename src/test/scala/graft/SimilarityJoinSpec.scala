@@ -16,6 +16,17 @@ class SimilarityJoinSpec extends AnyFunSuite {
     SimilarityJoin(Tables.documents(spark, sf), "doc_id", "text",
       shingleN = 3, numHashes = 32, bandRows = 4, threshold = 0.8)
 
+  test("phashPair from digest bytes == the hex-parse phash family") {
+    val samples = Seq("", "a", "the quick brown fox", "café ünïcode 漢字",
+      "x" * 1000) ++ (1 to 50).map(i => s"shingle $i of words")
+    for (s <- samples) {
+      val hex = Exprs.md5Hex(s)
+      val h1 = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      val h2 = java.lang.Long.parseLong(hex.substring(15, 29), 16) % (1L << 55)
+      assert(SimilarityJoin.phashPair(s) == ((h1, h2)), s"mismatch on '$s'")
+    }
+  }
+
   test("plans through the injected strategy as SimilarityJoinExec") {
     // sparkPlan, not executedPlan: the AQE wrapper holds its input plan
     // as a field, not a child, so exists() can't see through it
