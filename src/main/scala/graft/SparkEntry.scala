@@ -20,7 +20,8 @@ object SparkEntry {
     operators.MultimodalOps,
     operators.IncrementalOps,
     operators.CustomFnOps,
-    operators.AsofOps
+    operators.AsofOps,
+    operators.GraphOps
   )
 
   private lazy val all: Map[String, Q] =

@@ -413,6 +413,56 @@ object AnnOps extends OpModule {
              |GROUP BY 1, 2 ORDER BY i, j""".stripMargin),
       doc = "LLM-pipeline: distributed Gramian XᵀX (PCA/whitening front half, d² shuffle)",
       sort = Seq("i", "j")
+    ),
+
+    // ── Recall@5 evaluation: how much of the EXACT cosine top-5 does the
+    // single-cell IVF probe recover per query? The measurement every ANN
+    // index ships with — recall is the accuracy axis of the
+    // recall/cost trade the cell restriction buys. Both sides reuse the
+    // broadcast-queries + two-phase-rank pipeline; the join of the two
+    // tiny top-k sets and the per-query aggregate are driver-negligible
+    // at any corpus size (8×5 rows each). hits/5.0 is one exact int→
+    // double conversion and one division — engine-exact. ──
+    "ann_recall_ivf" -> Q(
+      (s, d) => {
+        val e = withNorm(Tables.embeddings(s, d))
+        val q = e.filter(col("vec_id") < 8)
+        val bf = topk(q, e, 5, sameCell = false)
+          .select(col("query_id"), col("neighbor_id"))
+        val iv = topk(q, e, 5, sameCell = true)
+          .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+        bf.join(iv, Seq("query_id", "neighbor_id"), "left")
+          .groupBy(col("query_id"))
+          .agg(count(col("hit")).as("hits"))
+          .select(col("query_id"), col("hits"),
+            (col("hits").cast(DoubleType) / lit(5.0)).as("recall_at_5"))
+      },
+      Some(s"""WITH e AS ($withNormSql),
+              |bf AS (
+              |  SELECT query_id, neighbor_id FROM (
+              |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+              |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+              |        ORDER BY ${dotSql("q.v", "c.v")} / (q.norm * c.norm) DESC,
+              |                 c.vec_id) AS rnk
+              |    FROM e q JOIN e c ON q.vec_id < 8 AND c.vec_id <> q.vec_id)
+              |  WHERE rnk <= 5),
+              |iv AS (
+              |  SELECT query_id, neighbor_id FROM (
+              |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+              |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+              |        ORDER BY ${dotSql("q.v", "c.v")} / (q.norm * c.norm) DESC,
+              |                 c.vec_id) AS rnk
+              |    FROM e q JOIN e c
+              |      ON q.vec_id < 8 AND c.vec_id <> q.vec_id
+              |         AND c.label = q.label)
+              |  WHERE rnk <= 5)
+              |SELECT b.query_id, count(i.query_id)::BIGINT AS hits,
+              |  count(i.query_id) / 5.0 AS recall_at_5
+              |FROM bf b LEFT JOIN iv i
+              |  ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+              |GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "LLM-pipeline: recall@5 of the IVF cell probe vs the exact top-5 (per-query eval)",
+      sort = Seq("query_id")
     )
   )
 }

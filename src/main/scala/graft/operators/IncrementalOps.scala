@@ -403,6 +403,83 @@ object IncrementalOps extends OpModule {
               |ORDER BY s.flag, s.d""".stripMargin),
       doc = "Extension: calendar-spine gap filling (zero-fill + carry-forward, per-series windows)",
       sort = Seq("flag", "d")
+    ),
+
+    // ── Cohort retention: customers cohorted by first-order month,
+    // activity counted per (cohort, months-since). Integer-only (month
+    // index = year*12+month, distinct customer counts), so engine-exact
+    // by construction. Shape at scale: the cohort map is a groupBy on
+    // the customer key; activity joins it back co-partitioned on the
+    // same key; the final (cohort, months_since) aggregate is tiny.
+    // The distinct-per-(cohort,month,customer) pre-aggregation runs on
+    // the customer-keyed shuffle — no countDistinct expand. ──
+    "coh1_retention" -> Q(
+      (s, d) => {
+        val o = Tables.orders(s, d)
+          .select(col("o_custkey"),
+            (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+              .as("mi"),
+            trunc(to_date(col("o_orderdate")), "month").as("m"))
+        val cohort = o.groupBy(col("o_custkey"))
+          .agg(min(col("mi")).as("c_mi"), min(col("m")).as("cohort"))
+        o.join(cohort, Seq("o_custkey"))
+          .select(col("o_custkey"), col("cohort"),
+            (col("mi") - col("c_mi")).as("months_since"))
+          .distinct()
+          .groupBy(col("cohort"), col("months_since"))
+          .agg(count(lit(1)).as("n_active"))
+      },
+      Some("""WITH o AS (
+             |  SELECT o_custkey,
+             |    year(o_orderdate)*12 + month(o_orderdate) AS mi,
+             |    date_trunc('month', o_orderdate)::DATE AS m
+             |  FROM orders),
+             |co AS (
+             |  SELECT o_custkey, min(mi) AS c_mi, min(m) AS cohort
+             |  FROM o GROUP BY 1),
+             |act AS (
+             |  SELECT DISTINCT o.o_custkey, co.cohort,
+             |    o.mi - co.c_mi AS months_since
+             |  FROM o JOIN co USING (o_custkey))
+             |SELECT cohort, months_since, count(*)::BIGINT AS n_active
+             |FROM act GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      doc = "Extension: cohort retention triangle (first-order cohort x months-since activity)",
+      sort = Seq("cohort", "months_since")
+    ),
+
+    // ── Exponentially-decayed engagement score per user: each event
+    // contributes value · 0.5^(days before the corpus max date) — a
+    // 1-day-half-life recency weighting. Engine-exact despite the
+    // floating point: 0.5^k is a bare exponent shift (bit-identical in
+    // any IEEE engine), the product rounds once deterministically, and
+    // each term is then quantized to LONG micro-units BEFORE the sum, so
+    // the aggregate is an order-free integer sum — a raw double sum
+    // would depend on partition order. Map-only until one user-keyed
+    // hash agg; the max date rides a broadcast, as everywhere else. ──
+    "ts_decay_score" -> Q(
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val mx = e.agg(max(to_date(col("ts"))).as("max_d"))
+        e.crossJoin(broadcast(mx))
+          .select(col("user_id"),
+            round(col("value") *
+              pow(lit(0.5), datediff(col("max_d"), to_date(col("ts")))) * 1e6)
+              .cast(LongType).as("m"))
+          .groupBy(col("user_id"))
+          .agg(sum(col("m")).as("score_micro"), count(lit(1)).as("n_events"))
+      },
+      Some("""WITH mx AS (SELECT max(ts::DATE) AS max_d FROM events),
+             |d AS (
+             |  SELECT user_id,
+             |    CAST(round(value
+             |      * power(0.5, date_diff('day', ts::DATE, (SELECT max_d FROM mx)))
+             |      * 1000000) AS BIGINT) AS m
+             |  FROM events)
+             |SELECT user_id, sum(m)::BIGINT AS score_micro,
+             |  count(*)::BIGINT AS n_events
+             |FROM d GROUP BY 1 ORDER BY user_id""".stripMargin),
+      doc = "Extension: exponential-decay engagement score (half-life weighting, order-free fixed-point sum)",
+      sort = Seq("user_id")
     )
   )
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Exprs, OpModule, Q, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -499,6 +500,99 @@ object TextOps extends OpModule {
               |ORDER BY doc_id""".stripMargin),
       doc = "LLM-pipeline: end-to-end corpus prep (dedup -> quality gate -> shard packing)",
       sort = Seq("doc_id")
+    ),
+
+    // ── TF-IDF top-3 terms per document. The idf is the RATIONAL variant
+    // (N+1)/(df+1) — no logarithm, deliberately: ln() is a libm call with
+    // no cross-engine bit guarantee, while int-valued doubles and one
+    // division are IEEE-exact in both engines, so the scores (and the
+    // ranking they drive) are engine-identical with no quantization step.
+    // Monotonic in tf and 1/df like the log form, which is all a top-k
+    // ranking consumes. Shape at scale: tf is a (doc, term) hash agg, df
+    // a (term) hash agg, both map-side combined; the corpus count rides a
+    // broadcast; the rank window partitions by doc_id (high-cardinality,
+    // per-doc groups bounded by document length). ──
+    "ta_tfidf" -> Q(
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), explode(toksCol).as("term"))
+          .filter(col("term") =!= "")
+        val tf = toks.groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        val df = toks.select(col("doc_id"), col("term")).distinct()
+          .groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val n = Tables.documents(s, d).agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("term").asc)
+        tf.join(df, Seq("term")).crossJoin(broadcast(n))
+          .withColumn("score",
+            (col("tf") * (col("n") + lit(1.0))) / (col("df") + lit(1.0)))
+          .withColumn("rnk", row_number().over(w).cast(LongType))
+          .filter(col("rnk") <= 3)
+          .select(col("doc_id"), col("rnk"), col("term"), col("tf"),
+            col("df"), col("score"))
+      },
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id, unnest($toksSql) AS term FROM documents),
+              |tf AS (
+              |  SELECT doc_id, term, count(*)::BIGINT AS tf
+              |  FROM toks WHERE term <> '' GROUP BY 1, 2),
+              |df AS (
+              |  SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+              |  FROM toks WHERE term <> '' GROUP BY 1),
+              |n AS (SELECT count(*)::BIGINT AS n FROM documents),
+              |ranked AS (
+              |  SELECT doc_id, term, tf, df,
+              |    (tf * (n.n + 1.0)) / (df + 1.0) AS score
+              |  FROM tf JOIN df USING (term) CROSS JOIN n)
+              |SELECT doc_id,
+              |  row_number() OVER (PARTITION BY doc_id
+              |    ORDER BY score DESC, term)::BIGINT AS rnk,
+              |  term, tf, df, score
+              |FROM ranked
+              |QUALIFY rnk <= 3 ORDER BY doc_id, rnk""".stripMargin),
+      doc = "LLM-pipeline: TF-IDF top-3 terms per document (log-free rational idf, engine-exact)",
+      sort = Seq("doc_id", "rnk")
+    ),
+
+    // ── Inverted index: per term, document frequency + a CAPPED posting
+    // list (first 10 doc_ids). The posting cap is enforced BEFORE any
+    // array materializes — a per-term row_number ≤ 10 (WindowGroupLimit
+    // prunes each map partition to 10 rows per term before the exchange),
+    // so a stopword's million-document posting never exists as an array;
+    // collect_list only ever sees ≤ 10 rows per term. The df count
+    // aggregates separately over all (doc, term) pairs. Emitted as a
+    // joined string so the driver compares scalars, not nested lists. ──
+    "ta_inverted_index" -> Q(
+      (s, d) => {
+        val pairs = Tables.documents(s, d)
+          .select(col("doc_id"), explode(toksCol).as("term"))
+          .filter(col("term") =!= "")
+          .distinct()
+        val df = pairs.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val w = Window.partitionBy(col("term")).orderBy(col("doc_id"))
+        val posting = pairs
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 10)
+          .groupBy(col("term"))
+          .agg(array_join(sort_array(collect_list(col("doc_id"))), ",")
+            .as("posting"))
+        df.join(posting, Seq("term"))
+          .orderBy(col("df").desc, col("term").asc)
+          .limit(50)
+          .select(col("term"), col("df"), col("posting"))
+      },
+      Some(s"""WITH pairs AS (
+              |  SELECT DISTINCT doc_id, term FROM (
+              |    SELECT doc_id, unnest($toksSql) AS term FROM documents)
+              |  WHERE term <> '')
+              |SELECT term, count(*)::BIGINT AS df,
+              |  array_to_string(list(doc_id ORDER BY doc_id)[1:10], ',')
+              |    AS posting
+              |FROM pairs GROUP BY 1
+              |ORDER BY df DESC, term LIMIT 50""".stripMargin),
+      doc = "LLM-pipeline: inverted index build (df + capped posting lists, cap applied pre-array)",
+      sort = Nil
     )
   )
 
