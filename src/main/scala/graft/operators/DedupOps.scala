@@ -348,6 +348,56 @@ object DedupOps extends OpModule {
       sort = Seq("doc_a", "doc_b")
     ),
 
+    // ── Containment scoring on the LSH candidate pairs: |A∩B|/|A| and
+    // |A∩B|/|B| — the asymmetric cousin of Jaccard that catches
+    // quote/subset relationships (a short doc wholly embedded in a long
+    // one scores ~1.0 on its side while Jaccard stays low). Candidates
+    // still come from the minhash bands, so recall is bounded by the
+    // Jaccard-LSH contract — the honest trade, documented: a
+    // containment-complete index would band over the SHORTER side's
+    // shingles only. Intersections are co-counted on skinny rows (same
+    // plan shape as [[jaccardPairs]]); each containment is one exact
+    // int→double division. ──
+    "dedup_containment" -> Q(
+      (s, d) => {
+        val sets = shingled(s, d, 3)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        sets.count()
+        val pairs = candidates(bandSigs(sets, 32, 4))
+        val sizes = sets.select(col("doc_id"), size(col("shingles")).as("sz"))
+        val ex = sets.select(col("doc_id"), explode(col("shingles")).as("sh"))
+        pairs
+          .join(ex.toDF("doc_a", "sh").hint("shuffle_hash"), "doc_a")
+          .join(ex.toDF("doc_b", "sh").hint("shuffle_hash"), Seq("doc_b", "sh"))
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(count(lit(1)).as("inter"))
+          .join(sizes.toDF("doc_a", "sz_a"), "doc_a")
+          .join(sizes.toDF("doc_b", "sz_b"), "doc_b")
+          .select(col("doc_a"), col("doc_b"),
+            (col("inter").cast(DoubleType) / col("sz_a").cast(DoubleType))
+              .as("containment_a"),
+            (col("inter").cast(DoubleType) / col("sz_b").cast(DoubleType))
+              .as("containment_b"))
+          .filter(greatest(col("containment_a"), col("containment_b")) >= 0.8)
+      },
+      Some(s"""WITH sh AS (${shingledSql(3)}),
+              |${bandSigsSql(32, 4)},
+              |$candidatesSql,
+              |scored AS (
+              |  SELECT doc_a, doc_b,
+              |    len(list_intersect(a.shingles, b.shingles))::DOUBLE
+              |      / len(a.shingles) AS containment_a,
+              |    len(list_intersect(a.shingles, b.shingles))::DOUBLE
+              |      / len(b.shingles) AS containment_b
+              |  FROM cand JOIN sh a ON a.doc_id = cand.doc_a
+              |            JOIN sh b ON b.doc_id = cand.doc_b)
+              |SELECT doc_a, doc_b, containment_a, containment_b FROM scored
+              |WHERE greatest(containment_a, containment_b) >= 0.8
+              |ORDER BY doc_a, doc_b""".stripMargin),
+      doc = "LLM-pipeline: asymmetric containment on LSH candidates (quote/subset detection)",
+      sort = Seq("doc_a", "doc_b")
+    ),
+
     // ── Boilerplate detection: the 20 word-4-grams shared by the most
     // documents — the corpus diagnostic that surfaces templated spans
     // (headers, footers, licence blurbs) before near-dup thresholds are

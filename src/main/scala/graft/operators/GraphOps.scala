@@ -94,6 +94,65 @@ object GraphOps extends OpModule {
       },
       doc = "Extension: fixed-point PageRank over the order co-occurrence graph (3 unrolled rounds, integer-exact)",
       sort = Seq("node")
+    ),
+
+    // ── Per-node triangle counts over the same co-occurrence graph.
+    // Edges are oriented by DEGREE order (ties by id) before the wedge
+    // join — the skew defense that makes distributed triangle counting
+    // viable: every wedge pivots on the LOWEST-degree vertex of the
+    // triangle, so a celebrity node of degree D contributes O(D)
+    // wedge-side rows instead of O(D²). The triangle SET is orientation-
+    // independent, so the DuckDB twin verifies with the simpler
+    // id-orientation — same triangles, different join order: the compare
+    // proves the optimization preserves semantics. All joins are
+    // equi-joins on node keys; counts are integers. ──
+    "graph_triangles" -> Q(
+      (s, d) => {
+        val a = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey").as("src"))
+        val b = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey").as("dst"))
+        val sym = a.join(b, Seq("l_orderkey"))
+          .filter(col("src") =!= col("dst"))
+          .select(col("src"), col("dst"))
+          .distinct()
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        sym.count()
+        val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        // orient (u,v): keep the direction from the (deg, id)-smaller
+        // endpoint — acyclic by totality of the order
+        val oriented = sym
+          .join(deg.toDF("src", "dsrc"), Seq("src"))
+          .join(deg.toDF("dst", "ddst"), Seq("dst"))
+          .filter(col("dsrc") < col("ddst") ||
+            (col("dsrc") === col("ddst") && col("src") < col("dst")))
+          .select(col("src"), col("dst"))
+        val e1 = oriented.toDF("u", "v")
+        val e2 = oriented.toDF("v", "w")
+        val e3 = oriented.toDF("u", "w")
+        val tri = e1.join(e2, Seq("v")).join(e3, Seq("u", "w"))
+          .select(col("u"), col("v"), col("w"))
+        tri.select(col("u").as("node"))
+          .unionByName(tri.select(col("v").as("node")))
+          .unionByName(tri.select(col("w").as("node")))
+          .groupBy(col("node"))
+          .agg(count(lit(1)).as("triangles"))
+      },
+      Some("""WITH e AS (
+             |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+             |  FROM lineitem a JOIN lineitem b
+             |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+             |tri AS (
+             |  SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+             |  FROM e e1 JOIN e e2 ON e2.src = e1.dst
+             |            JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst)
+             |SELECT node, count(*)::BIGINT AS triangles FROM (
+             |  SELECT u AS node FROM tri
+             |  UNION ALL SELECT v FROM tri
+             |  UNION ALL SELECT w FROM tri)
+             |GROUP BY 1 ORDER BY node""".stripMargin),
+      doc = "Extension: per-node triangle counts (degree-ordered orientation vs id-ordered oracle)",
+      sort = Seq("node")
     )
   )
 }

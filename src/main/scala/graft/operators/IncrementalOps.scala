@@ -480,6 +480,41 @@ object IncrementalOps extends OpModule {
              |FROM d GROUP BY 1 ORDER BY user_id""".stripMargin),
       doc = "Extension: exponential-decay engagement score (half-life weighting, order-free fixed-point sum)",
       sort = Seq("user_id")
+    ),
+
+    // ── Incremental view maintenance: the per-part revenue view is
+    // maintained as HISTORY PARTIALS ⊕ DELTA PARTIALS instead of
+    // recomputed — the shape that turns a daily 100 TB re-aggregation
+    // into a delta-sized one (history partials would be the stored
+    // view; here both sides derive from the fixture so the oracle can
+    // replay). The merge is a union of two pre-aggregated relations
+    // re-aggregated on the same key: associative measures only
+    // (exact-decimal SUM, COUNT), which is precisely the IVM contract.
+    // The DuckDB twin computes the view DIRECTLY over all rows — the
+    // compare proves partial-merge ≡ full recompute, which only holds
+    // because dsum is exact (a raw double sum would drift by
+    // partition order). ──
+    "ivm_delta_merge" -> Q(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .withColumn("sd", to_date(col("l_shipdate")))
+        val withMax = li.crossJoin(
+          broadcast(li.agg(max(col("sd")).as("max_d"))))
+        def partials(df: DataFrame) = df
+          .groupBy(col("l_partkey"))
+          .agg(dsum(col("l_extendedprice")).as("rev"),
+            count(lit(1)).as("n"))
+        val hist = partials(withMax.filter(col("sd") < col("max_d")))
+        val delta = partials(withMax.filter(col("sd") === col("max_d")))
+        hist.unionByName(delta)
+          .groupBy(col("l_partkey"))
+          .agg(dsum(col("rev")).as("rev"), sum(col("n")).as("n"))
+      },
+      Some(s"""SELECT l_partkey, ${dsumSql("l_extendedprice")} AS rev,
+              |  count(*)::BIGINT AS n
+              |FROM lineitem GROUP BY 1 ORDER BY l_partkey""".stripMargin),
+      doc = "Extension: incremental view maintenance (history partials + delta merge == full recompute)",
+      sort = Seq("l_partkey")
     )
   )
 }

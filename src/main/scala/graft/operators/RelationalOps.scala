@@ -452,6 +452,59 @@ object RelationalOps extends OpModule {
       sort = Seq("l_returnflag")
     ),
 
+    // ── 2-D skyline (pareto front): parts minimizing price while
+    // maximizing size — no other part is cheaper-or-equal AND
+    // bigger-or-equal with one strict. The Spark plan is the
+    // SORT-BASED skyline, never the quadratic dominance join: per-price
+    // max-size (one hash agg), strict-prefix max over prices computed
+    // hierarchically — within constant-width price buckets first
+    // (windows partitioned by bucket), then one window over the
+    // BUCKET-level maxima, a constant-size relation (bucket count is a
+    // plan constant, independent of row count, so the single-partition
+    // window is bounded by construction — and it's hash-, not
+    // range-partitioned, keeping every plan free of global sorts). The
+    // DuckDB twin runs the textbook NOT-EXISTS dominance predicate —
+    // same rows from a structurally different algorithm, which is the
+    // strongest kind of oracle. ──
+    "sky1_pareto_front" -> Q(
+      (s, d) => {
+        val p = Tables.part(s, d).select(col("p_partkey"),
+          col("p_retailprice").as("price"),
+          col("p_size").cast(LongType).as("size"))
+        val perPrice = p.groupBy(col("price"))
+          .agg(max(col("size")).as("ms"))
+          .withColumn("bkt", floor(col("price") / 100.0))
+        val wIn = Window.partitionBy(col("bkt")).orderBy(col("price"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val within = perPrice
+          .withColumn("in_prev", max(col("ms")).over(wIn))
+        val wB = Window.partitionBy(lit(0)).orderBy(col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val bPrev = perPrice.groupBy(col("bkt")).agg(max(col("ms")).as("bm"))
+          .withColumn("b_prev", max(col("bm")).over(wB))
+          .select(col("bkt"), col("b_prev"))
+        val pref = within.join(bPrev, Seq("bkt"))
+          .withColumn("strict_prev", greatest(col("in_prev"), col("b_prev")))
+          .select(col("price"), col("ms"), col("strict_prev"))
+        p.join(pref, Seq("price"))
+          .filter(col("size") === col("ms") &&
+            (col("strict_prev").isNull || col("strict_prev") < col("ms")))
+          .select(col("p_partkey"), col("price"), col("size"))
+      },
+      Some("""SELECT p.p_partkey, p.p_retailprice AS price,
+             |  p.p_size::BIGINT AS size
+             |FROM part p
+             |WHERE NOT EXISTS (
+             |  SELECT 1 FROM part q
+             |  WHERE q.p_retailprice <= p.p_retailprice
+             |    AND q.p_size >= p.p_size
+             |    AND (q.p_retailprice < p.p_retailprice
+             |         OR q.p_size > p.p_size))
+             |ORDER BY p.p_partkey""".stripMargin),
+      doc = "Extension: sort-based 2-D skyline vs the oracle's quadratic dominance predicate",
+      sort = Seq("p_partkey")
+    ),
+
     // ── Sketch: bloom-filter join pruning — the 100 TB path for a
     // selective dim⋈fact join. Catalyst's InjectRuntimeFilter does this
     // automatically when thresholds line up; this query is the explicit,
