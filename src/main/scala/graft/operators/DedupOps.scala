@@ -398,6 +398,58 @@ object DedupOps extends OpModule {
       sort = Seq("doc_a", "doc_b")
     ),
 
+    // ── k-NN document graph: per document, its top-3 most-similar
+    // neighbors by exact Jaccard, candidates restricted to the LSH
+    // bands — the construction step of a similarity graph (the input
+    // to graph-based ANN indexes and to cluster-then-dedup pipelines).
+    // Pairs symmetrize by a union of the two directions (the verify
+    // computed each unordered pair once); the per-doc rank window keys
+    // on doc_id — high cardinality, group size bounded by LSH candidate
+    // degree, never corpus size. A low 0.1 floor keeps band-collision
+    // noise out while ranking, unlike the dedup queries' 0.8 cut. ──
+    "dedup_knn_graph" -> Q(
+      (s, d) => {
+        val sets = shingled(s, d, 3)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        sets.count()
+        val pairs = jaccardPairs(candidates(bandSigs(sets, 32, 4)), sets, 0.1)
+        val sym = pairs.select(col("doc_a").as("doc_id"),
+            col("doc_b").as("neighbor_id"), col("jaccard"))
+          .unionByName(pairs.select(col("doc_b").as("doc_id"),
+            col("doc_a").as("neighbor_id"), col("jaccard")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id"))
+          .orderBy(col("jaccard").desc, col("neighbor_id").asc)
+        sym.withColumn("rnk", row_number().over(w).cast(LongType))
+          .filter(col("rnk") <= 3)
+          .select(col("doc_id"), col("rnk"), col("neighbor_id"),
+            col("jaccard"))
+      },
+      Some(s"""WITH sh AS (${shingledSql(3)}),
+              |${bandSigsSql(32, 4)},
+              |$candidatesSql,
+              |scored AS (
+              |  SELECT doc_a, doc_b,
+              |    len(list_intersect(a.shingles, b.shingles))::DOUBLE
+              |      / len(list_distinct(a.shingles || b.shingles)) AS jaccard
+              |  FROM cand JOIN sh a ON a.doc_id = cand.doc_a
+              |            JOIN sh b ON b.doc_id = cand.doc_b
+              |  WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+              |      / len(list_distinct(a.shingles || b.shingles)) >= 0.1),
+              |sym AS (
+              |  SELECT doc_a AS doc_id, doc_b AS neighbor_id, jaccard FROM scored
+              |  UNION ALL
+              |  SELECT doc_b, doc_a, jaccard FROM scored)
+              |SELECT doc_id,
+              |  row_number() OVER (PARTITION BY doc_id
+              |    ORDER BY jaccard DESC, neighbor_id)::BIGINT AS rnk,
+              |  neighbor_id, jaccard
+              |FROM sym
+              |QUALIFY rnk <= 3 ORDER BY doc_id, rnk""".stripMargin),
+      doc = "LLM-pipeline: k-NN similarity graph (top-3 Jaccard neighbors within LSH candidates)",
+      sort = Seq("doc_id", "rnk")
+    ),
+
     // ── Boilerplate detection: the 20 word-4-grams shared by the most
     // documents — the corpus diagnostic that surfaces templated spans
     // (headers, footers, licence blurbs) before near-dup thresholds are

@@ -76,6 +76,32 @@ class ParetoGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("knn graph: symmetric pairs, <=3 ranked neighbors per doc") {
+    val rows = SparkEntry.queries("dedup_knn_graph")(spark, sf)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val byDoc = rows.groupBy(_._1)
+    byDoc.values.foreach { g =>
+      assert(g.length <= 3)
+      val sorted = g.sortBy(_._2)
+      assert(sorted.map(_._2).sameElements(1L to g.length.toLong),
+        "ranks must be 1..k dense")
+      val jac = sorted.map(_._4)
+      assert(jac.zip(jac.drop(1)).forall { case (a, b) => a >= b })
+    }
+    // planted near-dups surface as high-jaccard rank-1 edges, never
+    // self-loops, and every such edge has its mirror in the graph
+    val edges = rows.map(r => (r._1, r._3)).toSet
+    assert(rows.forall(r => r._1 != r._3), "no self-loops")
+    val strong = rows.filter(r => r._2 == 1L && r._4 >= 0.8)
+    assert(strong.nonEmpty, "planted near-dups must rank first")
+    strong.foreach { r =>
+      assert(edges.contains((r._3, r._1)),
+        s"edge ${r._1}->${r._3} lacks its mirror")
+    }
+  }
+
   test("skyline matches a brute-force dominance scan") {
     val parts = Tables.part(spark, sf)
       .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
