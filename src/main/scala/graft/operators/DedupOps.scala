@@ -412,7 +412,12 @@ object DedupOps extends OpModule {
         val sets = shingled(s, d, 3)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         sets.count()
+        // localCheckpoint: the symmetrize union below references the
+        // pair list twice — without truncation the whole LSH+verify
+        // pipeline executes once per branch (measured ~2× this query).
+        // The checkpointed relation is only the surviving pairs.
         val pairs = jaccardPairs(candidates(bandSigs(sets, 32, 4)), sets, 0.1)
+          .localCheckpoint()
         val sym = pairs.select(col("doc_a").as("doc_id"),
             col("doc_b").as("neighbor_id"), col("jaccard"))
           .unionByName(pairs.select(col("doc_b").as("doc_id"),
