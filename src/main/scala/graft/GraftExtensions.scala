@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, ExactMoneySum, NibbleHistogram, ParseBrlMoney, WordShingles}
+import graft.functions.{DotProduct, ExactMoneySum, NibbleHistogram, ParseBrlMoney, PHashPair, WordShingles}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo, XxHash64}
@@ -23,6 +23,7 @@ object Functions {
     "dsum_exact" -> (exprs => ExactMoneySum(exprs.head)),
     "word_shingles" -> (exprs => WordShingles(exprs.head, exprs(1))),
     "nibble_histogram" -> (exprs => NibbleHistogram(exprs.head)),
+    "phash_pair" -> (exprs => PHashPair(exprs.head)),
     // Runtime-filter building blocks (Spark's own BloomFilterAggregate /
     // BloomFilterMightContain, surfaced as SQL functions): `bloom_agg(k)`
     // folds a key column into a fixed-size mergeable sketch;

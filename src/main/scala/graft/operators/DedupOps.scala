@@ -59,20 +59,26 @@ object DedupOps extends OpModule {
 
   private val H2Mod = 1L << 55
 
-  /** Second, independent 55-bit hash from the same md5 (hex chars 16-29). */
-  private def phash2(c: Column): Column =
-    pmod(conv(substring(md5(c), 16, 14), 16, 10).cast(LongType), lit(H2Mod))
-
+  /** Second, independent 55-bit hash from the same md5 (hex chars 16-29).
+    * The Spark side computes it fused with h1 via `phash_pair`
+    * ([[graft.functions.PHashPair]]); this SQL twin keeps the oracle on
+    * the replayable hex form. */
   private def phash2Sql(x: String): String =
     s"(CAST('0x' || substr(md5($x), 16, 14) AS BIGINT) % $H2Mod)"
 
   /** (doc_id, band, sig) LSH band signatures: `numHashes` double-hashed
-    * min-hashes per doc, grouped into bands of `bandRows`. One md5 per
-    * (doc, shingle); one shuffled row per doc. */
+    * min-hashes per doc, grouped into bands of `bandRows`. ONE md5 digest
+    * per (doc, shingle) — both family halves come from the fused
+    * [[graft.functions.PHashPair]] expression (the composed
+    * conv/substring/md5 chain ran the digest twice and round-tripped
+    * through hex; bit-equivalence is pinned in `PHashPairSpec` and the
+    * oracle still replays the hex form). One shuffled row per doc. */
   private def bandSigs(sets: DataFrame, numHashes: Int, bandRows: Int): DataFrame = {
     val hashes = sets
       .select(col("doc_id"), explode(col("shingles")).as("sh"))
-      .select(col("doc_id"), phash(col("sh")).as("h1"), phash2(col("sh")).as("h2"))
+      .select(col("doc_id"), call_function("phash_pair", col("sh")).as("p"))
+      .select(col("doc_id"),
+        col("p").getItem(0).as("h1"), col("p").getItem(1).as("h2"))
     val minhs = hashes
       .groupBy(col("doc_id"))
       .agg(

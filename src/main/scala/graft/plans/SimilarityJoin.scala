@@ -85,26 +85,15 @@ object SimilarityJoin {
       n: Int): Array[String] =
     graft.functions.WordShingles.shingleStrings(text, n)
 
-  private val digestLocal =
-    ThreadLocal.withInitial[java.security.MessageDigest](() =>
-      java.security.MessageDigest.getInstance("MD5"))
-
   /** (h1, h2) of the phash family, straight from the digest bytes —
     * bit-identical to parsing the hex string (h1 = first 15 hex chars =
     * top 60 bits; h2 = hex chars 15..28 mod 2^55 = digest bits 60..115
     * masked to 55) but without allocating or formatting the hex. The
-    * hex path cost ~2/3 of this operator's runtime (a fresh
-    * MessageDigest per call plus locale-aware per-byte formatting). */
-  private[graft] def phashPair(s: String): (Long, Long) = {
-    val md = digestLocal.get()
-    md.reset()
-    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val hi = java.nio.ByteBuffer.wrap(d, 0, 8).getLong
-    val lo = java.nio.ByteBuffer.wrap(d, 8, 8).getLong
-    val h1 = hi >>> 4
-    val h2 = (((hi & 0xFL) << 52) | (lo >>> 12)) & ((1L << 55) - 1)
-    (h1, h2)
-  }
+    * hex path cost ~2/3 of this operator's runtime. Shared with the
+    * declarative pipelines via [[graft.functions.PHashPair]]. */
+  private[graft] def phashPair(s: String): (Long, Long) =
+    graft.functions.PHashPair.computeLongs(
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
   private[plans] def minhashes(sh: Array[String], numHashes: Int): Array[Long] = {
     val mh = Array.fill(numHashes)(Long.MaxValue)
