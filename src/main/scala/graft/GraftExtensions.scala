@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, ExactMoneySum, NibbleHistogram, ParseBrlMoney, PHashPair, WordShingles}
+import graft.functions.{DotProduct, ExactMoneySum, FrameEnergy, NibbleHistogram, ParseBrlMoney, PHashPair, WordShingles}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo, XxHash64}
@@ -24,6 +24,7 @@ object Functions {
     "word_shingles" -> (exprs => WordShingles(exprs.head, exprs(1))),
     "nibble_histogram" -> (exprs => NibbleHistogram(exprs.head)),
     "phash_pair" -> (exprs => PHashPair(exprs.head)),
+    "frame_energy" -> (exprs => FrameEnergy(exprs.head, exprs(1))),
     // Runtime-filter building blocks (Spark's own BloomFilterAggregate /
     // BloomFilterMightContain, surfaced as SQL functions): `bloom_agg(k)`
     // folds a key column into a fixed-size mergeable sketch;

@@ -102,6 +102,39 @@ object MultimodalOps extends OpModule {
       sort = Seq("doc_id", "bucket")
     ),
 
+    // ── Per-frame signal energy: the payload cut into 256-byte frames,
+    // each reporting Σ(byte−128)² — the windowed pre-VAD feature of an
+    // audio pipeline, computed codec-free on raw bytes by the
+    // [[graft.functions.FrameEnergy]] codegen expression (one pass, no
+    // hex materialization; integer-exact, so the oracle's hex-pair
+    // parse matches bit-for-bit). Map-only: runs at scan speed over any
+    // corpus; the frame array never exceeds payload/256 elements. ──
+    "mm_frame_energy" -> Q(
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            posexplode(call_function("frame_energy",
+              encode(col("text"), "UTF-8"), lit(256)))
+              .as(Seq("frame", "energy")))
+          .select(col("doc_id"), col("frame").cast(LongType).as("frame"),
+            col("energy")),
+      Some("""SELECT doc_id, u.frame::BIGINT AS frame, u.energy::BIGINT AS energy
+             |FROM (
+             |  SELECT doc_id, unnest([
+             |      {'frame': g,
+             |       'energy': list_sum([
+             |         (CAST('0x' || h[2*i-1 : 2*i] AS BIGINT) - 128)
+             |         * (CAST('0x' || h[2*i-1 : 2*i] AS BIGINT) - 128)
+             |         FOR i IN range(g*256 + 1, least((g+1)*256, nbytes) + 1) ])}
+             |      FOR g IN range(0, (nbytes + 255) // 256) ]) AS u
+             |  FROM (SELECT doc_id, upper(hex(encode(text))) AS h,
+             |          (length(upper(hex(encode(text)))) // 2)::BIGINT AS nbytes
+             |        FROM documents))
+             |ORDER BY doc_id, frame""".stripMargin),
+      doc = "LLM-pipeline: per-frame byte energy (pre-VAD audio feature, codegen single pass)",
+      sort = Seq("doc_id", "frame")
+    ),
+
     // ── Resize (downsample): keep every 4th byte of the payload — the
     // stride-sampling shape of an image/audio downsample, done on the
     // opaque bytes via a higher-order transform (the codec-aware resize

@@ -505,6 +505,51 @@ object RelationalOps extends OpModule {
       sort = Seq("p_partkey")
     ),
 
+    // ── Equi-depth histogram: quartile boundaries from one exact
+    // percentile aggregate (1e-6-quantized through a LONG, the compare
+    // trick `a8_quantiles` proved engine-exact), broadcast back over
+    // the fact for a single map-side bucket classification + count.
+    // Two passes over the data, no sort, no per-row shuffle — the
+    // optimizer-statistics shape (equi-depth bins are what a CBO's
+    // histograms are). At 100 TB pass 1 becomes approx_percentile;
+    // the plan shape is unchanged. ──
+    "a13_equidepth_hist" -> Q(
+      (s, d) => {
+        def q6(c: org.apache.spark.sql.Column) =
+          round(c * 1e6).cast(LongType).cast(DoubleType) / 1e6
+        val o = Tables.orders(s, d).select($("o_totalprice").as("x"))
+        val bounds = o.agg(
+          q6(percentile($("x"), lit(0.25))).as("q1"),
+          q6(percentile($("x"), lit(0.5))).as("q2"),
+          q6(percentile($("x"), lit(0.75))).as("q3"))
+        o.crossJoin(broadcast(bounds))
+          .select(
+            when($("x") <= $("q1"), 0L)
+              .when($("x") <= $("q2"), 1L)
+              .when($("x") <= $("q3"), 2L)
+              .otherwise(3L).as("bucket"),
+            $("x"))
+          .groupBy($("bucket"))
+          .agg(count(lit(1)).as("n"),
+            min($("x")).as("lo"), max($("x")).as("hi"))
+      },
+      Some("""WITH b AS (
+             |  SELECT
+             |    CAST(round(quantile_cont(o_totalprice, 0.25)*1e6) AS BIGINT)/1e6 AS q1,
+             |    CAST(round(quantile_cont(o_totalprice, 0.5)*1e6) AS BIGINT)/1e6 AS q2,
+             |    CAST(round(quantile_cont(o_totalprice, 0.75)*1e6) AS BIGINT)/1e6 AS q3
+             |  FROM orders)
+             |SELECT CASE WHEN o_totalprice <= q1 THEN 0
+             |            WHEN o_totalprice <= q2 THEN 1
+             |            WHEN o_totalprice <= q3 THEN 2
+             |            ELSE 3 END::BIGINT AS bucket,
+             |  count(*)::BIGINT AS n,
+             |  min(o_totalprice) AS lo, max(o_totalprice) AS hi
+             |FROM orders, b GROUP BY 1 ORDER BY bucket""".stripMargin),
+      doc = "Extension: equi-depth histogram (exact quantile cuts broadcast over a map-side bucket count)",
+      sort = Seq("bucket")
+    ),
+
     // ── Sketch: bloom-filter join pruning — the 100 TB path for a
     // selective dim⋈fact join. Catalyst's InjectRuntimeFilter does this
     // automatically when thresholds line up; this query is the explicit,
