@@ -461,6 +461,41 @@ object DedupOps extends OpModule {
       sort = Seq("doc_id", "rnk")
     ),
 
+    // ── Incremental dedup: a NEW ingest batch (doc_id ≡ 0 mod 10 plays
+    // the arriving shard) deduped against the EXISTING corpus — the
+    // asymmetric join every continuous-ingest pipeline runs instead of
+    // re-pairing the whole corpus: candidates are (band, sig) collisions
+    // of new×old only, so per-ingest work scales with the batch, not
+    // the corpus. At 100 TB the old side's band signatures are a stored
+    // index you append to — exactly this relation. Verify is the same
+    // skinny-row co-counted Jaccard. ──
+    "dedup_incremental" -> Q(
+      (s, d) => {
+        val sets = shingled(s, d, 3)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        sets.count()
+        val isNew = col("doc_id") % 10 === 0
+        val newSigs = bandSigs(sets.filter(isNew), 32, 4)
+        val oldSigs = bandSigs(sets.filter(!isNew), 32, 4)
+        val cand = newSigs.as("x").hint("shuffle_hash")
+          .join(oldSigs.as("y").hint("shuffle_hash"),
+            col("x.band") === col("y.band") && col("x.sig") === col("y.sig"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .distinct()
+        jaccardPairs(cand, sets, 0.8)
+      },
+      Some(s"""WITH sh AS (${shingledSql(3)}),
+              |${bandSigsSql(32, 4)},
+              |cand AS (
+              |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+              |  FROM bands x JOIN bands y
+              |    ON x.band = y.band AND x.sigstr = y.sigstr
+              |   AND x.doc_id % 10 = 0 AND y.doc_id % 10 <> 0),
+              |${jaccardPairsSql(0.8)}""".stripMargin),
+      doc = "LLM-pipeline: incremental ingest dedup (new batch vs corpus, batch-sized work)",
+      sort = Seq("doc_a", "doc_b")
+    ),
+
     // ── Boilerplate detection: the 20 word-4-grams shared by the most
     // documents — the corpus diagnostic that surfaces templated spans
     // (headers, footers, licence blurbs) before near-dup thresholds are
