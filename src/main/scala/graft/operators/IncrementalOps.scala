@@ -500,13 +500,18 @@ object IncrementalOps extends OpModule {
           .withColumn("sd", to_date(col("l_shipdate")))
         val withMax = li.crossJoin(
           broadcast(li.agg(max(col("sd")).as("max_d"))))
-        def partials(df: DataFrame) = df
-          .groupBy(col("l_partkey"))
+        // history and delta partials fall out of ONE grouped pass
+        // (grouping on the partition flag), then merge on the view key —
+        // two aggregates, one fact scan. In the deployed pipeline the
+        // history partials are the STORED view and only the delta side
+        // scans; here both derive from the fixture so the oracle can
+        // replay the whole thing.
+        val partials = withMax
+          .groupBy(col("l_partkey"),
+            (col("sd") === col("max_d")).as("is_delta"))
           .agg(dsum(col("l_extendedprice")).as("rev"),
             count(lit(1)).as("n"))
-        val hist = partials(withMax.filter(col("sd") < col("max_d")))
-        val delta = partials(withMax.filter(col("sd") === col("max_d")))
-        hist.unionByName(delta)
+        partials
           .groupBy(col("l_partkey"))
           .agg(dsum(col("rev")).as("rev"), sum(col("n")).as("n"))
       },
