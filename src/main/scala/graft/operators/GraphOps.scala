@@ -175,6 +175,77 @@ object GraphOps extends OpModule {
              |GROUP BY 1 ORDER BY node""".stripMargin),
       doc = "Extension: per-node triangle counts (compact-forward adjacency intersection, degree-ordered)",
       sort = Seq("node")
+    ),
+
+    // ── Neighbor-set Jaccard per co-occurrence edge — the item-item
+    // collaborative-filtering primitive ("customers who bought u also
+    // bought v", scored by how much the two parts' co-purchase
+    // neighborhoods overlap). Candidates are the EDGES themselves (u,v
+    // already co-occur), so no pair generation beyond the graph; both
+    // endpoints' FULL symmetric adjacency arrays join in and the
+    // intersection runs in codegen — the same shape that made triangles
+    // scale, reused for similarity. |N(u)∩N(v)| / |N(u)∪N(v)| is one
+    // exact int division. Top-5 similar neighbors per node via the
+    // per-key rank window (WindowGroupLimit prunes map-side). ──
+    "graph_edge_jaccard" -> Q(
+      (s, d) => {
+        val adj = symEdges(s, d)
+          .groupBy(col("src"))
+          .agg(collect_set(col("dst")).as("nbrs"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        adj.count()
+        val edges = adj.select(col("src"), explode(col("nbrs")).as("dst"))
+          .filter(col("src") < col("dst"))
+        val scored = edges
+          .join(adj.toDF("src", "nu"), Seq("src"))
+          .join(adj.toDF("dst", "nv"), Seq("dst"))
+          .select(col("src"), col("dst"),
+            size(array_intersect(col("nu"), col("nv"))).cast(LongType)
+              .as("common"),
+            (size(col("nu")) + size(col("nv")) -
+              size(array_intersect(col("nu"), col("nv")))).cast(LongType)
+              .as("union_sz"))
+          .select(col("src"), col("dst"), col("common"),
+            (col("common").cast(DoubleType) /
+              col("union_sz").cast(DoubleType)).as("sim"))
+          // localCheckpoint: the direction-union below references the
+          // scored relation twice; without truncation the array-bearing
+          // joins execute once per branch (measured ~2× this query).
+          .localCheckpoint()
+        val sym = scored.unionByName(scored.select(col("dst").as("src"),
+          col("src").as("dst"), col("common"), col("sim")))
+        val w = Window.partitionBy(col("src"))
+          .orderBy(col("sim").desc, col("dst").asc)
+        sym.withColumn("rnk", row_number().over(w).cast(LongType))
+          .filter(col("rnk") <= 5)
+          .select(col("src").as("node"), col("rnk"),
+            col("dst").as("similar_node"), col("common"), col("sim"))
+      },
+      Some("""WITH e AS (
+             |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+             |  FROM lineitem a JOIN lineitem b
+             |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+             |adj AS (SELECT src, list(DISTINCT dst) AS nbrs FROM e GROUP BY 1),
+             |scored AS (
+             |  SELECT x.src, x.dst,
+             |    len(list_intersect(u.nbrs, v.nbrs))::BIGINT AS common,
+             |    len(list_intersect(u.nbrs, v.nbrs))::DOUBLE
+             |      / (len(u.nbrs) + len(v.nbrs)
+             |         - len(list_intersect(u.nbrs, v.nbrs))) AS sim
+             |  FROM e x JOIN adj u ON u.src = x.src
+             |           JOIN adj v ON v.src = x.dst
+             |  WHERE x.src < x.dst),
+             |sym AS (
+             |  SELECT src, dst, common, sim FROM scored
+             |  UNION ALL SELECT dst, src, common, sim FROM scored)
+             |SELECT src AS node,
+             |  row_number() OVER (PARTITION BY src
+             |    ORDER BY sim DESC, dst)::BIGINT AS rnk,
+             |  dst AS similar_node, common, sim
+             |FROM sym
+             |QUALIFY rnk <= 5 ORDER BY node, rnk""".stripMargin),
+      doc = "Extension: item-item similarity (neighbor-set Jaccard per edge, top-5 per node)",
+      sort = Seq("node", "rnk")
     )
   )
 }

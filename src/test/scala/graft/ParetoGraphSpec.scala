@@ -51,6 +51,26 @@ class ParetoGraphSpec extends AnyFunSuite {
     assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), s"$out")
   }
 
+  test("edge jaccard: planted two-order graph scores exactly") {
+    // orders {1,2,3} and {1,2,4}: N(1)={2,3,4}, N(2)={1,3,4},
+    // N(3)=N(4)={1,2}. Edge (1,2): common {3,4}, union size 4 -> 0.5;
+    // edges (1,3),(1,4),(2,3),(2,4): common 1, union 4 -> 0.25.
+    val li = lineitemDf(Seq(
+      (1L, 1L), (1L, 2L), (1L, 3L),
+      (2L, 1L), (2L, 2L), (2L, 4L)))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ej").toString
+    li.write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val rows = SparkEntry.queries("graph_edge_jaccard")(spark, tmp)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    val node1 = rows.filter(_._1 == 1L).sortBy(_._2).toSeq
+    assert(node1 == Seq((1L, 1L, 2L, 2L, 0.5),
+      (1L, 2L, 3L, 1L, 0.25), (1L, 3L, 4L, 1L, 0.25)), s"$node1")
+    // node 3 and 4 never co-occur: no edge between them anywhere
+    assert(!rows.exists(r => Set(r._1, r._3) == Set(3L, 4L)))
+  }
+
   test("containment: values in (0,1], asymmetry tracks set sizes") {
     val rows = SparkEntry.queries("dedup_containment")(spark, sf)
       .collect().map(r =>
