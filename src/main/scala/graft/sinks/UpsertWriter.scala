@@ -116,9 +116,15 @@ object UpsertWriter {
           existing.join(
             broadcast(updates.select(partitionBy.map(col): _*).distinct()),
             partitionBy, "left_semi")
+      // allowMissingColumns = additive schema evolution: an updates
+      // batch may carry columns the table doesn't have yet (existing
+      // rows read them as NULL) or omit columns the table has (the
+      // update's surviving row reads NULL there — full-row-replace
+      // semantics, same as every other upsert here). The written table
+      // always carries the union of both schemas.
       dedup(
         scoped.withColumn("__upd", lit(0)).withColumn("__seq", lit(-1L))
-          .unionByName(seqd),
+          .unionByName(seqd, allowMissingColumns = true),
         keys, versionCol)
     }
 

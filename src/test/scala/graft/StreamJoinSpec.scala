@@ -80,4 +80,29 @@ class StreamJoinSpec extends AnyFunSuite {
       assert(out.contains((2L, None)), s"missing outer null row in $out")
     } finally q.stop()
   }
+
+  test("stream-static join: events enrich from the part dim, stateless") {
+    // The S5 enrichment shape as a stream: each micro-batch joins the
+    // bounded dim — broadcast, no streaming state, no watermark needed
+    // (the static side never changes within the query's lifetime).
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Tables.part(spark, TestSpark.sf0001)
+      .select($"p_partkey", $"p_brand")
+    val events = MemoryStream[Long]
+    val enriched = events.toDF().toDF("p_partkey")
+      .join(broadcast(dim), Seq("p_partkey"), "left")
+
+    val q = enriched.writeStream
+      .format("memory").queryName("ss_static").outputMode("append").start()
+    try {
+      events.addData(1L, 2L, 999999L) // two real parts, one unknown
+      q.processAllAvailable()
+      val out = spark.table("ss_static")
+        .as[(Long, Option[String])].collect().toMap
+      val expected = dim.filter($"p_partkey".isin(1L, 2L))
+        .as[(Long, String)].collect().toMap
+      assert(out(1L) == Some(expected(1L)) && out(2L) == Some(expected(2L)))
+      assert(out(999999L).isEmpty, "unknown key must keep the event with null dim")
+    } finally q.stop()
+  }
 }

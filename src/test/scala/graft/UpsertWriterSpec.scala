@@ -29,6 +29,25 @@ class UpsertWriterSpec extends AnyFunSuite {
     assert(state == Map(1L -> "a2", 2L -> "b2", 3L -> "c"))
   }
 
+  test("K1: additive schema evolution — new column upserts, old rows null") {
+    val path = tmp()
+    UpsertWriter.upsert(spark, path,
+      Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("id", "v", "ver"),
+      keys = Seq("id"), versionCol = "ver")
+    // batch 2 carries a column the table has never seen
+    UpsertWriter.upsert(spark, path,
+      Seq((2L, "b2", 2L, "extra2"), (3L, "c", 1L, "extra3"))
+        .toDF("id", "v", "ver", "note"),
+      keys = Seq("id"), versionCol = "ver")
+    val state = spark.read.parquet(path)
+      .select($"id", $"v", $"note").as[(Long, String, Option[String])]
+      .collect().map { case (k, v, n) => k -> ((v, n)) }.toMap
+    assert(state == Map(
+      1L -> (("a", None)),          // untouched row: new column is null
+      2L -> (("b2", Some("extra2"))),
+      3L -> (("c", Some("extra3")))))
+  }
+
   test("K1 partitioned: only touched partitions are rewritten") {
     val path = tmp()
     UpsertWriter.upsert(spark, path,
