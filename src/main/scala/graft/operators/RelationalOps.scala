@@ -505,6 +505,65 @@ object RelationalOps extends OpModule {
       sort = Seq("p_partkey")
     ),
 
+    // ── String-function kit: the library's scalar string surface in one
+    // oracle-gated pass — length/case/reverse/position/edit-distance/
+    // pad/translate/repeat, each chosen because Spark and DuckDB define
+    // it identically (levenshtein is the classic DP; strpos≡instr are
+    // 1-based with 0-absent). Map-only, whole-stage codegen. ──
+    "c9_string_kit" -> Q(
+      (s, d) =>
+        Tables.part(s, d).select(
+          $("p_partkey"),
+          length($("p_name")).cast(LongType).as("len"),
+          upper($("p_name")).as("up"),
+          reverse($("p_name")).as("rev"),
+          instr($("p_name"), " ").cast(LongType).as("sp"),
+          levenshtein($("p_name"), reverse($("p_name"))).cast(LongType)
+            .as("lev"),
+          lpad($("p_name"), 20, ".").as("pad"),
+          translate($("p_name"), "aeiou", "_____").as("tr"),
+          repeat(substring($("p_name"), 1, 2), 3).as("rep")),
+      Some("""SELECT p_partkey, length(p_name)::BIGINT AS len,
+             |  upper(p_name) AS up, reverse(p_name) AS rev,
+             |  strpos(p_name, ' ')::BIGINT AS sp,
+             |  levenshtein(p_name, reverse(p_name))::BIGINT AS lev,
+             |  lpad(p_name, 20, '.') AS pad,
+             |  translate(p_name, 'aeiou', '_____') AS tr,
+             |  repeat(p_name[1:2], 3) AS rep
+             |FROM part ORDER BY p_partkey""".stripMargin),
+      doc = "Extension: scalar string-function surface (engine-identical subset, map-only)",
+      sort = Seq("p_partkey")
+    ),
+
+    // ── Date-function kit: the calendar scalar surface — day-of-week
+    // (Spark's 1=Sunday convention, oracle shifts DuckDB's 0-based),
+    // ISO week, quarter, day-of-year, month-end, add_months (both
+    // engines clamp Jan 31 + 1m → Feb 28/29), Monday week truncation.
+    // Map-only. ──
+    "c10_date_kit" -> Q(
+      (s, d) =>
+        Tables.orders(s, d).select(
+          $("o_orderkey"),
+          dayofweek($("o_orderdate")).cast(LongType).as("dow"),
+          weekofyear($("o_orderdate")).cast(LongType).as("woy"),
+          quarter($("o_orderdate")).cast(LongType).as("q"),
+          dayofyear($("o_orderdate")).cast(LongType).as("doy"),
+          last_day($("o_orderdate")).as("eom"),
+          add_months(to_date($("o_orderdate")), 2).as("plus2m"),
+          date_trunc("week", $("o_orderdate")).cast(DateType).as("wk")),
+      Some("""SELECT o_orderkey,
+             |  (dayofweek(o_orderdate) + 1)::BIGINT AS dow,
+             |  weekofyear(o_orderdate)::BIGINT AS woy,
+             |  quarter(o_orderdate)::BIGINT AS q,
+             |  dayofyear(o_orderdate)::BIGINT AS doy,
+             |  last_day(o_orderdate::DATE) AS eom,
+             |  (o_orderdate::DATE + INTERVAL 2 MONTH)::DATE AS plus2m,
+             |  date_trunc('week', o_orderdate)::DATE AS wk
+             |FROM orders ORDER BY o_orderkey""".stripMargin),
+      doc = "Extension: calendar scalar surface (dow/week/quarter/eom/add_months, clamping verified)",
+      sort = Seq("o_orderkey")
+    ),
+
     // ── Equi-depth histogram: quartile boundaries from one exact
     // percentile aggregate (1e-6-quantized through a LONG, the compare
     // trick `a8_quantiles` proved engine-exact), broadcast back over
