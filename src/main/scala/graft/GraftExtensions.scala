@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, ExactMoneySum, FrameEnergy, NibbleHistogram, ParseBrlMoney, PHashPair, WordShingles}
+import graft.functions.{CountIntersect, DotProduct, ExactMoneySum, FrameEnergy, NibbleHistogram, ParseBrlMoney, PHashPair, WordShingles}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo, XxHash64}
@@ -25,6 +25,7 @@ object Functions {
     "nibble_histogram" -> (exprs => NibbleHistogram(exprs.head)),
     "phash_pair" -> (exprs => PHashPair(exprs.head)),
     "frame_energy" -> (exprs => FrameEnergy(exprs.head, exprs(1))),
+    "count_intersect" -> (exprs => CountIntersect(exprs.head, exprs(1))),
     // Runtime-filter building blocks (Spark's own BloomFilterAggregate /
     // BloomFilterMightContain, surfaced as SQL functions): `bloom_agg(k)`
     // folds a key column into a fixed-size mergeable sketch;
@@ -56,5 +57,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     // pushdown optimizer rule
     e.injectPlannerStrategy(_ => plans.SimilarityJoinStrategy)
     e.injectOptimizerRule(_ => plans.SimilarityThresholdPushdown)
+    // size(array_intersect(a,b)) → count_intersect(a,b): the composed
+    // form stays in operator code, every plan gets the fused count
+    e.injectOptimizerRule(_ => functions.IntersectSizeRewrite)
   }
 }

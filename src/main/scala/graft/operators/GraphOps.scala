@@ -147,18 +147,17 @@ object GraphOps extends OpModule {
           .join(adj.toDF("dst", "nw"), Seq("dst"))
           .select(col("src").as("u"), col("dst").as("v"),
             array_intersect(col("nu"), col("nw")).as("ws"))
+        // one triangle {u,v,w} per intersection element → three corner
+        // credits emitted per element; edges with empty intersections
+        // produce nothing (most edges), and the intersection array is
+        // the ONLY per-edge product — no separate size() pass
         perEdge
-          .select(explode(concat(
-            array(
-              struct(col("u").as("node"),
-                size(col("ws")).cast(LongType).as("c")),
-              struct(col("v").as("node"),
-                size(col("ws")).cast(LongType).as("c"))),
-            transform(col("ws"),
-              w => struct(w.as("node"), lit(1L).as("c"))))).as("t"))
+          .select(explode(flatten(transform(col("ws"), w =>
+            array(struct(col("u").as("node"), lit(1L).as("c")),
+              struct(col("v").as("node"), lit(1L).as("c")),
+              struct(w.as("node"), lit(1L).as("c")))))).as("t"))
           .groupBy(col("t.node").as("node"))
           .agg(sum(col("t.c")).as("triangles"))
-          .filter(col("triangles") > 0)
       },
       Some("""WITH e AS (
              |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst

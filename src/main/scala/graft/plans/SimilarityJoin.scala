@@ -67,6 +67,9 @@ object SimilarityJoin {
     if (!spark.experimental.extraOptimizations.contains(SimilarityThresholdPushdown))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ SimilarityThresholdPushdown
+    if (!spark.experimental.extraOptimizations.contains(graft.functions.IntersectSizeRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.functions.IntersectSizeRewrite
   }
 
   // ── the hash family: MUST stay bit-identical to graft.Exprs.phash /
