@@ -21,7 +21,8 @@ object SparkEntry {
     operators.IncrementalOps,
     operators.CustomFnOps,
     operators.AsofOps,
-    operators.GraphOps
+    operators.GraphOps,
+    operators.LayoutOps
   )
 
   private lazy val all: Map[String, Q] =
