@@ -115,6 +115,24 @@ object Bench {
       },"shuffle_mb":${jmap(_._2)},"spill_mb":${jmap(_._3)},""" +
         s""""sf":"$sfDir","failed":${failed.size}}"""
     println(line)
+    // The recorder keeps only the last ~2 KB of output: with 100+ queries
+    // even the compact line above overflows that window and gets cut
+    // mid-JSON (observed in BENCH_r03: tail began inside the queries map).
+    // So the LAST line is a bounded summary — total plus the slowest
+    // queries only — that always fits intact; the full per-query data is
+    // the line above and bench_last.json.
+    val slowest = results
+      .collect { case (k, v) if v._1 >= 0 => k -> v._1 }
+      .sortBy(-_._2)
+      .take(12)
+      .map { case (k, s) =>
+        "\"" + k + "\":" + "%.3f".formatLocal(java.util.Locale.ROOT, s)
+      }
+      .mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +
+        s""""queries":$slowest,"queries_note":"12 slowest of ${results.size}; full map in bench_last.json",""" +
+        s""""sf":"$sfDir","failed":${failed.size}}""")
     // Stdout from sbt is noisy; keep a clean full-detail copy on disk.
     try Files.writeString(Paths.get("bench_last.json"), full + "\n")
     catch { case _: Throwable => () }

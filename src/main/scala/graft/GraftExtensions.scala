@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CountIntersect, DotProduct, ExactMoneySum, FrameEnergy, NibbleHistogram, ParseBrlMoney, PHashPair, WordShingles}
+import graft.functions.{CountIntersect, DotProduct, ExactMoneySum, FrameEnergy, FreqItemsSketch, NibbleHistogram, ParseBrlMoney, PHashPair, WordShingles}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo, XxHash64}
@@ -26,6 +26,11 @@ object Functions {
     "phash_pair" -> (exprs => PHashPair(exprs.head)),
     "frame_energy" -> (exprs => FrameEnergy(exprs.head, exprs(1))),
     "count_intersect" -> (exprs => CountIntersect(exprs.head, exprs(1))),
+    // Space-Saving frequent-items sketch; capacity must be a literal int
+    "freq_items_sketch" -> (exprs =>
+      FreqItemsSketch(exprs.head,
+        exprs(1).eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+          .asInstanceOf[Int])),
     // Runtime-filter building blocks (Spark's own BloomFilterAggregate /
     // BloomFilterMightContain, surfaced as SQL functions): `bloom_agg(k)`
     // folds a key column into a fixed-size mergeable sketch;

@@ -354,6 +354,107 @@ object DedupOps extends OpModule {
       sort = Seq("doc_a", "doc_b")
     ),
 
+    // ── Prefix-filtered set-similarity join (AllPairs / PPJoin family,
+    // Bayardo et al. WWW'07): the LOSSLESS alternative to LSH blocking.
+    // Tokens order by ascending global document frequency (rarest
+    // first); each doc indexes only its first |x| − ⌈τ·|x|⌉ + 1 tokens.
+    // For any pair with Jaccard ≥ τ the required overlap is
+    // ≥ ⌈τ·max(|A|,|B|)⌉, and under a consistent total order two sets
+    // with that much overlap MUST share a token inside both prefixes —
+    // so the candidate equi-join on prefix tokens misses nothing, which
+    // the oracle PROVES by being the plain quadratic join. A size
+    // filter (10·min ≥ 7·max, integer-exact for τ=0.7) prunes
+    // length-incompatible pairs pre-join. Scale: candidate volume is
+    // Σ_token df_prefix(token)² over RARE tokens only — the df-ascending
+    // order is what keeps buckets small; frequent tokens land in long
+    // docs' suffixes and never generate candidates. All integer
+    // arithmetic: ⌈0.7·sz⌉ = (7·sz+9) div 10 on both engines. ──
+    "dedup_prefix_filter" -> Q(
+      (s, d) => {
+        val sets = shingled(s, d, 3)
+          .where(size(col("shingles")) > 0)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        sets.count()
+        val sizes = sets.select(col("doc_id"), size(col("shingles")).as("sz"))
+        val ex = sets.select(col("doc_id"), explode(col("shingles")).as("sh"))
+        val dfreq = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id"))
+          .orderBy(col("df"), col("sh"))
+        val prefix = ex
+          .join(dfreq.hint("shuffle_hash"), "sh")
+          .withColumn("rk", row_number().over(w))
+          .join(sizes, "doc_id")
+          .where(col("rk") <= col("sz") - expr("(7 * sz + 9) div 10") + 1)
+          .select(col("doc_id"), col("sh"), col("sz"))
+        val cand = prefix.as("x")
+          .join(prefix.as("y"),
+            col("x.sh") === col("y.sh") &&
+              col("x.doc_id") < col("y.doc_id") &&
+              least(col("x.sz"), col("y.sz")) * 10 >=
+                greatest(col("x.sz"), col("y.sz")) * 7)
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .distinct()
+        jaccardPairs(cand, sets, 0.7)
+      },
+      Some(s"""WITH sh AS (${shingledSql(3)}),
+              |s AS (SELECT doc_id, shingles, len(shingles) AS sz
+              |      FROM sh WHERE len(shingles) > 0)
+              |SELECT doc_a, doc_b, jaccard FROM (
+              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |    len(list_intersect(a.shingles, b.shingles))::DOUBLE
+              |      / len(list_distinct(a.shingles || b.shingles)) AS jaccard
+              |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+              |    AND least(a.sz, b.sz) * 10 >= greatest(a.sz, b.sz) * 7)
+              |WHERE jaccard >= 0.7 ORDER BY doc_a, doc_b""".stripMargin),
+      doc = "LLM-pipeline: lossless prefix-filter similarity join (AllPairs) — oracle is the full quadratic join, proving zero misses",
+      sort = Seq("doc_a", "doc_b")
+    ),
+
+    // ── Blocked fuzzy entity resolution on the part dim: record-linkage
+    // dedup for catalog rows (the reference's mapa build joins on exact
+    // SKU; real catalogs need the fuzzy variant). Blocking on
+    // (brand, size-band) bounds the quadratic strictly inside blocks —
+    // the ER equivalent of LSH buckets; candidates then score on TWO
+    // attributes (edit distance ≤ 2 on the name, price gap ≤ 100).
+    // Both engines implement textbook Wagner-Fischer levenshtein and
+    // IEEE |a−b|, so the scores are engine-exact. Scale: block-key
+    // cardinality bounds pair volume; a skewed block salts like
+    // `j10_salted_skew_join`. ──
+    "er_fuzzy_blocked" -> Q(
+      (s, d) => {
+        val sel = Tables.part(s, d).select(
+          col("p_partkey"), col("p_name"), col("p_brand"),
+          expr("p_size div 10").as("szb"), col("p_retailprice"))
+        sel.as("a")
+          .join(sel.as("b"),
+            col("a.p_brand") === col("b.p_brand") &&
+              col("a.szb") === col("b.szb") &&
+              col("a.p_partkey") < col("b.p_partkey"))
+          .withColumn("name_dist",
+            levenshtein(col("a.p_name"), col("b.p_name")).cast(LongType))
+          .withColumn("price_gap",
+            abs(col("a.p_retailprice") - col("b.p_retailprice")))
+          .where(col("name_dist") <= 2 && col("price_gap") <= 100.0)
+          .select(
+            col("a.p_partkey").as("key_a"),
+            col("b.p_partkey").as("key_b"),
+            col("name_dist"), col("price_gap"))
+      },
+      Some("""SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+             |  levenshtein(a.p_name, b.p_name)::BIGINT AS name_dist,
+             |  abs(a.p_retailprice - b.p_retailprice) AS price_gap
+             |FROM part a JOIN part b
+             |  ON a.p_brand = b.p_brand
+             | AND (a.p_size // 10) = (b.p_size // 10)
+             | AND a.p_partkey < b.p_partkey
+             |WHERE levenshtein(a.p_name, b.p_name) <= 2
+             |  AND abs(a.p_retailprice - b.p_retailprice) <= 100
+             |ORDER BY key_a, key_b""".stripMargin),
+      doc = "Extension: blocked fuzzy entity resolution (brand/size-band blocks, levenshtein + price-gap scoring)",
+      sort = Seq("key_a", "key_b")
+    ),
+
     // ── Containment scoring on the LSH candidate pairs: |A∩B|/|A| and
     // |A∩B|/|B| — the asymmetric cousin of Jaccard that catches
     // quote/subset relationships (a short doc wholly embedded in a long

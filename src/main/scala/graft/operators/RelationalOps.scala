@@ -609,6 +609,36 @@ object RelationalOps extends OpModule {
       sort = Seq("bucket")
     ),
 
+    // ── Exact per-group MODE with a deterministic tie-break (highest
+    // count, then smallest value — both engines replay the same rank).
+    // Plan: one hash agg on (group, value) with map-side combine, then
+    // a row_number window over the already-aggregated (tiny) counts —
+    // the window never sees fact rows, so the shape is two bounded
+    // shuffles at any scale. ──
+    "a14_mode" -> Q(
+      (s, d) => {
+        val counts = Tables.part(s, d)
+          .groupBy($("p_brand"), $("p_size"))
+          .agg(count(lit(1)).as("cnt"))
+        val w = Window.partitionBy($("p_brand"))
+          .orderBy($("cnt").desc, $("p_size").asc)
+        counts
+          .withColumn("rn", row_number().over(w))
+          .where($("rn") === 1)
+          .select($("p_brand"), $("p_size").as("mode_size"),
+            $("cnt").as("mode_count"))
+      },
+      Some("""SELECT p_brand, mode_size, mode_count FROM (
+             |  SELECT p_brand, p_size AS mode_size,
+             |    count(*)::BIGINT AS mode_count,
+             |    row_number() OVER (PARTITION BY p_brand
+             |      ORDER BY count(*) DESC, p_size) AS rn
+             |  FROM part GROUP BY p_brand, p_size)
+             |WHERE rn = 1 ORDER BY p_brand""".stripMargin),
+      doc = "Extension: exact per-group mode (deterministic tie-break, window over pre-aggregated counts)",
+      sort = Seq("p_brand")
+    ),
+
     // ── Sketch: bloom-filter join pruning — the 100 TB path for a
     // selective dim⋈fact join. Catalyst's InjectRuntimeFilter does this
     // automatically when thresholds line up; this query is the explicit,

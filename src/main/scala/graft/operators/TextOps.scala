@@ -593,6 +593,40 @@ object TextOps extends OpModule {
               |ORDER BY df DESC, term LIMIT 50""".stripMargin),
       doc = "LLM-pipeline: inverted index build (df + capped posting lists, cap applied pre-array)",
       sort = Nil
+    ),
+
+    // ── Sketch: Space-Saving frequent items (heavy hitters) over the
+    // corpus token stream, via the custom `freq_items_sketch`
+    // TypedImperativeAggregate ([[graft.functions.FreqItemsSketch]]).
+    // The 100 TB path for "top terms": one capacity-bounded binary
+    // buffer per partition crosses the exchange instead of a row per
+    // distinct term (the exact twin `ta_inverted_index` ships the whole
+    // term dictionary). Estimates depend on the partition layout by
+    // design → rows-only check; `SketchSpec` pins the Space-Saving
+    // guarantees (est−err ≤ true ≤ est; every > n/capacity item
+    // present) against exact counts under forced multi-partition
+    // merges. ──
+    "sk5_freq_items" -> Q(
+      (s, d) => {
+        val tokens = Tables.documents(s, d)
+          .select(explode(toksCol).as("tok"))
+          .filter(col("tok") =!= "")
+        tokens
+          .agg(
+            call_function("freq_items_sketch", col("tok"), lit(64)).as("sk"),
+            count(lit(1)).as("n_tokens"))
+          .select(explode(col("sk")).as("e"), col("n_tokens"))
+          .select(
+            col("e.item").as("item"),
+            col("e.est").as("est"),
+            (col("e.est") - col("e.err")).as("guaranteed_min"),
+            col("n_tokens"))
+          .orderBy(col("est").desc, col("item"))
+          .limit(15)
+      },
+      None,
+      doc = "Extension: Space-Saving heavy hitters via custom TypedImperativeAggregate (rows-only; guarantees pinned in SketchSpec)",
+      sort = Nil
     )
   )
 

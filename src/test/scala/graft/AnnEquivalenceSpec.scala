@@ -49,7 +49,8 @@ class AnnEquivalenceSpec extends AnyFunSuite {
     val names = Functions.all.map(_._1).toSet
     assert(names == Set("parse_brl_money", "dot_product", "dsum_exact",
       "word_shingles", "nibble_histogram", "phash_pair", "frame_energy",
-      "count_intersect", "bloom_agg", "bloom_might_contain"))
+      "count_intersect", "bloom_agg", "bloom_might_contain",
+      "freq_items_sketch"))
     // builders construct the right expression types
     import org.apache.spark.sql.catalyst.expressions.Literal
     val dp = Functions.all.toMap.apply("dot_product")(

@@ -67,4 +67,40 @@ class SketchSpec extends AnyFunSuite {
     for ((k, e) <- exact)
       assert(math.abs(merged(k) - e) / e < 0.05, s"$k: ${merged(k)} vs $e")
   }
+
+  /** Space-Saving guarantees hold for ANY partition layout; forcing 7
+    * partitions over planted frequencies exercises the parallel merge
+    * path (absent-key floors + capacity trim), not just the single
+    * -buffer update. */
+  test("sk5: Space-Saving sketch honors est bounds and reports every > n/k item under merges") {
+    import spark.implicits._
+    val k = 8
+    // planted stream: 3 heavies far above n/k, a mid band, and a long
+    // tail that forces evictions at capacity 8
+    val items =
+      Seq.fill(400)("alpha") ++ Seq.fill(300)("beta") ++ Seq.fill(200)("gamma") ++
+        Seq.fill(40)("delta") ++ Seq.fill(30)("epsilon") ++
+        (1 to 300).flatMap(i => Seq.fill(2)(s"tail$i"))
+    val n = items.size
+    val exact = items.groupBy(identity).map { case (s, xs) => s -> xs.size.toLong }
+    val sketch = items.toDF("item")
+      .repartition(7)
+      .agg(call_function("freq_items_sketch", col("item"), lit(k)).as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select(col("e.item"), col("e.est"), col("e.err"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(sketch.length <= k)
+    for ((item, est, err) <- sketch) {
+      val truth = exact.getOrElse(item, 0L)
+      assert(truth <= est, s"$item: true $truth > est $est")
+      assert(est - err <= truth, s"$item: lower bound ${est - err} > true $truth")
+    }
+    // frequent-items guarantee: everything above n/k must be reported
+    val reported = sketch.map(_._1).toSet
+    for ((item, c) <- exact if c > n / k)
+      assert(reported.contains(item), s"heavy item $item (count $c > ${n / k}) missing")
+    // and the clear heavies should surface regardless of merge order
+    assert(Set("alpha", "beta", "gamma").subsetOf(reported))
+  }
 }
