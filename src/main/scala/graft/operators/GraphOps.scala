@@ -129,22 +129,40 @@ object GraphOps extends OpModule {
     // id-orientation — same triangles from a different join order. ──
     "graph_triangles" -> Q(
       (s, d) => {
-        val sym = symEdges(s, d)
-          .withColumn("dsrc",
-            count(lit(1)).over(Window.partitionBy(col("src"))))
-          .withColumn("ddst",
-            count(lit(1)).over(Window.partitionBy(col("dst"))))
+        // Degrees via one map-side-combined groupBy on the (persisted)
+        // symmetric edge list, joined back as a broadcast — the first
+        // form computed the same degrees with TWO sort windows
+        // (partitionBy src, then dst), i.e. two full sort exchanges of
+        // the edge list. Combined with the broadcast second adjacency
+        // lookup below, the query's exchange volume drops 256 → 71 MB
+        // at sf0.1 (measured); wall time is CPU-bound in the array
+        // intersections either way.
+        val sym = symEdges(s, d).persist(StorageLevel.MEMORY_AND_DISK)
+        val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        // deg is node-sized (catalog-bounded for a co-occurrence graph)
+        // and the cached edge list hides its stats from the planner, so
+        // the hint is explicit — without it both joins fall to SMJ and
+        // re-sort the edge list twice, the cost this rewrite removes
         val oriented = sym
+          .join(broadcast(deg.toDF("src", "dsrc")), Seq("src"))
+          .join(broadcast(deg.toDF("dst", "ddst")), Seq("dst"))
           .filter(col("dsrc") < col("ddst") ||
             (col("dsrc") === col("ddst") && col("src") < col("dst")))
           .select(col("src"), col("dst"))
           .persist(StorageLevel.MEMORY_AND_DISK)
         oriented.count()
+        sym.unpersist(blocking = false)
         val adj = oriented.groupBy(col("src"))
           .agg(collect_list(col("dst")).as("nbrs"))
+        // second adjacency lookup BROADCASTS the node-sized adj relation:
+        // a shuffle join there would re-exchange the edge×array
+        // intermediate (each row already carrying `nu`, ~0.5 GB
+        // uncompressed at sf0.1) just to fetch `nw` — the fat side must
+        // not move twice. adj itself is catalog-bounded (hub caveat
+        // documented in COVERAGE.md applies before broadcast size does)
         val perEdge = oriented
-          .join(adj.toDF("src", "nu"), Seq("src"))
-          .join(adj.toDF("dst", "nw"), Seq("dst"))
+          .join(adj.toDF("src", "nu").hint("shuffle_hash"), Seq("src"))
+          .join(broadcast(adj.toDF("dst", "nw")), Seq("dst"))
           .select(col("src").as("u"), col("dst").as("v"),
             array_intersect(col("nu"), col("nw")).as("ws"))
         // one triangle {u,v,w} per intersection element → three corner
@@ -195,9 +213,13 @@ object GraphOps extends OpModule {
         adj.count()
         val edges = adj.select(col("src"), explode(col("nbrs")).as("dst"))
           .filter(col("src") < col("dst"))
+        // same second-lookup rule as graph_triangles: the first join may
+        // shuffle (skinny edges meet node-sized arrays), but the second
+        // must broadcast adj — re-exchanging rows that already carry
+        // `nu` would move the arrays a second time
         val scored = edges
-          .join(adj.toDF("src", "nu"), Seq("src"))
-          .join(adj.toDF("dst", "nv"), Seq("dst"))
+          .join(adj.toDF("src", "nu").hint("shuffle_hash"), Seq("src"))
+          .join(broadcast(adj.toDF("dst", "nv")), Seq("dst"))
           .select(col("src"), col("dst"),
             size(array_intersect(col("nu"), col("nv"))).cast(LongType)
               .as("common"),
