@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CountIntersect, DotProduct, ExactMoneySum, FrameEnergy, FreqItemsSketch, NibbleHistogram, ParseBrlMoney, PHashPair, WordShingles}
+import graft.functions.{CountIntersect, DotProduct, ExactMoneySum, FrameEnergy, FreqItemsSketch, NibbleHistogram, ParseBrlMoney, PHashPair, ShingleExplode, WordShingles}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo, XxHash64}
@@ -31,6 +31,8 @@ object Functions {
       FreqItemsSketch(exprs.head,
         exprs(1).eval(org.apache.spark.sql.catalyst.InternalRow.empty)
           .asInstanceOf[Int])),
+    // Generator (UDTF surface): distinct word n-gram shingles as rows
+    "shingle_explode" -> (exprs => ShingleExplode(exprs.head, exprs(1))),
     // Runtime-filter building blocks (Spark's own BloomFilterAggregate /
     // BloomFilterMightContain, surfaced as SQL functions): `bloom_agg(k)`
     // folds a key column into a fixed-size mergeable sketch;

@@ -135,9 +135,16 @@ object DedupOps extends OpModule {
     * pairs × 250-element sets, and the shape that survives 100 TB.
     * Candidates sharing zero shingles drop out of the inner join, which a
     * positive threshold filters anyway. */
-  private def jaccardPairs(pairs: DataFrame, sets: DataFrame, thresh: Double): DataFrame = {
-    val sizes = sets.select(col("doc_id"), size(col("shingles")).as("sz"))
-    val ex = sets.select(col("doc_id"), explode(col("shingles")).as("sh"))
+  private def jaccardPairs(pairs: DataFrame, sets: DataFrame, thresh: Double): DataFrame =
+    jaccardPairsFromRows(pairs,
+      sets.select(col("doc_id"), explode(col("shingles")).as("sh")),
+      sets.select(col("doc_id"), size(col("shingles")).as("sz")),
+      thresh)
+
+  /** Row-form twin of [[jaccardPairs]] for array-free pipelines: `ex` is
+    * (doc_id, sh) distinct shingle rows, `sizes` is (doc_id, sz). */
+  private def jaccardPairsFromRows(
+      pairs: DataFrame, ex: DataFrame, sizes: DataFrame, thresh: Double): DataFrame =
     pairs
       .join(ex.toDF("doc_a", "sh").hint("shuffle_hash"), "doc_a")
       .join(ex.toDF("doc_b", "sh").hint("shuffle_hash"), Seq("doc_b", "sh"))
@@ -149,7 +156,6 @@ object DedupOps extends OpModule {
         (col("inter").cast(DoubleType) /
           (col("sz_a") + col("sz_b") - col("inter")).cast(DoubleType)).as("jaccard"))
       .filter(col("jaccard") >= thresh)
-  }
 
   private def jaccardPairsSql(thresh: Double): String =
     s"""scored AS (
@@ -371,12 +377,17 @@ object DedupOps extends OpModule {
     // arithmetic: ⌈0.7·sz⌉ = (7·sz+9) div 10 on both engines. ──
     "dedup_prefix_filter" -> Q(
       (s, d) => {
-        val sets = shingled(s, d, 3)
-          .where(size(col("shingles")) > 0)
+        // ARRAY-FREE pipeline: shingles are born as rows via the
+        // `shingle_explode` Generator ([[graft.functions.ShingleExplode]])
+        // — no plan edge anywhere carries a shingle array. Sizes and
+        // document frequencies are both groupBy counts over the same
+        // persisted skinny relation (docs shorter than n tokens emit no
+        // rows and drop out, matching the composed form's len>0 filter).
+        val ex = Tables.documents(s, d)
+          .select(col("doc_id"), expr("shingle_explode(text, 3)").as("sh"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        sets.count()
-        val sizes = sets.select(col("doc_id"), size(col("shingles")).as("sz"))
-        val ex = sets.select(col("doc_id"), explode(col("shingles")).as("sh"))
+        ex.count()
+        val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
         val dfreq = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("doc_id"))
@@ -395,7 +406,7 @@ object DedupOps extends OpModule {
                 greatest(col("x.sz"), col("y.sz")) * 7)
           .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
           .distinct()
-        jaccardPairs(cand, sets, 0.7)
+        jaccardPairsFromRows(cand, ex, sizes, 0.7)
       },
       Some(s"""WITH sh AS (${shingledSql(3)}),
               |s AS (SELECT doc_id, shingles, len(shingles) AS sz

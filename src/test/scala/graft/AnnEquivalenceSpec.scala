@@ -50,7 +50,7 @@ class AnnEquivalenceSpec extends AnyFunSuite {
     assert(names == Set("parse_brl_money", "dot_product", "dsum_exact",
       "word_shingles", "nibble_histogram", "phash_pair", "frame_energy",
       "count_intersect", "bloom_agg", "bloom_might_contain",
-      "freq_items_sketch"))
+      "freq_items_sketch", "shingle_explode"))
     // builders construct the right expression types
     import org.apache.spark.sql.catalyst.expressions.Literal
     val dp = Functions.all.toMap.apply("dot_product")(
