@@ -369,12 +369,16 @@ object DedupOps extends OpModule {
     // with that much overlap MUST share a token inside both prefixes —
     // so the candidate equi-join on prefix tokens misses nothing, which
     // the oracle PROVES by being the plain quadratic join. A size
-    // filter (10·min ≥ 7·max, integer-exact for τ=0.7) prunes
+    // filter (10·min ≥ 8·max, integer-exact for τ=0.8) prunes
     // length-incompatible pairs pre-join. Scale: candidate volume is
     // Σ_token df_prefix(token)² over RARE tokens only — the df-ascending
-    // order is what keeps buckets small; frequent tokens land in long
-    // docs' suffixes and never generate candidates. All integer
-    // arithmetic: ⌈0.7·sz⌉ = (7·sz+9) div 10 on both engines. ──
+    // order is what keeps buckets small, and the shingle width is the
+    // other lever: 3-grams collide on shared boilerplate (measured 43k
+    // candidates at sf0.1 even at τ=0.8) while 4-grams individuate it
+    // (255 candidates, same corpus) — losslessness makes the candidate
+    // set exactly as large as the data demands, so candidate volume IS
+    // the tuning readout. All integer arithmetic:
+    // ⌈0.8·sz⌉ = (8·sz+9) div 10 on both engines. ──
     "dedup_prefix_filter" -> Q(
       (s, d) => {
         // ARRAY-FREE pipeline: shingles are born as rows via the
@@ -384,31 +388,36 @@ object DedupOps extends OpModule {
         // persisted skinny relation (docs shorter than n tokens emit no
         // rows and drop out, matching the composed form's len>0 filter).
         val ex = Tables.documents(s, d)
-          .select(col("doc_id"), expr("shingle_explode(text, 3)").as("sh"))
+          .select(col("doc_id"), expr("shingle_explode(text, 4)").as("sh"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         ex.count()
         val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-        val dfreq = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-        val w = org.apache.spark.sql.expressions.Window
+        // df as a count-over-window on sh (one exchange) instead of a
+        // groupBy + re-join (which exchanged the shingle relation twice):
+        // 47 → 36 MB exchanged and ~4 s warm at sf0.1 (the join form ran
+        // ~10 s); the doc-keyed rank window then re-partitions once, and
+        // the node-sized `sizes` join broadcasts
+        val wsh = org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))
+        val wdoc = org.apache.spark.sql.expressions.Window
           .partitionBy(col("doc_id"))
           .orderBy(col("df"), col("sh"))
         val prefix = ex
-          .join(dfreq.hint("shuffle_hash"), "sh")
-          .withColumn("rk", row_number().over(w))
+          .withColumn("df", count(lit(1)).over(wsh))
+          .withColumn("rk", row_number().over(wdoc))
           .join(sizes, "doc_id")
-          .where(col("rk") <= col("sz") - expr("(7 * sz + 9) div 10") + 1)
+          .where(col("rk") <= col("sz") - expr("(8 * sz + 9) div 10") + 1)
           .select(col("doc_id"), col("sh"), col("sz"))
         val cand = prefix.as("x")
           .join(prefix.as("y"),
             col("x.sh") === col("y.sh") &&
               col("x.doc_id") < col("y.doc_id") &&
               least(col("x.sz"), col("y.sz")) * 10 >=
-                greatest(col("x.sz"), col("y.sz")) * 7)
+                greatest(col("x.sz"), col("y.sz")) * 8)
           .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
           .distinct()
-        jaccardPairsFromRows(cand, ex, sizes, 0.7)
+        jaccardPairsFromRows(cand, ex, sizes, 0.8)
       },
-      Some(s"""WITH sh AS (${shingledSql(3)}),
+      Some(s"""WITH sh AS (${shingledSql(4)}),
               |s AS (SELECT doc_id, shingles, len(shingles) AS sz
               |      FROM sh WHERE len(shingles) > 0)
               |SELECT doc_a, doc_b, jaccard FROM (
@@ -416,8 +425,8 @@ object DedupOps extends OpModule {
               |    len(list_intersect(a.shingles, b.shingles))::DOUBLE
               |      / len(list_distinct(a.shingles || b.shingles)) AS jaccard
               |  FROM s a JOIN s b ON a.doc_id < b.doc_id
-              |    AND least(a.sz, b.sz) * 10 >= greatest(a.sz, b.sz) * 7)
-              |WHERE jaccard >= 0.7 ORDER BY doc_a, doc_b""".stripMargin),
+              |    AND least(a.sz, b.sz) * 10 >= greatest(a.sz, b.sz) * 8)
+              |WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin),
       doc = "LLM-pipeline: lossless prefix-filter similarity join (AllPairs) — oracle is the full quadratic join, proving zero misses",
       sort = Seq("doc_a", "doc_b")
     ),

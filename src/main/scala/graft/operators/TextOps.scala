@@ -203,6 +203,37 @@ object TextOps extends OpModule {
       sort = Seq("doc_id")
     ),
 
+    // ── Weighted Bernoulli sampling with a PER-DOCUMENT continuous
+    // rate: accept iff hash(doc) mod 10^6 < weight_ppm, where the
+    // weight derives from a quality proxy (here: length, capped —
+    // longer docs kept proportionally more often, ≥2000 chars always).
+    // The stratified variant above samples at per-STRATUM rates; this
+    // is the per-ROW generalization every curation pipeline ends up
+    // needing ("sample by quality score"). Deterministic and
+    // engine-exact: the accept test is pure integer arithmetic on the
+    // replayable hash family — re-runs keep the same docs (content-
+    // stable sampling, the property that makes dataset builds
+    // reproducible). Map-only at scan speed. ──
+    "ta_sample_weighted" -> Q(
+      (s, d) => {
+        val ppm = (least(col("n_chars"), lit(2000)) * 500).cast(LongType)
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("n_chars"), ppm.as("rate_ppm"),
+            pmod(phash(col("doc_id").cast(StringType)), lit(1000000L))
+              .as("draw"))
+          .filter(col("draw") < col("rate_ppm"))
+          .select(col("doc_id"), col("n_chars"), col("rate_ppm"))
+      },
+      Some(s"""SELECT doc_id, n_chars, rate_ppm FROM (
+              |  SELECT doc_id, n_chars,
+              |    (least(n_chars, 2000) * 500)::BIGINT AS rate_ppm,
+              |    ${phashSql("CAST(doc_id AS VARCHAR)")} % 1000000 AS draw
+              |  FROM documents)
+              |WHERE draw < rate_ppm ORDER BY doc_id""".stripMargin),
+      doc = "LLM-pipeline: per-row weighted deterministic sampling (quality-weighted, content-stable)",
+      sort = Seq("doc_id")
+    ),
+
     // ── Context-window sequence packing: assign docs to 4096-token bins
     // by cumulative token count within each source shard. The window
     // partitions by `source` (a shard key), never globally — the
