@@ -446,16 +446,23 @@ object DedupOps extends OpModule {
         val sel = Tables.part(s, d).select(
           col("p_partkey"), col("p_name"), col("p_brand"),
           expr("p_size div 10").as("szb"), col("p_retailprice"))
+        // |len(a)−len(b)| ≤ lev(a,b), so the length gate prunes most
+        // block pairs before any DP runs; the 3-arg levenshtein then
+        // early-exits at the threshold instead of filling the full
+        // matrix. Same predicate semantics as the oracle's plain
+        // lev ≤ 2 — the gate is implied, never filtering a match.
         sel.as("a")
           .join(sel.as("b"),
             col("a.p_brand") === col("b.p_brand") &&
               col("a.szb") === col("b.szb") &&
-              col("a.p_partkey") < col("b.p_partkey"))
+              col("a.p_partkey") < col("b.p_partkey") &&
+              abs(length(col("a.p_name")) - length(col("b.p_name"))) <= 2)
           .withColumn("name_dist",
-            levenshtein(col("a.p_name"), col("b.p_name")).cast(LongType))
+            levenshtein(col("a.p_name"), col("b.p_name"), 2).cast(LongType))
           .withColumn("price_gap",
             abs(col("a.p_retailprice") - col("b.p_retailprice")))
-          .where(col("name_dist") <= 2 && col("price_gap") <= 100.0)
+          // the threshold form returns −1 for "exceeds 2" — gate on ≥ 0
+          .where(col("name_dist").between(0, 2) && col("price_gap") <= 100.0)
           .select(
             col("a.p_partkey").as("key_a"),
             col("b.p_partkey").as("key_b"),
