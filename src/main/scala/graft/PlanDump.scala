@@ -63,9 +63,19 @@ object PlanDump {
        "dedup + degree + graph); each round is a node-sized join plus a narrow explode " +
        "into one map-combined shuffle — integer-exact fixed-point ranks."),
     "graph_triangles" ->
-      ("Compact-forward: degree-ordered orientation, adjacency-array intersection in " +
-       "codegen — the 83M-row wedge set never materializes as shuffle rows; corner " +
-       "credits explode straight into a map-combined count."),
+      ("Compact-forward: degree-ordered orientation (groupBy degrees broadcast back, no " +
+       "sort windows), adjacency-array intersection in codegen — the 83M-row wedge set " +
+       "never materializes as shuffle rows, and the second adjacency lookup broadcasts " +
+       "so the edge-x-array intermediate never re-exchanges (256 -> 71 MB at sf0.1)."),
+    "dedup_prefix_filter" ->
+      ("LOSSLESS similarity join, array-free: shingle_explode Generator births rows " +
+       "directly; df via count-over-window on the shingle key; candidates only from " +
+       "prefix-token equi-join + size gate; verify co-counts skinny rows. Oracle is " +
+       "the full quadratic join — zero misses by construction."),
+    "er_fuzzy_blocked" ->
+      ("Blocked record linkage: quadratic confined to (brand, size-band) blocks; " +
+       "length gate prunes before any edit-distance DP; thresholded levenshtein " +
+       "early-exits. No exchange at all — the dim broadcasts into the self-join."),
     "sky1_pareto_front" ->
       ("Sort-based skyline: per-price hash agg, strict-prefix max hierarchically " +
        "(bucket windows, then one window over the constant-size bucket maxima) — " +
