@@ -204,6 +204,85 @@ object RelationalOps extends OpModule {
       sort = Seq("check")
     ),
 
+    // ── Join-key skew audit: per candidate join key, cardinality, the
+    // hottest key's row count, and its share of the table — the
+    // operational readout you run BEFORE deciding a join needs salting
+    // (`j10_salted_skew_join` is the cure; this is the diagnosis). One
+    // map-side-combined aggregate per key, each collapsing to a single
+    // row — exchange volume is #distinct-keys × partitions, the same
+    // envelope as any hash agg, at any corpus size. ──
+    "dq3_skew_audit" -> Q(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        def stats(keyCol: String) = li
+          .groupBy($(keyCol).as("k"))
+          .agg(count(lit(1)).as("cnt"))
+          .agg(count(lit(1)).as("n_keys"), max($("cnt")).as("max_rows"),
+            sum($("cnt")).as("total_rows"))
+          .select(lit(keyCol).as("join_key"), $("n_keys"), $("max_rows"),
+            ($("max_rows").cast(DoubleType) /
+              $("total_rows").cast(DoubleType)).as("max_share"))
+        stats("l_orderkey")
+          .unionByName(stats("l_partkey"))
+          .unionByName(stats("l_suppkey"))
+      },
+      Some("""SELECT join_key, n_keys, max_rows,
+             |  max_rows::DOUBLE / total_rows::DOUBLE AS max_share
+             |FROM (
+             |  SELECT 'l_orderkey' AS join_key, count(*)::BIGINT AS n_keys,
+             |    max(cnt)::BIGINT AS max_rows, sum(cnt)::BIGINT AS total_rows
+             |  FROM (SELECT count(*) AS cnt FROM lineitem GROUP BY l_orderkey)
+             |  UNION ALL
+             |  SELECT 'l_partkey', count(*)::BIGINT, max(cnt)::BIGINT, sum(cnt)::BIGINT
+             |  FROM (SELECT count(*) AS cnt FROM lineitem GROUP BY l_partkey)
+             |  UNION ALL
+             |  SELECT 'l_suppkey', count(*)::BIGINT, max(cnt)::BIGINT, sum(cnt)::BIGINT
+             |  FROM (SELECT count(*) AS cnt FROM lineitem GROUP BY l_suppkey))
+             |ORDER BY join_key""".stripMargin),
+      doc = "Extension: join-key skew audit (hottest-key share per candidate key — the pre-salting diagnosis)",
+      sort = Seq("join_key")
+    ),
+
+    // ── Keyset pagination: page N of a ranked listing fetched by an
+    // anchor PREDICATE, not OFFSET — the scalable twin of the
+    // reference's offset-paged API loops (SURVEY §2.1 S3: offset+=limit
+    // until total; deep offsets re-rank everything they skip). The
+    // anchor (last row of the previous page) comes from a two-step
+    // top-k — both steps are TakeOrdered over k rows, never a global
+    // sort — and the page scan is a plain filtered top-k below it.
+    // Ties are impossible by construction: the key joins the sort. ──
+    "l3_keyset_page" -> Q(
+      (s, d) => {
+        val parts = Tables.part(s, d)
+          .select($("p_partkey"), $("p_retailprice"))
+        val anchor = parts
+          .orderBy($("p_retailprice").desc, $("p_partkey").asc)
+          .limit(40)
+          .orderBy($("p_retailprice").asc, $("p_partkey").desc)
+          .limit(1)
+          .select($("p_retailprice").as("a_price"), $("p_partkey").as("a_key"))
+        parts
+          .crossJoin(broadcast(anchor))
+          .where($("p_retailprice") < $("a_price") ||
+            ($("p_retailprice") === $("a_price") && $("p_partkey") > $("a_key")))
+          .orderBy($("p_retailprice").desc, $("p_partkey").asc)
+          .limit(20)
+          .select($("p_partkey"), $("p_retailprice"))
+      },
+      Some("""WITH page1and2 AS (
+             |  SELECT p_retailprice, p_partkey FROM part
+             |  ORDER BY p_retailprice DESC, p_partkey LIMIT 40),
+             |anchor AS (
+             |  SELECT p_retailprice AS a_price, p_partkey AS a_key
+             |  FROM page1and2 ORDER BY p_retailprice ASC, p_partkey DESC LIMIT 1)
+             |SELECT p_partkey, p_retailprice FROM part, anchor
+             |WHERE p_retailprice < a_price
+             |   OR (p_retailprice = a_price AND p_partkey > a_key)
+             |ORDER BY p_retailprice DESC, p_partkey LIMIT 20""".stripMargin),
+      doc = "Extension: keyset pagination (anchor-predicate page fetch — the scalable form of S3's offset paging)",
+      sort = Nil
+    ),
+
     // ── CUBE: all 2^n grouping combinations (per-pair, per-flag,
     // per-status, grand total) — the slice-and-dice companion of A9's
     // ROLLUP, one Expand-backed aggregate. ──
