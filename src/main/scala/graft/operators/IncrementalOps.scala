@@ -242,53 +242,57 @@ object IncrementalOps extends OpModule {
     // two runs of one customer can share valid_from when orders tie on
     // date, and lead() needs a total order. ──
     "t7_scd2_history" -> Q(
-      (s, d) => {
-        val o = Tables.orders(s, d)
-          .select(col("o_custkey"), col("o_orderstatus").as("status"),
-            to_date(col("o_orderdate")).as("dt"), col("o_orderkey"))
-        val wAll = Window.partitionBy(col("o_custkey"))
-          .orderBy(col("dt"), col("o_orderkey"))
-        val wByStatus = Window.partitionBy(col("o_custkey"), col("status"))
-          .orderBy(col("dt"), col("o_orderkey"))
-        val runs = o
-          .withColumn("grp", row_number().over(wAll) - row_number().over(wByStatus))
-          .groupBy(col("o_custkey"), col("status"), col("grp"))
-          .agg(min(col("dt")).as("valid_from"),
-            min(col("o_orderkey")).as("first_key"),
-            count(lit(1)).as("n_orders"))
-        val wSeq = Window.partitionBy(col("o_custkey"))
-          .orderBy(col("valid_from"), col("first_key"))
-        runs
-          .withColumn("valid_to", lead(col("valid_from"), 1).over(wSeq))
-          .select(col("o_custkey"), col("status"), col("valid_from"),
-            col("valid_to"), col("first_key"), col("n_orders"),
-            col("valid_to").isNull.as("is_current"))
-      },
-      Some("""WITH o AS (
-             |  SELECT o_custkey, o_orderstatus AS status,
-             |         CAST(o_orderdate AS DATE) AS dt, o_orderkey
-             |  FROM orders),
-             |isl AS (
-             |  SELECT *,
-             |    ROW_NUMBER() OVER (PARTITION BY o_custkey
-             |                       ORDER BY dt, o_orderkey)
-             |  - ROW_NUMBER() OVER (PARTITION BY o_custkey, status
-             |                       ORDER BY dt, o_orderkey) AS grp
-             |  FROM o),
-             |runs AS (
-             |  SELECT o_custkey, status,
-             |         min(dt) AS valid_from, min(o_orderkey) AS first_key,
-             |         COUNT(*) AS n_orders
-             |  FROM isl GROUP BY o_custkey, status, grp)
-             |SELECT o_custkey, status, valid_from,
-             |  LEAD(valid_from) OVER w AS valid_to,
-             |  first_key, n_orders,
-             |  (LEAD(valid_from) OVER w IS NULL) AS is_current
-             |FROM runs
-             |WINDOW w AS (PARTITION BY o_custkey ORDER BY valid_from, first_key)
-             |ORDER BY o_custkey, valid_from, first_key""".stripMargin),
+      (s, d) => scd2History(s, d),
+      Some(s"""WITH $scd2CteSql
+              |SELECT o_custkey, status, valid_from, valid_to,
+              |       first_key, n_orders, is_current
+              |FROM hist
+              |ORDER BY o_custkey, valid_from, first_key""".stripMargin),
       doc = "Extension: SCD2 versioned history (gaps-and-islands runs + lead validity)",
       sort = Seq("o_custkey", "valid_from", "first_key")
+    ),
+
+    // ── Point-in-time join: enrich each fact row with the dim VERSION
+    // that was valid at the fact's date — the temporal-correctness join
+    // every warehouse needs once a dim is SCD2 (joining current state
+    // leaks the future into history). The [valid_from, valid_to)
+    // half-open intervals partition each customer's timeline, so every
+    // fact matches exactly ONE version; the join is an equi-join on the
+    // customer key with the interval containment as a post-filter —
+    // per-key version chains are short, so the filter scans a handful
+    // of rows per fact, never a range scan. Date-grain tie semantics
+    // (two runs switching on one date) follow the half-open contract:
+    // the newer run wins, deterministically in both engines. ──
+    "t8_pit_join" -> Q(
+      (s, d) => {
+        val hist = scd2History(s, d)
+          .select(col("o_custkey").as("h_custkey"), col("status"),
+            col("valid_from"), col("valid_to"),
+            col("first_key").as("run_first_key"),
+            col("n_orders").as("run_n_orders"))
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"),
+            to_date(col("o_orderdate")).as("dt"))
+          .join(hist,
+            col("o_custkey") === col("h_custkey") &&
+              col("dt") >= col("valid_from") &&
+              (col("valid_to").isNull || col("dt") < col("valid_to")))
+          .select(col("o_orderkey"), col("o_custkey"), col("dt"),
+            col("status"), col("run_first_key"), col("run_n_orders"))
+      },
+      Some(s"""WITH $scd2CteSql
+              |SELECT f.o_orderkey, f.o_custkey, f.dt,
+              |       h.status, h.first_key AS run_first_key,
+              |       h.n_orders AS run_n_orders
+              |FROM (SELECT o_orderkey, o_custkey,
+              |        CAST(o_orderdate AS DATE) AS dt FROM orders) f
+              |JOIN hist h
+              |  ON h.o_custkey = f.o_custkey
+              | AND f.dt >= h.valid_from
+              | AND (h.valid_to IS NULL OR f.dt < h.valid_to)
+              |ORDER BY f.o_orderkey""".stripMargin),
+      doc = "Extension: point-in-time join against SCD2 history (temporal dim enrichment, exactly one version per fact)",
+      sort = Seq("o_orderkey")
     ),
 
     // ── CDC snapshot diff: derive an insert/update/delete change stream
@@ -522,4 +526,56 @@ object IncrementalOps extends OpModule {
       sort = Seq("l_partkey")
     )
   )
+
+  /** SCD2 run history per customer (shared by `t7_scd2_history` and the
+    * point-in-time join `t8_pit_join`): gaps-and-islands runs of
+    * o_orderstatus with [valid_from, valid_to) half-open validity. */
+  private def scd2History(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderstatus").as("status"),
+        to_date(col("o_orderdate")).as("dt"), col("o_orderkey"))
+    val wAll = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("dt"), col("o_orderkey"))
+    val wByStatus = Window.partitionBy(col("o_custkey"), col("status"))
+      .orderBy(col("dt"), col("o_orderkey"))
+    val runs = o
+      .withColumn("grp", row_number().over(wAll) - row_number().over(wByStatus))
+      .groupBy(col("o_custkey"), col("status"), col("grp"))
+      .agg(min(col("dt")).as("valid_from"),
+        min(col("o_orderkey")).as("first_key"),
+        count(lit(1)).as("n_orders"))
+    val wSeq = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("valid_from"), col("first_key"))
+    runs
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wSeq))
+      .select(col("o_custkey"), col("status"), col("valid_from"),
+        col("valid_to"), col("first_key"), col("n_orders"),
+        col("valid_to").isNull.as("is_current"))
+  }
+
+  /** DuckDB CTE twin of [[scd2History]], ending in a `hist` relation. */
+  private val scd2CteSql =
+    """o AS (
+      |  SELECT o_custkey, o_orderstatus AS status,
+      |         CAST(o_orderdate AS DATE) AS dt, o_orderkey
+      |  FROM orders),
+      |isl AS (
+      |  SELECT *,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |                       ORDER BY dt, o_orderkey)
+      |  - ROW_NUMBER() OVER (PARTITION BY o_custkey, status
+      |                       ORDER BY dt, o_orderkey) AS grp
+      |  FROM o),
+      |runs AS (
+      |  SELECT o_custkey, status,
+      |         min(dt) AS valid_from, min(o_orderkey) AS first_key,
+      |         COUNT(*) AS n_orders
+      |  FROM isl GROUP BY o_custkey, status, grp),
+      |hist AS (
+      |  SELECT o_custkey, status, valid_from,
+      |    LEAD(valid_from) OVER w AS valid_to,
+      |    first_key, n_orders,
+      |    (LEAD(valid_from) OVER w IS NULL) AS is_current
+      |  FROM runs
+      |  WINDOW w AS (PARTITION BY o_custkey ORDER BY valid_from, first_key))""".stripMargin
 }
