@@ -283,6 +283,57 @@ object RelationalOps extends OpModule {
       sort = Nil
     ),
 
+    // ── Six-table star join (the TPC-H Q5 shape): local-supplier
+    // revenue by nation for one region-year — the widest join tree in
+    // the suite, exercising multi-way join ordering. Plan economy: the
+    // date predicate pushes to the orders SCAN (row-group pruning
+    // before any join); nation and region are bounded dims and
+    // broadcast explicitly; customer/supplier/orders stay shuffle
+    // joins, which is what survives when those relations are
+    // 100-TB-scale (Catalyst/AQE may still elect to broadcast them at
+    // fixture size — the plan leaves that choice free). The
+    // c_nationkey = s_nationkey equi-condition rides the supplier join
+    // — "local" means buyer and seller share a nation. ──
+    "j11_star_join_volume" -> Q(
+      (s, d) => {
+        val nations = Tables.nation(s, d)
+          .join(broadcast(Tables.region(s, d).where($("r_name") === "ASIA")),
+            $("n_regionkey") === $("r_regionkey"))
+          .select($("n_nationkey"), $("n_name"))
+        Tables.lineitem(s, d)
+          .join(Tables.orders(s, d)
+            .where($("o_orderdate") >= "1996-01-01" &&
+              $("o_orderdate") < "1998-01-01"),
+            $("l_orderkey") === $("o_orderkey"))
+          .join(Tables.customer(s, d), $("o_custkey") === $("c_custkey"))
+          .join(Tables.supplier(s, d),
+            $("l_suppkey") === $("s_suppkey") &&
+              $("c_nationkey") === $("s_nationkey"))
+          .join(broadcast(nations), $("s_nationkey") === $("n_nationkey"))
+          .groupBy($("n_name"))
+          .agg(
+            dsum($("l_extendedprice") * (lit(1.0) - $("l_discount")))
+              .as("revenue"),
+            count(lit(1)).as("n_items"))
+      },
+      Some(s"""SELECT n_name,
+              |  ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue,
+              |  count(*)::BIGINT AS n_items
+              |FROM lineitem
+              |JOIN orders   ON l_orderkey = o_orderkey
+              |JOIN customer ON o_custkey = c_custkey
+              |JOIN supplier ON l_suppkey = s_suppkey
+              |              AND c_nationkey = s_nationkey
+              |JOIN nation   ON s_nationkey = n_nationkey
+              |JOIN region   ON n_regionkey = r_regionkey
+              |WHERE r_name = 'ASIA'
+              |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+              |  AND o_orderdate < TIMESTAMP '1998-01-01'
+              |GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "Extension: six-table star join (Q5 shape — local-supplier revenue by nation, date pushdown + bounded-dim broadcasts)",
+      sort = Seq("n_name")
+    ),
+
     // ── CUBE: all 2^n grouping combinations (per-pair, per-flag,
     // per-status, grand total) — the slice-and-dice companion of A9's
     // ROLLUP, one Expand-backed aggregate. ──
