@@ -72,6 +72,34 @@ object CustomFnOps extends OpModule {
               |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin),
       doc = "SURVEY §2.10 — SalesAgg Aggregator ≡ five dsum aggregates",
       sort = Seq("grp")
+    ),
+
+    // ── The SQL front door, gated end-to-end: this query is authored as
+    // SQL TEXT through [[graft.Catalog]]'s temp views (the "switch and
+    // run every query they run today" path), and its shape — a
+    // correlated scalar subquery — is one Catalyst must de-correlate
+    // into an aggregate + join to execute at all (a per-row subquery
+    // would be the reference's N+1 anti-pattern at engine scale). Max
+    // over doubles is exact, so ties and engine drift are impossible;
+    // customers whose max is shared by several orders emit all of them
+    // in both engines. ──
+    "sql1_correlated_max" -> Q(
+      (s, d) => {
+        graft.Catalog.registerAll(s, d)
+        s.sql("""SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+                |FROM orders o
+                |WHERE o.o_totalprice = (SELECT max(o2.o_totalprice)
+                |                        FROM orders o2
+                |                        WHERE o2.o_custkey = o.o_custkey)""".stripMargin)
+      },
+      Some("""SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+             |FROM orders o
+             |WHERE o.o_totalprice = (SELECT max(o2.o_totalprice)
+             |                        FROM orders o2
+             |                        WHERE o2.o_custkey = o.o_custkey)
+             |ORDER BY o.o_orderkey""".stripMargin),
+      doc = "Extension: SQL-text query via Catalog views with a correlated scalar subquery (de-correlated by Catalyst)",
+      sort = Seq("o_orderkey")
     )
   )
 }

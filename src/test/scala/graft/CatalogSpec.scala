@@ -19,4 +19,14 @@ class CatalogSpec extends AnyFunSuite {
       assert(spark.sql(s"SELECT * FROM $t LIMIT 1").count() == 1L, s"view $t")
     }
   }
+
+  test("custom generator runs from SQL via LATERAL VIEW") {
+    Catalog.registerAll(spark, TestSpark.sf0001)
+    val gen = spark.sql(
+      """SELECT doc_id, sh FROM documents
+        |LATERAL VIEW shingle_explode(text, 3) t AS sh""".stripMargin).count()
+    val composed = spark.sql(
+      "SELECT doc_id, explode(word_shingles(text, 3)) FROM documents").count()
+    assert(gen == composed && gen > 0)
+  }
 }
