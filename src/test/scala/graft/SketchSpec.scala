@@ -103,4 +103,31 @@ class SketchSpec extends AnyFunSuite {
     // and the clear heavies should surface regardless of merge order
     assert(Set("alpha", "beta", "gamma").subsetOf(reported))
   }
+
+  /** Grouped aggregation drives the serialized-buffer path per group
+    * (partial buffers serialize into the shuffle, deserialize at final)
+    * — each group's sketch must honor the same bounds independently. */
+  test("sk5: grouped Space-Saving sketches keep per-group guarantees") {
+    import spark.implicits._
+    val k = 4
+    val rows =
+      (Seq.fill(100)("hot_a") ++ (1 to 60).map(i => s"a$i")).map(("ga", _)) ++
+        (Seq.fill(80)("hot_b") ++ (1 to 40).map(i => s"b$i")).map(("gb", _))
+    val out = rows.toDF("grp", "item")
+      .repartition(5)
+      .groupBy(col("grp"))
+      .agg(call_function("freq_items_sketch", col("item"), lit(k)).as("sk"))
+      .select(col("grp"), explode(col("sk")).as("e"))
+      .select(col("grp"), col("e.item"), col("e.est"), col("e.err"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val exact = rows.groupBy(identity).map { case ((g, i), xs) => (g, i) -> xs.size.toLong }
+    for ((g, item, est, err) <- out) {
+      val truth = exact.getOrElse((g, item), 0L)
+      assert(truth <= est && est - err <= truth, s"($g,$item): [$est,$err] vs $truth")
+    }
+    val reported = out.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    assert(reported("ga").contains("hot_a") && !reported("ga").exists(_.startsWith("hot_b")))
+    assert(reported("gb").contains("hot_b") && !reported("gb").exists(_.startsWith("hot_a")))
+  }
 }
