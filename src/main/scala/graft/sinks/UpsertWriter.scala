@@ -197,4 +197,33 @@ object UpsertWriter {
       df.write.mode(SaveMode.Overwrite).parquet(staging)
     }
   }
+
+  /** Retention (TTL) for a partitioned table: drop whole partition
+    * directories of `partitionCol` whose value sorts strictly below
+    * `cutoff` — at 100 TB a fact table is only sustainable with a
+    * rolling horizon, and partition-grain deletion is the only form
+    * that never rewrites surviving data. ISO dates compare correctly as
+    * strings, matching the directory encoding (`dia=2025-01-02`).
+    * Directory removal is idempotent, so a crashed retention pass is
+    * simply re-run; no swap needed — untouched partitions are never
+    * written. Returns the number of partitions dropped. */
+  def retainFrom(
+      spark: SparkSession,
+      path: String,
+      partitionCol: String,
+      cutoff: String): Int = {
+    recover(path)
+    require(exists(path), s"no committed table at $path")
+    import scala.jdk.CollectionConverters._
+    val dropped = Files.list(Paths.get(path)).iterator().asScala
+      .filter(Files.isDirectory(_))
+      .filter { dir =>
+        val name = dir.getFileName.toString
+        name.startsWith(s"$partitionCol=") &&
+          name.stripPrefix(s"$partitionCol=") < cutoff
+      }
+      .toList
+    dropped.foreach(d => deleteTree(d.toString))
+    dropped.size
+  }
 }

@@ -66,6 +66,25 @@ class UpsertWriterSpec extends AnyFunSuite {
     assert(state == Map(1L -> "x", 2L -> "y2"))
   }
 
+  test("retention: partitions below the cutoff drop, survivors untouched") {
+    val path = tmp()
+    UpsertWriter.upsert(spark, path,
+      Seq((1L, "2024-01-01", "a"), (2L, "2024-01-02", "b"),
+        (3L, "2024-01-03", "c")).toDF("id", "dia", "v"),
+      keys = Seq("id"), versionCol = "id", partitionBy = Seq("dia"))
+    val survivor = new java.io.File(s"$path/dia=2024-01-03")
+    val before = survivor.listFiles().map(f => f.getName -> f.lastModified).toMap
+    val dropped = UpsertWriter.retainFrom(spark, path, "dia", "2024-01-02")
+    assert(dropped == 1)
+    val state = spark.read.parquet(path)
+      .select($"id", $"dia").as[(Long, String)].collect().toMap
+    assert(state == Map(2L -> "2024-01-02", 3L -> "2024-01-03"))
+    assert(survivor.listFiles().map(f => f.getName -> f.lastModified).toMap == before,
+      "surviving partition files must not be rewritten")
+    // idempotent: re-running the same retention drops nothing
+    assert(UpsertWriter.retainFrom(spark, path, "dia", "2024-01-02") == 0)
+  }
+
   test("K1: same-key same-version rows in one batch resolve to the later row") {
     val path = tmp()
     // one batch, shared version (a QueueWorker micro-batch's batch_id):
