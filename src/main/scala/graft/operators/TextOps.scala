@@ -234,6 +234,91 @@ object TextOps extends OpModule {
       sort = Seq("doc_id")
     ),
 
+    // ── Benchmark decontamination: flag training documents that share
+    // any 13-gram with a held-out evaluation set — the standard
+    // pre-training hygiene pass (13 is the n GPT-3/PaLM-style decontam
+    // used; long enough that natural reuse is rare, short enough to
+    // catch embedded test items). DISTINCT from dedup: the relation is
+    // asymmetric (train × benchmark only), the trigger is ANY overlap,
+    // not a similarity threshold, and the benchmark side is tiny and
+    // static. The "benchmark" here is a deterministic doc_id slice so
+    // both engines carve identical sides. Plan: 13-grams are
+    // near-unique, so the shingle equi-join touches only true overlaps
+    // — candidate volume IS the contamination volume; the benchmark
+    // side's exploded shingles are the stored index at scale (same
+    // posture as `dedup_incremental`). Array-free via the Generator. ──
+    "ta_decontaminate" -> Q(
+      (s, d) => {
+        // persisted once: both join sides slice the same shingle rows,
+        // and 13-gram shingling is the query's CPU bulk
+        val sh = Tables.documents(s, d)
+          .select(col("doc_id"), expr("shingle_explode(text, 13)").as("sh"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        sh.count()
+        val bench = sh.where(pmod(col("doc_id"), lit(7)) === 0)
+          .select(col("doc_id").as("bench_id"), col("sh"))
+        val corpus = sh.where(pmod(col("doc_id"), lit(7)) =!= 0)
+        corpus
+          .join(bench.hint("shuffle_hash"), "sh")
+          .groupBy(col("doc_id"), col("bench_id"))
+          .agg(count(lit(1)).as("shared_13grams"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
+              |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 13
+              |  THEN [${(0 until 13).map(i => s"toks[i+$i]").mkString(" || ' ' || ")}
+              |        FOR i IN range(1, len(toks)-11)]
+              |  ELSE [] END) AS shingles FROM toks),
+              |bench AS (SELECT doc_id AS bench_id, unnest(shingles) AS sh
+              |          FROM sh WHERE doc_id % 7 = 0),
+              |corp AS (SELECT doc_id, unnest(shingles) AS sh
+              |         FROM sh WHERE doc_id % 7 <> 0)
+              |SELECT doc_id, bench_id, count(*)::BIGINT AS shared_13grams
+              |FROM corp JOIN bench USING (sh)
+              |GROUP BY 1, 2 ORDER BY doc_id, bench_id""".stripMargin),
+      doc = "LLM-pipeline: benchmark decontamination (any shared 13-gram vs a held-out slice — asymmetric, index-backed)",
+      sort = Seq("doc_id", "bench_id")
+    ),
+
+    // ── First-order Markov transition statistics over per-user event
+    // sequences — the "what follows what" table sequence models and
+    // funnel analyses start from. Per user, events order by (ts,
+    // event_id) — a total order, so lag() is engine-deterministic —
+    // and each (prev → next) bigram feeds one map-combined count;
+    // probabilities are exact int/int divisions against the per-source
+    // total. One shuffle on the user key, one on the (tiny)
+    // transition-pair aggregate. ──
+    "seq1_markov_transitions" -> Q(
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val bigrams = Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .where(col("next_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"),
+            col("next_type").as("to_type"))
+          .agg(count(lit(1)).as("n"))
+        val wTot = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("from_type"))
+        bigrams.select(col("from_type"), col("to_type"), col("n"),
+          (col("n").cast(DoubleType) /
+            sum(col("n")).over(wTot).cast(DoubleType)).as("p"))
+      },
+      Some("""WITH seq AS (
+             |  SELECT event_type AS from_type,
+             |    lead(event_type) OVER (PARTITION BY user_id
+             |                           ORDER BY ts, event_id) AS to_type
+             |  FROM events),
+             |big AS (
+             |  SELECT from_type, to_type, count(*)::BIGINT AS n
+             |  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2)
+             |SELECT from_type, to_type, n,
+             |  n::DOUBLE / sum(n) OVER (PARTITION BY from_type)::DOUBLE AS p
+             |FROM big ORDER BY from_type, to_type""".stripMargin),
+      doc = "Extension: Markov transition stats over event sequences (per-user lag bigrams, exact probabilities)",
+      sort = Seq("from_type", "to_type")
+    ),
+
     // ── Context-window sequence packing: assign docs to 4096-token bins
     // by cumulative token count within each source shard. The window
     // partitions by `source` (a shard key), never globally — the
