@@ -135,6 +135,61 @@ object MultimodalOps extends OpModule {
       sort = Seq("doc_id", "frame")
     ),
 
+    // ── VAD-style segmentation on top of the frame energies: contiguous
+    // runs of frames above an energy threshold collapse to segments
+    // (start, end, length, total energy) — the step that turns per-frame
+    // features into the utterance/active-region list an audio pipeline
+    // feeds downstream. Gaps-and-islands via frame − row_number per doc
+    // (the t7 trick on a different axis); all integer arithmetic, so
+    // both engines carve identical segments. Scale: the window keys on
+    // doc_id — high cardinality, group size = frames per payload. ──
+    "mm_vad_segments" -> Q(
+      (s, d) => {
+        val frames = Tables.documents(s, d)
+          .select(col("doc_id"),
+            posexplode(call_function("frame_energy",
+              encode(col("text"), "UTF-8"), lit(256)))
+              .as(Seq("frame", "energy")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("frame"))
+        frames
+          .where(col("energy") > 520000L)
+          .withColumn("grp", col("frame") - row_number().over(w))
+          .groupBy(col("doc_id"), col("grp"))
+          .agg(min(col("frame")).cast(LongType).as("seg_start"),
+            max(col("frame")).cast(LongType).as("seg_end"),
+            count(lit(1)).as("n_frames"),
+            sum(col("energy")).as("seg_energy"))
+          .select(col("doc_id"), col("seg_start"), col("seg_end"),
+            col("n_frames"), col("seg_energy"))
+      },
+      Some("""WITH fr AS (
+             |  SELECT doc_id, u.frame::BIGINT AS frame, u.energy::BIGINT AS energy
+             |  FROM (
+             |    SELECT doc_id, unnest([
+             |        {'frame': g,
+             |         'energy': list_sum([
+             |           (CAST('0x' || h[2*i-1 : 2*i] AS BIGINT) - 128)
+             |           * (CAST('0x' || h[2*i-1 : 2*i] AS BIGINT) - 128)
+             |           FOR i IN range(g*256 + 1, least((g+1)*256, nbytes) + 1) ])}
+             |        FOR g IN range(0, (nbytes + 255) // 256) ]) AS u
+             |    FROM (SELECT doc_id, upper(hex(encode(text))) AS h,
+             |            (length(upper(hex(encode(text)))) // 2)::BIGINT AS nbytes
+             |          FROM documents))),
+             |act AS (
+             |  SELECT doc_id, frame, energy,
+             |    frame - row_number() OVER (PARTITION BY doc_id ORDER BY frame)
+             |      AS grp
+             |  FROM fr WHERE energy > 520000)
+             |SELECT doc_id, min(frame)::BIGINT AS seg_start,
+             |  max(frame)::BIGINT AS seg_end, count(*)::BIGINT AS n_frames,
+             |  sum(energy)::BIGINT AS seg_energy
+             |FROM act GROUP BY doc_id, grp
+             |ORDER BY doc_id, seg_start""".stripMargin),
+      doc = "LLM-pipeline: VAD-style active-segment extraction over frame energies (gaps-and-islands, integer-exact)",
+      sort = Seq("doc_id", "seg_start")
+    ),
+
     // ── Resize (downsample): keep every 4th byte of the payload — the
     // stride-sampling shape of an image/audio downsample, done on the
     // opaque bytes via a higher-order transform (the codec-aware resize
