@@ -243,6 +243,56 @@ object RelationalOps extends OpModule {
       sort = Seq("join_key")
     ),
 
+    // ── Column-pair correlation profile: Pearson r between quantity
+    // and price per return flag — the data-profiling op (with dq1/dq3)
+    // that catches broken joins and unit drifts. Built-in `corr` sums
+    // raw doubles (shuffle-order-dependent low bits → engine drift);
+    // here every moment (Σx, Σy, Σxy, Σx², Σy²) is an EXACT dsum, and r
+    // assembles from those five exact doubles in one identically-
+    // written expression — deterministic IEEE on both engines. One
+    // map-combined aggregate; five accumulators per group. ──
+    "dq4_column_corr" -> Q(
+      (s, d) => {
+        val m = Tables.lineitem(s, d)
+          .groupBy($("l_returnflag"))
+          .agg(
+            count(lit(1)).cast(DoubleType).as("n"),
+            dsum($("l_quantity")).as("sx"),
+            dsum($("l_extendedprice")).as("sy"),
+            dsum($("l_quantity") * $("l_extendedprice")).as("sxy"),
+            dsum($("l_quantity") * $("l_quantity")).as("sxx"),
+            dsum($("l_extendedprice") * $("l_extendedprice")).as("syy"))
+        // 1e-6 quantization through a LONG (the ann_topk pattern): the
+        // moment-assembly arithmetic is identical on both sides, but
+        // DuckDB's codegen may CONTRACT a·b − c·d into an FMA (one
+        // rounding instead of two) — a last-ulp drift the quantize
+        // absorbs
+        m.select($("l_returnflag"),
+          (round((($("n") * $("sxy") - $("sx") * $("sy")) /
+            (sqrt($("n") * $("sxx") - $("sx") * $("sx")) *
+              sqrt($("n") * $("syy") - $("sy") * $("sy")))) * 1e6)
+            .cast(LongType).cast(DoubleType) / 1e6).as("corr_qty_price"),
+          $("n").cast(LongType).as("n_rows"))
+      },
+      Some(s"""SELECT l_returnflag,
+              |  CAST(round((n * sxy - sx * sy)
+              |    / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+              |    * 1e6) AS BIGINT) / 1e6 AS corr_qty_price,
+              |  CAST(n AS BIGINT) AS n_rows
+              |FROM (
+              |  SELECT l_returnflag,
+              |    count(*)::DOUBLE AS n,
+              |    ${dsumSql("l_quantity")} AS sx,
+              |    ${dsumSql("l_extendedprice")} AS sy,
+              |    ${dsumSql("l_quantity * l_extendedprice")} AS sxy,
+              |    ${dsumSql("l_quantity * l_quantity")} AS sxx,
+              |    ${dsumSql("l_extendedprice * l_extendedprice")} AS syy
+              |  FROM lineitem GROUP BY 1)
+              |ORDER BY l_returnflag""".stripMargin),
+      doc = "Extension: column-pair Pearson correlation from exact moments (profiling; engine-exact where built-in corr drifts)",
+      sort = Seq("l_returnflag")
+    ),
+
     // ── Keyset pagination: page N of a ranked listing fetched by an
     // anchor PREDICATE, not OFFSET — the scalable twin of the
     // reference's offset-paged API loops (SURVEY §2.1 S3: offset+=limit
