@@ -3,7 +3,7 @@ package graft.operators
 import graft.{Exprs, OpModule, Q, Tables}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 /** As-of (point-in-time) join — a beyond-the-reference extension operator
   * (the brief's canonical "operator Spark lacks"). Composed Spark-first
@@ -351,6 +351,55 @@ object AsofOps extends OpModule {
              |ORDER BY event_id""".stripMargin),
       doc = "Extension: time-RANGE window frame (trailing 1 h inclusive, decimal-exact avg)",
       sort = Seq("event_id")
+    ),
+
+    // ── Time-weighted average (TWAP): each observation weighted by how
+    // long it stood — the financial/telemetry aggregate where a plain
+    // mean overweights bursts. Per user: duration to the next event
+    // (lead over the (ts, event_id) total order), then
+    // Σ(value·dur)/Σ(dur), both sums EXACT via dsum so the single final
+    // division is engine-identical (one op — nothing for an FMA to
+    // contract). Durations derive from integer epoch micros; the /1e6
+    // to seconds is one correctly-rounded double op on both sides. ──
+    "ts3_twap" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+          .withColumn("next_us", lead(unix_micros(col("ts")), 1).over(w))
+          .where(col("next_us").isNotNull)
+          .withColumn("dur_s",
+            (col("next_us") - unix_micros(col("ts"))).cast(DoubleType) / 1e6)
+          .groupBy(col("user_id"))
+          // final 1e-6 quantize through a LONG (the ann pattern): the
+          // weighted sums are dsum-exact, but v·dur products near a
+          // quantization boundary can round differently per engine at
+          // 1e8 magnitudes — the final quantize absorbs that last-ulp
+          // class entirely at twap's ~1e2 scale
+          .agg(
+            (round((Exprs.dsum(col("value") * col("dur_s")) /
+              Exprs.dsum(col("dur_s"))) * 1e6)
+              .cast(LongType).cast(DoubleType) / 1e6).as("twap"),
+            count(lit(1)).as("n_intervals"))
+      },
+      Some(s"""SELECT user_id,
+              |  CAST(round(${Exprs.dsumSql("value * dur_s")}
+              |    / ${Exprs.dsumSql("dur_s")} * 1e6) AS BIGINT) / 1e6
+              |    AS twap,
+              |  count(*)::BIGINT AS n_intervals
+              |FROM (
+              |  SELECT user_id, value,
+              |    (next_us - epoch_us(ts::TIMESTAMP))::DOUBLE / 1e6 AS dur_s
+              |  FROM (
+              |    SELECT user_id, event_id, ts, value,
+              |      LEAD(epoch_us(ts::TIMESTAMP)) OVER (PARTITION BY user_id
+              |        ORDER BY ts, event_id) AS next_us
+              |    FROM events)
+              |  WHERE next_us IS NOT NULL)
+              |GROUP BY 1 ORDER BY user_id""".stripMargin),
+      doc = "Extension: time-weighted average per user (exact dsum numerator/denominator, one final division)",
+      sort = Seq("user_id")
     )
   )
 }

@@ -243,6 +243,33 @@ object RelationalOps extends OpModule {
       sort = Seq("join_key")
     ),
 
+    // ── Row provenance: per-input-file row counts via
+    // `input_file_name()` — the debugging/lineage readout for "which
+    // file contributed what" (skew hunts, bad-file quarantine,
+    // ingest reconciliation). Map-side only: the filename is scan
+    // metadata, the count map-combines. The oracle pins the basenames
+    // statically — the fixture contract is one parquet file per table,
+    // so the expected (file, count) set is exact; a multi-file table
+    // would enumerate the same way from the scan. ──
+    "meta1_file_provenance" -> Q(
+      (s, d) => {
+        def perFile(t: String) = Tables.load(s, d, t)
+          .select(regexp_extract(input_file_name(), "[^/]+$", 0).as("file"))
+          .groupBy($("file"))
+          .agg(count(lit(1)).as("n_rows"))
+        perFile("lineitem")
+          .unionByName(perFile("orders"))
+          .unionByName(perFile("part"))
+      },
+      Some("""SELECT 'lineitem.parquet' AS file, count(*)::BIGINT AS n_rows
+             |FROM lineitem
+             |UNION ALL SELECT 'orders.parquet', count(*)::BIGINT FROM orders
+             |UNION ALL SELECT 'part.parquet', count(*)::BIGINT FROM part
+             |ORDER BY file""".stripMargin),
+      doc = "Extension: per-file row provenance via input_file_name (lineage/reconciliation readout)",
+      sort = Seq("file")
+    ),
+
     // ── Column-pair correlation profile: Pearson r between quantity
     // and price per return flag — the data-profiling op (with dq1/dq3)
     // that catches broken joins and unit drifts. Built-in `corr` sums
