@@ -279,6 +279,57 @@ object TextOps extends OpModule {
       sort = Seq("doc_id", "bench_id")
     ),
 
+    // ── Collocation mining: bigrams whose document frequency far
+    // exceeds what their words' independent frequencies predict —
+    // lift = N·df(xy) / (df(x)·df(y)), the log-free core of PMI (log
+    // is monotone, so the RANKING is PMI's; staying rational keeps
+    // every value an exact-integer ratio, where a log would hand each
+    // engine's libm the last ulp). All counts are distinct-doc counts
+    // from the same Generator rows; the one cross join carries a
+    // single broadcast count row. ──
+    "ta_collocations" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val uni = docs
+          .select(col("doc_id"), expr("shingle_explode(text, 1)").as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("dfw"))
+        val big = docs
+          .select(col("doc_id"), expr("shingle_explode(text, 2)").as("bg"))
+          .groupBy(col("bg")).agg(count(lit(1)).as("dfb"))
+          .where(col("dfb") >= 5)
+        big
+          .withColumn("w1", split(col("bg"), " ").getItem(0))
+          .withColumn("w2", split(col("bg"), " ").getItem(1))
+          .join(uni.toDF("w1", "df1"), "w1")
+          .join(uni.toDF("w2", "df2"), "w2")
+          .crossJoin(broadcast(docs.agg(count(lit(1)).as("nd"))))
+          .select(col("bg").as("bigram"), col("dfb"),
+            ((col("nd") * col("dfb")).cast(DoubleType) /
+              (col("df1") * col("df2")).cast(DoubleType)).as("lift"))
+          .orderBy(col("lift").desc, col("bigram").asc)
+          .limit(20)
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
+              |uni AS (SELECT w, count(*)::BIGINT AS dfw FROM (
+              |  SELECT doc_id, unnest(list_distinct(toks)) AS w FROM toks)
+              |  GROUP BY 1),
+              |big AS (SELECT bg, count(*)::BIGINT AS dfb FROM (
+              |  SELECT doc_id, unnest(list_distinct(
+              |    CASE WHEN len(toks) >= 2
+              |      THEN [toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))]
+              |      ELSE [] END)) AS bg FROM toks)
+              |  GROUP BY 1 HAVING count(*) >= 5),
+              |n AS (SELECT count(*)::BIGINT AS nd FROM documents)
+              |SELECT bg AS bigram, dfb,
+              |  (nd * dfb)::DOUBLE / (u1.dfw * u2.dfw)::DOUBLE AS lift
+              |FROM big, n
+              |JOIN uni u1 ON u1.w = string_split(bg, ' ')[1]
+              |JOIN uni u2 ON u2.w = string_split(bg, ' ')[2]
+              |ORDER BY lift DESC, bigram LIMIT 20""".stripMargin),
+      doc = "LLM-pipeline: collocation mining (log-free PMI lift over distinct-doc counts, exact ratios)",
+      sort = Nil
+    ),
+
     // ── First-order Markov transition statistics over per-user event
     // sequences — the "what follows what" table sequence models and
     // funnel analyses start from. Per user, events order by (ts,
