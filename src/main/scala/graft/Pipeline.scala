@@ -1,0 +1,66 @@
+package graft
+
+import graft.sinks.{AlertSink, UpsertWriter}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** The reference's daily cron entry point, as ONE orchestrated job — what
+  * a user of `tarefa_consolidar_dados.php` + `tarefa_consolidar_mapa.php`
+  * actually schedules after switching to this library:
+  *
+  *   1. consolidate the daily mart (EP1: joins + allocation W1–W4);
+  *   2. upsert it into the `relatorio_diario` table keyed by
+  *      (id_anuncio, id_anuncio_variacao) — idempotent, so the cron
+  *      re-running a day restates instead of duplicating (K1);
+  *   3. emit unmapped-SKU alerts through the keyed alert sink (J6/K7 —
+  *      the reference's `mail()` side output, as a table);
+  *   4. compact the mart when small files accrete past a threshold —
+  *      the maintenance the reference's MySQL storage did implicitly.
+  *
+  * Everything here is the library's own public surface (the same calls a
+  * user writes); `PipelineE2ESpec` drives two consecutive "days" and
+  * asserts restatement-not-duplication, alert keying, and value
+  * correctness against the registered query. Scale posture is inherited:
+  * the mart upsert shuffles once on the upsert key, alerts are
+  * dim-sized, compaction is explicit and occasional.
+  */
+object Pipeline {
+
+  /** One daily run. `runVersion` is the orchestrator's monotonically
+    * increasing run id (the reference used NOW(); a replayed run passes
+    * its original id and the upsert restates idempotently). */
+  def runDaily(
+      spark: SparkSession,
+      sfDir: String,
+      warehouseDir: String,
+      runVersion: Long,
+      compactOver: Int = 64): Unit = {
+    Sessions.tune(spark)
+
+    // 1. consolidate
+    val mart = operators.Consolidation.relatorio(spark, sfDir)
+      .withColumn("run_version", lit(runVersion))
+
+    // 2. idempotent mart upsert (K1)
+    val martPath = s"$warehouseDir/relatorio_diario"
+    UpsertWriter.upsert(spark, martPath, mart,
+      keys = Seq("id_anuncio", "id_anuncio_variacao"),
+      versionCol = "run_version")
+
+    // 3. alert side output (J6 → K7)
+    val unmapped = Tables.part(spark, sfDir)
+      .join(
+        Tables.lineitem(spark, sfDir).filter(col("l_quantity") >= 48.0),
+        col("p_partkey") === col("l_partkey"),
+        "left_anti")
+      .select(col("p_partkey"), col("p_name"), col("p_brand"))
+    AlertSink.emit(spark, s"$warehouseDir/alerts", unmapped, runVersion)
+
+    // 4. occasional maintenance: bin-pack when the mart has accreted
+    // too many small files (each upsert emits up to a shuffle's worth)
+    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(martPath))
+      .filter(p => p.toString.endsWith(".parquet"))
+      .count()
+    if (files > compactOver) UpsertWriter.compact(spark, martPath)
+  }
+}
