@@ -353,6 +353,35 @@ object AsofOps extends OpModule {
       sort = Seq("event_id")
     ),
 
+    // ── Sliding DISTINCT count: event-type variety in the trailing
+    // hour per user — the "session breadth" feature (and the window
+    // shape plain aggregates can't fake: distinct is not subtractable,
+    // so each frame recounts). Spark has no DISTINCT window aggregate;
+    // `size(collect_set(...))` over the RANGE frame is the idiomatic
+    // spelling, and DuckDB's native `count(DISTINCT) OVER` replays it.
+    // RANGE over epoch micros: frame peers (equal ts) resolve
+    // identically on both engines. ──
+    "w12_sliding_distinct" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(unix_micros(col("ts")))
+          .rangeBetween(-3600L * 1000 * 1000, 0)
+        Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+          .withColumn("n_types_1h",
+            size(collect_set(col("event_type")).over(w)).cast(LongType))
+          .select(col("event_id"), col("user_id"), col("n_types_1h"))
+      },
+      Some("""SELECT event_id, user_id,
+             |  count(DISTINCT event_type) OVER (
+             |    PARTITION BY user_id ORDER BY ts::TIMESTAMP
+             |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+             |    ::BIGINT AS n_types_1h
+             |FROM events ORDER BY event_id""".stripMargin),
+      doc = "Extension: sliding distinct count (trailing-1h event-type variety; collect_set RANGE frame vs native DISTINCT window)",
+      sort = Seq("event_id")
+    ),
+
     // ── Time-weighted average (TWAP): each observation weighted by how
     // long it stood — the financial/telemetry aggregate where a plain
     // mean overweights bursts. Per user: duration to the next event

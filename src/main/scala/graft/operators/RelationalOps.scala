@@ -243,6 +243,61 @@ object RelationalOps extends OpModule {
       sort = Seq("join_key")
     ),
 
+    // ── Exact weighted median: the price at which half the QUANTITY
+    // (not half the rows) has been sold, per part — inventory/pricing's
+    // actual "typical price". No built-in exists in either engine; the
+    // shape is a running weighted cumsum over a pinned total order,
+    // then the first crossing of half the total. Quantities are
+    // integral doubles (TPC-H), so LONG-cast weights make every cumsum
+    // and the crossing test pure integer arithmetic — engine-exact with
+    // no quantize step. The window keys on l_partkey — HIGH cardinality,
+    // bounded group size (the scalable per-key-window envelope; a
+    // per-flag variant would be the low-cardinality window-over-the-
+    // fact anti-pattern this suite bans). ──
+    "a17_weighted_median" -> Q(
+      (s, d) => {
+        val ord = Window.partitionBy($("l_partkey"))
+          .orderBy($("l_extendedprice"), $("l_orderkey"), $("l_linenumber"))
+        val tot = Window.partitionBy($("l_partkey"))
+        val ranked = Tables.lineitem(s, d)
+          .select($("l_partkey"), $("l_extendedprice"),
+            $("l_orderkey"), $("l_linenumber"),
+            $("l_quantity").cast(LongType).as("w"))
+          .withColumn("cumw", sum($("w")).over(
+            ord.rowsBetween(Window.unboundedPreceding, 0)))
+          .withColumn("totw", sum($("w")).over(tot))
+          .where($("cumw") * 2 >= $("totw"))
+        val first = Window.partitionBy($("l_partkey"))
+          .orderBy($("cumw"), $("l_extendedprice"), $("l_orderkey"), $("l_linenumber"))
+        ranked
+          .withColumn("rn", row_number().over(first))
+          .where($("rn") === 1)
+          .select($("l_partkey"),
+            $("l_extendedprice").as("weighted_median_price"),
+            $("totw").as("total_qty"))
+      },
+      Some("""SELECT l_partkey,
+             |  l_extendedprice AS weighted_median_price, totw AS total_qty
+             |FROM (
+             |  SELECT l_partkey, l_extendedprice, cumw, totw,
+             |    row_number() OVER (PARTITION BY l_partkey
+             |      ORDER BY cumw, l_extendedprice, l_orderkey, l_linenumber)
+             |      AS rn
+             |  FROM (
+             |    SELECT l_partkey, l_extendedprice, l_orderkey, l_linenumber,
+             |      SUM(CAST(l_quantity AS BIGINT)) OVER (
+             |        PARTITION BY l_partkey
+             |        ORDER BY l_extendedprice, l_orderkey, l_linenumber
+             |        ROWS UNBOUNDED PRECEDING)::BIGINT AS cumw,
+             |      SUM(CAST(l_quantity AS BIGINT)) OVER (
+             |        PARTITION BY l_partkey)::BIGINT AS totw
+             |    FROM lineitem)
+             |  WHERE cumw * 2 >= totw)
+             |WHERE rn = 1 ORDER BY l_partkey""".stripMargin),
+      doc = "Extension: exact weighted median per part (integer cumsum crossing; high-cardinality key, small groups)",
+      sort = Seq("l_partkey")
+    ),
+
     // ── Row provenance: per-input-file row counts via
     // `input_file_name()` — the debugging/lineage readout for "which
     // file contributed what" (skew hunts, bad-file quarantine,
