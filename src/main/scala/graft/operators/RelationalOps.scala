@@ -826,6 +826,52 @@ object RelationalOps extends OpModule {
       sort = Seq("o_orderkey")
     ),
 
+    // ── NULL-semantics kit: the null-handling surface pinned
+    // engine-identical in one pass — coalesce chains, NULLIF,
+    // null-propagating arithmetic, IS DISTINCT FROM (the null-safe
+    // comparison that never returns NULL), concat_ws's skip-nulls
+    // contract, and CASE-on-IS-NULL. The reference leans on PHP's
+    // `?? null` everywhere (C1); this is the engine-side contract that
+    // behavior rests on. Deliberately EXCLUDES greatest/least over
+    // NULLs — the one spot the engines' null conventions genuinely
+    // diverge, documented here rather than papered over. ──
+    "c11_null_kit" -> Q(
+      (s, d) => {
+        val base = Tables.nation(s, d).select(
+          $("n_nationkey").as("k"),
+          when(pmod($("n_nationkey"), lit(3)) === 0, lit(null))
+            .otherwise($("n_name")).as("s"),
+          when(pmod($("n_nationkey"), lit(4)) === 0, lit(null))
+            .otherwise($("n_regionkey")).as("v"))
+        base.select(
+          $("k"),
+          coalesce($("s"), lit("missing")).as("s_filled"),
+          ($("v") + 1).cast(LongType).as("v_plus"),
+          nullif(pmod($("k"), lit(5)), lit(0)).cast(LongType).as("nz"),
+          expr("s IS DISTINCT FROM 'BRAZIL'").as("not_brazil"),
+          concat_ws("|", $("s"), lit("x")).as("joined"),
+          when($("v").isNull, lit("missing")).otherwise(lit("present"))
+            .as("v_status"))
+      },
+      Some("""SELECT k,
+             |  coalesce(s, 'missing') AS s_filled,
+             |  CAST(v + 1 AS BIGINT) AS v_plus,
+             |  CAST(nullif(k % 5, 0) AS BIGINT) AS nz,
+             |  (s IS DISTINCT FROM 'BRAZIL') AS not_brazil,
+             |  concat_ws('|', s, 'x') AS joined,
+             |  CASE WHEN v IS NULL THEN 'missing' ELSE 'present' END
+             |    AS v_status
+             |FROM (
+             |  SELECT n_nationkey AS k,
+             |    CASE WHEN n_nationkey % 3 = 0 THEN NULL ELSE n_name END AS s,
+             |    CASE WHEN n_nationkey % 4 = 0 THEN NULL ELSE n_regionkey END
+             |      AS v
+             |  FROM nation)
+             |ORDER BY k""".stripMargin),
+      doc = "Extension: NULL-semantics kit (coalesce/nullif/propagation/IS DISTINCT FROM/concat_ws, engine-identical)",
+      sort = Seq("k")
+    ),
+
     // ── Equi-depth histogram: quartile boundaries from one exact
     // percentile aggregate (1e-6-quantized through a LONG, the compare
     // trick `a8_quantiles` proved engine-exact), broadcast back over

@@ -279,6 +279,35 @@ object TextOps extends OpModule {
       sort = Seq("doc_id", "bench_id")
     ),
 
+    // ── Conjunctive boolean search: documents containing ALL query
+    // terms, resolved the inverted-index way — one (doc, term) posting
+    // row per hit, grouped and gated on the full term count (an
+    // AND-of-postings intersection; OR is the same plan minus the
+    // HAVING). The query terms ride a tiny IN-list; the posting
+    // relation is the stored index at scale, so a search touches only
+    // the requested terms' postings — never the corpus. ──
+    "ta_boolean_search" -> Q(
+      (s, d) => {
+        val terms = Seq("query", "window", "merge")
+        Tables.documents(s, d)
+          .select(col("doc_id"), expr("shingle_explode(text, 1)").as("term"))
+          .where(col("term").isin(terms: _*))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_terms"))
+          .where(col("n_terms") === terms.size)
+          .select(col("doc_id"), col("n_terms"))
+      },
+      Some(s"""SELECT doc_id, count(*)::BIGINT AS n_terms
+              |FROM (
+              |  SELECT doc_id, unnest(list_distinct($toksSql)) AS term
+              |  FROM documents)
+              |WHERE term IN ('query', 'window', 'merge')
+              |GROUP BY 1 HAVING count(*) = 3
+              |ORDER BY doc_id""".stripMargin),
+      doc = "LLM-pipeline: conjunctive boolean search (AND-of-postings intersection over the inverted-index shape)",
+      sort = Seq("doc_id")
+    ),
+
     // ── Collocation mining: bigrams whose document frequency far
     // exceeds what their words' independent frequencies predict —
     // lift = N·df(xy) / (df(x)·df(y)), the log-free core of PMI (log
