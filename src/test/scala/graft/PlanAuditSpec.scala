@@ -61,6 +61,30 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("round-4 headliners keep their scale shapes") {
+    // prefix filter: rows born from the Generator, candidates from
+    // equi-joins only
+    val pf = plan("dedup_prefix_filter")
+    assert(pf.contains("shingle_explode"), "generator missing from the plan")
+    assert(!pf.contains("BroadcastNestedLoopJoin") && !pf.contains("CartesianProduct"))
+    // graph second adjacency lookup broadcasts; first stays a hash join
+    // (edge_jaccard's joins sit behind its localCheckpoint and aren't
+    // in the final plan string — triangles carries the same shape)
+    val tri = plan("graph_triangles")
+    assert(tri.contains("BroadcastHashJoin"), "triangles: adj lookup must broadcast")
+    assert(tri.contains("ShuffledHashJoin"), "triangles: first lookup stays a shuffle join")
+    // PIT join: interval containment must ride the custkey EQUI join —
+    // a pure range condition would degrade to a nested loop
+    assert(!plan("t8_pit_join").contains("BroadcastNestedLoopJoin"),
+      "t8 interval join degraded to a nested loop")
+    // fuzzy ER: quadratic confined to equi-join blocks, no nested loop
+    val er = plan("er_fuzzy_blocked")
+    assert(er.contains("levenshtein") && !er.contains("BroadcastNestedLoopJoin"))
+    // star join: date predicate reaches the orders scan
+    assert(plan("j11_star_join_volume").contains("PushedFilters: [IsNotNull(o_orderdate)"),
+      "j11 date filter not pushed to the orders scan")
+  }
+
   test("loader spread is conditional: well-split scans don't reshuffle") {
     // A corpus that already yields >= cores splits must NOT pay a full
     // shuffle on load; the single-file fixture must still spread.
