@@ -279,6 +279,54 @@ object TextOps extends OpModule {
       sort = Seq("doc_id", "bench_id")
     ),
 
+    // ── Curation filter funnel: survivor counts after each successive
+    // quality gate — the stage-attrition table every corpus-curation
+    // run reports (what fraction did language ID remove? length? digit
+    // noise?). ONE pass: each stage is a conjunction flag, the funnel
+    // is four conditional sums in a single map-combined aggregate —
+    // no per-stage scans, no shuffle beyond one row per partition. ──
+    "ta_filter_funnel" -> Q(
+      (s, d) => {
+        val f1 = col("lang") === "en"
+        val f2 = f1 && col("n_chars").between(200, 20000)
+        val f3 = f2 &&
+          (length(regexp_replace(col("text"), "[^0-9]", "")).cast(DoubleType) /
+            length(col("text")) < 0.3)
+        val agg = Tables.documents(s, d).agg(
+          count(lit(1)).as("s0_all"),
+          sum(when(f1, 1L).otherwise(0L)).as("s1_lang"),
+          sum(when(f2, 1L).otherwise(0L)).as("s2_len"),
+          sum(when(f3, 1L).otherwise(0L)).as("s3_digit"))
+        agg.select(explode(array(
+          struct(lit("0_all").as("stage"), col("s0_all").as("survivors")),
+          struct(lit("1_lang_en").as("stage"), col("s1_lang").as("survivors")),
+          struct(lit("2_len_200_20k").as("stage"), col("s2_len").as("survivors")),
+          struct(lit("3_digit_lt_30pct").as("stage"), col("s3_digit").as("survivors"))))
+          .as("r"))
+          .select(col("r.stage").as("stage"), col("r.survivors").as("survivors"))
+      },
+      Some("""WITH agg AS (
+             |  SELECT
+             |    count(*)::BIGINT AS s0,
+             |    sum(CASE WHEN f1 THEN 1 ELSE 0 END)::BIGINT AS s1,
+             |    sum(CASE WHEN f2 THEN 1 ELSE 0 END)::BIGINT AS s2,
+             |    sum(CASE WHEN f3 THEN 1 ELSE 0 END)::BIGINT AS s3
+             |  FROM (
+             |    SELECT lang = 'en' AS f1,
+             |      lang = 'en' AND n_chars BETWEEN 200 AND 20000 AS f2,
+             |      lang = 'en' AND n_chars BETWEEN 200 AND 20000
+             |        AND length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE
+             |            / length(text) < 0.3 AS f3
+             |    FROM documents))
+             |SELECT '0_all' AS stage, s0 AS survivors FROM agg
+             |UNION ALL SELECT '1_lang_en', s1 FROM agg
+             |UNION ALL SELECT '2_len_200_20k', s2 FROM agg
+             |UNION ALL SELECT '3_digit_lt_30pct', s3 FROM agg
+             |ORDER BY stage""".stripMargin),
+      doc = "LLM-pipeline: curation filter funnel (stage attrition in one map-combined pass)",
+      sort = Seq("stage")
+    ),
+
     // ── Conjunctive boolean search: documents containing ALL query
     // terms, resolved the inverted-index way — one (doc, term) posting
     // row per hit, grouped and gated on the full term count (an
