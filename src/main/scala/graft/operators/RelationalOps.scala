@@ -658,6 +658,39 @@ object RelationalOps extends OpModule {
       sort = Seq("l_returnflag")
     ),
 
+    // ── Sketch: set-OVERLAP estimation by inclusion–exclusion over
+    // mergeable HLLs — |A∩B| ≈ |A| + |B| − |A∪B|, the audience-overlap
+    // readout ("how many customers do two segments share") computed
+    // WITHOUT ever joining the raw sets: per-segment sketches are
+    // fixed-size state, the union is a sketch merge, and at 100 TB the
+    // segment sketches are precomputed and the overlap question costs
+    // three estimates. Engine-specific by design → rows-only check;
+    // `SketchSpec` pins the estimate against the exact overlap. ──
+    "sk6_hll_overlap" -> Q(
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        def cohort(y: Int) = o.filter(year($("o_orderdate")) === y)
+          .agg(hll_sketch_agg($("o_custkey"), lit(12)).as("sk"))
+          .select(lit(s"y$y").as("cohort"), $("sk"))
+        val two = cohort(1996).unionByName(cohort(1997))
+        val sizes = two.select($("cohort"),
+          hll_sketch_estimate($("sk")).as("est"))
+        val union = two.agg(
+          hll_sketch_estimate(hll_union_agg($("sk"), lit(false))).as("est_union"))
+        sizes.groupBy()
+          .pivot("cohort", Seq("y1996", "y1997"))
+          .agg(first($("est")))
+          .crossJoin(union)
+          .select(
+            $("y1996").as("est_a"), $("y1997").as("est_b"),
+            $("est_union"),
+            ($("y1996") + $("y1997") - $("est_union")).as("est_overlap"))
+      },
+      None,
+      doc = "Extension: HLL set-overlap estimate via inclusion-exclusion (rows-only; accuracy pinned in SketchSpec)",
+      sort = Nil
+    ),
+
     // ── Data-quality: two-pass z-score outlier detection. Pass 1 is one
     // hash aggregate producing engine-exact moment sums (n, Σx, Σx²
     // through the dsum decimal path); mean/σ derive from them in

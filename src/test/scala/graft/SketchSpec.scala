@@ -104,6 +104,21 @@ class SketchSpec extends AnyFunSuite {
     assert(Set("alpha", "beta", "gamma").subsetOf(reported))
   }
 
+  test("sk6: HLL inclusion-exclusion overlap estimate tracks the exact repeat-buyer count") {
+    val sf = TestSpark.sf0001
+    val row = SparkEntry.queries("sk6_hll_overlap")(spark, sf).head()
+    val estOverlap = row.getLong(3).toDouble
+    val o = Tables.orders(spark, sf)
+      .select(col("o_custkey"), year(col("o_orderdate")).as("y"))
+    val exact = o.filter(col("y") === 1996).select("o_custkey").distinct()
+      .intersect(o.filter(col("y") === 1997).select("o_custkey").distinct())
+      .count()
+    // inclusion-exclusion compounds three lgK=12 sketch errors; the
+    // overlap here is a large fraction of each cohort, so 10% is ample
+    assert(math.abs(estOverlap - exact) / exact < 0.10,
+      s"overlap estimate $estOverlap vs exact $exact")
+  }
+
   /** Grouped aggregation drives the serialized-buffer path per group
     * (partial buffers serialize into the shuffle, deserialize at final)
     * — each group's sketch must honor the same bounds independently. */
