@@ -279,6 +279,31 @@ object TextOps extends OpModule {
       sort = Seq("doc_id", "bench_id")
     ),
 
+    // ── Shard manifest: the dataset-card table a corpus release ships —
+    // per source shard, document/token/char totals plus a content
+    // checksum. The checksum is an XOR-fold of the per-document
+    // portable hashes: order-free and mergeable (partial manifests from
+    // two ingest runs combine by XOR), so it map-combines like any
+    // aggregate and never materializes a per-shard document list —
+    // the property a concat-then-hash checksum lacks at scale. ──
+    "ta_shard_manifest" -> Q(
+      (s, d) =>
+        Tables.documents(s, d)
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(size(toksCol).cast(LongType)).as("total_tokens"),
+            sum(col("n_chars")).as("total_chars"),
+            expr(s"bit_xor(${phashSqlSpark("text")})").as("content_checksum")),
+      Some(s"""SELECT source, count(*)::BIGINT AS n_docs,
+              |  sum(len($toksSql))::BIGINT AS total_tokens,
+              |  sum(n_chars)::BIGINT AS total_chars,
+              |  bit_xor(${phashSql("text")}) AS content_checksum
+              |FROM documents GROUP BY 1 ORDER BY source""".stripMargin),
+      doc = "LLM-pipeline: shard manifest (dataset-card totals + order-free mergeable XOR checksum)",
+      sort = Seq("source")
+    ),
+
     // ── Curation filter funnel: survivor counts after each successive
     // quality gate — the stage-attrition table every corpus-curation
     // run reports (what fraction did language ID remove? length? digit
