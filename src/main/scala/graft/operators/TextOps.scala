@@ -234,6 +234,36 @@ object TextOps extends OpModule {
       sort = Seq("doc_id")
     ),
 
+    // ── Priority sampling (Duffield et al.): weighted sampling WITHOUT
+    // replacement to a FIXED BUDGET — the third sampling regime next to
+    // per-stratum rates (`ta_sample_stratified`) and per-row rates
+    // (`ta_sample_weighted`): "give me exactly k docs, long ones
+    // preferentially". Each doc draws priority w/u from its weight and
+    // a content-stable uniform u ∈ (0,1]; the sample is the top-k by
+    // priority — deterministic, mergeable (local top-k then global
+    // re-rank, the two-phase shape), and replayable in both engines
+    // because u comes from the portable hash family and the one
+    // division is a single IEEE op. ──
+    "ta_sample_priority" -> Q(
+      (s, d) => {
+        val u = (pmod(phash(col("doc_id").cast(StringType)), lit(1000000L)) + 1L)
+          .cast(DoubleType) / 1e6
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("n_chars"),
+            (col("n_chars").cast(DoubleType) / u).as("priority"))
+          .orderBy(col("priority").desc, col("doc_id").asc)
+          .limit(200)
+      },
+      Some(s"""SELECT doc_id, n_chars,
+              |  n_chars::DOUBLE
+              |    / ((${phashSql("CAST(doc_id AS VARCHAR)")} % 1000000 + 1)
+              |       ::DOUBLE / 1e6) AS priority
+              |FROM documents
+              |ORDER BY priority DESC, doc_id LIMIT 200""".stripMargin),
+      doc = "LLM-pipeline: priority sampling (weighted, without replacement, fixed budget — two-phase top-k)",
+      sort = Nil
+    ),
+
     // ── Benchmark decontamination: flag training documents that share
     // any 13-gram with a held-out evaluation set — the standard
     // pre-training hygiene pass (13 is the n GPT-3/PaLM-style decontam
