@@ -252,6 +252,34 @@ object IncrementalOps extends OpModule {
       sort = Seq("o_custkey", "valid_from", "first_key")
     ),
 
+    // ── Running account balance: the financeiro mart's serving query —
+    // per customer, the cumulative net position after every order, in
+    // ledger order. The prefix sum runs through the exact dsum window
+    // (ExactMoneySum as a window aggregate over a pinned total order),
+    // so every intermediate balance is the decimal-exact value both
+    // engines agree on — a raw-double running sum would drift ulp by
+    // ulp down the ledger. Per-customer windows: high-cardinality key,
+    // bounded group size. ──
+    "fin1_running_balance" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        Tables.orders(s, d)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+            col("o_totalprice"))
+          .withColumn("balance", Exprs.dsumOver(col("o_totalprice"), w))
+          .select(col("o_custkey"), col("o_orderkey"), col("balance"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
+             |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS balance
+             |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin),
+      doc = "Extension: exact running balance per customer (dsum prefix sums over the ledger order)",
+      sort = Seq("o_custkey", "o_orderkey")
+    ),
+
     // ── Point-in-time join: enrich each fact row with the dim VERSION
     // that was valid at the fact's date — the temporal-correctness join
     // every warehouse needs once a dim is SCD2 (joining current state
