@@ -73,9 +73,14 @@ object DedupOps extends OpModule {
     * conv/substring/md5 chain ran the digest twice and round-tripped
     * through hex; bit-equivalence is pinned in `PHashPairSpec` and the
     * oracle still replays the hex form). One shuffled row per doc. */
-  private def bandSigs(sets: DataFrame, numHashes: Int, bandRows: Int): DataFrame = {
-    val hashes = sets
-      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+  private def bandSigs(sets: DataFrame, numHashes: Int, bandRows: Int): DataFrame =
+    bandSigsFromRows(
+      sets.select(col("doc_id"), explode(col("shingles")).as("sh")),
+      numHashes, bandRows)
+
+  /** Row-form twin of [[bandSigs]]: `ex` is (doc_id, sh) shingle rows. */
+  private def bandSigsFromRows(ex: DataFrame, numHashes: Int, bandRows: Int): DataFrame = {
+    val hashes = ex
       .select(col("doc_id"), call_function("phash_pair", col("sh")).as("p"))
       .select(col("doc_id"),
         col("p").getItem(0).as("h1"), col("p").getItem(1).as("h2"))
@@ -140,6 +145,38 @@ object DedupOps extends OpModule {
       sets.select(col("doc_id"), explode(col("shingles")).as("sh")),
       sets.select(col("doc_id"), size(col("shingles")).as("sz")),
       thresh)
+
+  /** LOSSLESS prefix-filter similarity pairs at Jaccard ≥ 0.8 over
+    * (doc_id, sh) distinct shingle rows (`ex` should be persisted by
+    * the caller — it feeds sizes, dfs, prefixes, and the verify).
+    * df as a count-over-window on sh (one exchange) instead of a
+    * groupBy + re-join (which exchanged the shingle relation twice):
+    * 47 → 36 MB exchanged and ~4 s warm at sf0.1 (the join form ran
+    * ~10 s); the doc-keyed rank window then re-partitions once, and
+    * the node-sized `sizes` join broadcasts. Shared by
+    * `dedup_prefix_filter` and (as the truth set) `dedup_lsh_recall`. */
+  private def prefixPairs08(ex: DataFrame): DataFrame = {
+    val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val wsh = org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))
+    val wdoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("df"), col("sh"))
+    val prefix = ex
+      .withColumn("df", count(lit(1)).over(wsh))
+      .withColumn("rk", row_number().over(wdoc))
+      .join(sizes, "doc_id")
+      .where(col("rk") <= col("sz") - expr("(8 * sz + 9) div 10") + 1)
+      .select(col("doc_id"), col("sh"), col("sz"))
+    val cand = prefix.as("x")
+      .join(prefix.as("y"),
+        col("x.sh") === col("y.sh") &&
+          col("x.doc_id") < col("y.doc_id") &&
+          least(col("x.sz"), col("y.sz")) * 10 >=
+            greatest(col("x.sz"), col("y.sz")) * 8)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    jaccardPairsFromRows(cand, ex, sizes, 0.8)
+  }
 
   /** Row-form twin of [[jaccardPairs]] for array-free pipelines: `ex` is
     * (doc_id, sh) distinct shingle rows, `sizes` is (doc_id, sz). */
@@ -391,31 +428,7 @@ object DedupOps extends OpModule {
           .select(col("doc_id"), expr("shingle_explode(text, 4)").as("sh"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         ex.count()
-        val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-        // df as a count-over-window on sh (one exchange) instead of a
-        // groupBy + re-join (which exchanged the shingle relation twice):
-        // 47 → 36 MB exchanged and ~4 s warm at sf0.1 (the join form ran
-        // ~10 s); the doc-keyed rank window then re-partitions once, and
-        // the node-sized `sizes` join broadcasts
-        val wsh = org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))
-        val wdoc = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("doc_id"))
-          .orderBy(col("df"), col("sh"))
-        val prefix = ex
-          .withColumn("df", count(lit(1)).over(wsh))
-          .withColumn("rk", row_number().over(wdoc))
-          .join(sizes, "doc_id")
-          .where(col("rk") <= col("sz") - expr("(8 * sz + 9) div 10") + 1)
-          .select(col("doc_id"), col("sh"), col("sz"))
-        val cand = prefix.as("x")
-          .join(prefix.as("y"),
-            col("x.sh") === col("y.sh") &&
-              col("x.doc_id") < col("y.doc_id") &&
-              least(col("x.sz"), col("y.sz")) * 10 >=
-                greatest(col("x.sz"), col("y.sz")) * 8)
-          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-          .distinct()
-        jaccardPairsFromRows(cand, ex, sizes, 0.8)
+        prefixPairs08(ex)
       },
       Some(s"""WITH sh AS (${shingledSql(4)}),
               |s AS (SELECT doc_id, shingles, len(shingles) AS sz
@@ -429,6 +442,57 @@ object DedupOps extends OpModule {
               |WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin),
       doc = "LLM-pipeline: lossless prefix-filter similarity join (AllPairs) — oracle is the full quadratic join, proving zero misses",
       sort = Seq("doc_a", "doc_b")
+    ),
+
+    // ── LSH-contract evaluation: candidate RECALL of the banded-LSH
+    // blocking, measured against the lossless prefix-filter truth set —
+    // "measure, don't guess" applied to the dedup family's own
+    // probabilistic core. Truth = every pair with Jaccard ≥ 0.8 (the
+    // prefix filter provably misses none); prediction = the
+    // (16 bands × 4 rows) candidate set the `dedup_ngram_jaccard`
+    // family uses. Theoretical candidate probability at J = 0.8 is
+    // 1−(1−0.8⁴)¹⁶ band-rows-wise; this query reports the ACTUAL
+    // number on this corpus. Both engines replay identical signatures,
+    // so the recall itself is engine-exact. ──
+    "dedup_lsh_recall" -> Q(
+      (s, d) => {
+        val ex = Tables.documents(s, d)
+          .select(col("doc_id"), expr("shingle_explode(text, 4)").as("sh"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        ex.count()
+        val truth = prefixPairs08(ex).select(col("doc_a"), col("doc_b"))
+        val cand = candidates(bandSigsFromRows(ex, 16, 4))
+        val t = truth.agg(count(lit(1)).as("n_truth"))
+        val f = truth.join(cand, Seq("doc_a", "doc_b"), "left_semi")
+          .agg(count(lit(1)).as("n_found"))
+        t.crossJoin(f).select(
+          col("n_truth"), col("n_found"),
+          (col("n_found").cast(DoubleType) /
+            col("n_truth").cast(DoubleType)).as("recall"))
+      },
+      Some(s"""WITH sh AS (${shingledSql(4)}),
+              |s AS (SELECT doc_id, shingles, len(shingles) AS sz
+              |      FROM sh WHERE len(shingles) > 0),
+              |truth AS (
+              |  SELECT doc_a, doc_b FROM (
+              |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |      len(list_intersect(a.shingles, b.shingles))::DOUBLE
+              |        / len(list_distinct(a.shingles || b.shingles)) AS jaccard
+              |    FROM s a JOIN s b ON a.doc_id < b.doc_id
+              |      AND least(a.sz, b.sz) * 10 >= greatest(a.sz, b.sz) * 8)
+              |  WHERE jaccard >= 0.8),
+              |${bandSigsSql(16, 4)},
+              |$candidatesSql,
+              |t AS (SELECT count(*)::BIGINT AS n_truth FROM truth),
+              |f AS (SELECT count(*)::BIGINT AS n_found FROM truth
+              |      WHERE EXISTS (SELECT 1 FROM cand c
+              |                    WHERE c.doc_a = truth.doc_a
+              |                      AND c.doc_b = truth.doc_b))
+              |SELECT n_truth, n_found,
+              |  n_found::DOUBLE / n_truth::DOUBLE AS recall
+              |FROM t, f""".stripMargin),
+      doc = "LLM-pipeline: banded-LSH candidate recall vs the lossless prefix-filter truth (the LSH contract, measured)",
+      sort = Nil
     ),
 
     // ── Blocked fuzzy entity resolution on the part dim: record-linkage
