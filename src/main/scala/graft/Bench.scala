@@ -114,13 +114,15 @@ object Bench {
         results.map { case (k, v) => "\"" + k + "\":" + v._1 }.mkString("{", ",", "}")
       },"shuffle_mb":${jmap(_._2)},"spill_mb":${jmap(_._3)},""" +
         s""""sf":"$sfDir","failed":${failed.size}}"""
-    println(line)
     // The recorder keeps only the last ~2 KB of output: with 100+ queries
-    // even the compact line above overflows that window and gets cut
+    // the compact full-map line overflows that window and gets cut
     // mid-JSON (observed in BENCH_r03: tail began inside the queries map).
-    // So the LAST line is a bounded summary — total plus the slowest
-    // queries only — that always fits intact; the full per-query data is
-    // the line above and bench_last.json.
+    // So a BOUNDED summary — total plus the slowest queries only, always
+    // fitting intact — is printed both FIRST and LAST around the full
+    // map, and the complete measurement additionally persists to
+    // bench_last.json (copied per round into bench_r{N}.json in-repo), so
+    // round-over-round comparison never depends on the recorder's tail
+    // window or on which side of the truncation survived.
     val slowest = results
       .collect { case (k, v) if v._1 >= 0 => k -> v._1 }
       .sortBy(-_._2)
@@ -129,10 +131,13 @@ object Bench {
         "\"" + k + "\":" + "%.3f".formatLocal(java.util.Locale.ROOT, s)
       }
       .mkString("{", ",", "}")
-    println(
+    val bounded =
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +
         s""""queries":$slowest,"queries_note":"12 slowest of ${results.size}; full map in bench_last.json",""" +
-        s""""sf":"$sfDir","failed":${failed.size}}""")
+        s""""sf":"$sfDir","failed":${failed.size}}"""
+    println(bounded)
+    println(line)
+    println(bounded)
     // Stdout from sbt is noisy; keep a clean full-detail copy on disk.
     try Files.writeString(Paths.get("bench_last.json"), full + "\n")
     catch { case _: Throwable => () }

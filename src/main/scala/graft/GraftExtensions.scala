@@ -26,11 +26,24 @@ object Functions {
     "phash_pair" -> (exprs => PHashPair(exprs.head)),
     "frame_energy" -> (exprs => FrameEnergy(exprs.head, exprs(1))),
     "count_intersect" -> (exprs => CountIntersect(exprs.head, exprs(1))),
-    // Space-Saving frequent-items sketch; capacity must be a literal int
-    "freq_items_sketch" -> (exprs =>
-      FreqItemsSketch(exprs.head,
-        exprs(1).eval(org.apache.spark.sql.catalyst.InternalRow.empty)
-          .asInstanceOf[Int])),
+    // Space-Saving frequent-items sketch; capacity must be a literal int.
+    // The capacity argument is validated HERE, before evaluation: a
+    // non-foldable, NULL, or non-INT capacity would otherwise surface as
+    // an opaque ClassCastException/NPE out of `eval` before
+    // `FreqItemsSketch.checkInputDataTypes` ever ran.
+    "freq_items_sketch" -> (exprs => {
+      val cap = exprs(1)
+      if (!cap.foldable ||
+          cap.dataType != org.apache.spark.sql.types.IntegerType)
+        throw new IllegalArgumentException(
+          "freq_items_sketch(col, capacity): capacity must be an INT literal" +
+            s" (got ${cap.dataType.simpleString}, foldable=${cap.foldable})")
+      val v = cap.eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+      if (v == null)
+        throw new IllegalArgumentException(
+          "freq_items_sketch(col, capacity): capacity must not be NULL")
+      FreqItemsSketch(exprs.head, v.asInstanceOf[Int])
+    }),
     // Generator (UDTF surface): distinct word n-gram shingles as rows
     "shingle_explode" -> (exprs => ShingleExplode(exprs.head, exprs(1))),
     // Runtime-filter building blocks (Spark's own BloomFilterAggregate /

@@ -57,10 +57,14 @@ object Pipeline {
     AlertSink.emit(spark, s"$warehouseDir/alerts", unmapped, runVersion)
 
     // 4. occasional maintenance: bin-pack when the mart has accreted
-    // too many small files (each upsert emits up to a shuffle's worth)
-    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(martPath))
-      .filter(p => p.toString.endsWith(".parquet"))
-      .count()
+    // too many small files (each upsert emits up to a shuffle's worth).
+    // The walk stream is closed explicitly — a long-lived orchestrator
+    // JVM calls runDaily repeatedly, and unclosed directory streams
+    // leak file handles until GC.
+    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(martPath))
+    val files =
+      try walk.filter(p => p.toString.endsWith(".parquet")).count()
+      finally walk.close()
     if (files > compactOver) UpsertWriter.compact(spark, martPath)
   }
 }

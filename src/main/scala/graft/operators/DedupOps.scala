@@ -154,7 +154,15 @@ object DedupOps extends OpModule {
     * 47 → 36 MB exchanged and ~4 s warm at sf0.1 (the join form ran
     * ~10 s); the doc-keyed rank window then re-partitions once, and
     * the node-sized `sizes` join broadcasts. Shared by
-    * `dedup_prefix_filter` and (as the truth set) `dedup_lsh_recall`. */
+    * `dedup_prefix_filter` and (as the truth set) `dedup_lsh_recall`.
+    *
+    * Cache-lifetime contract: callers persist `ex` for the duration of
+    * the returned plan (it feeds sizes, dfs, prefixes AND the verify —
+    * unpersisting before the action would recompute the shingle pipeline
+    * per branch). The entry points that own the session (Bench clears
+    * the cache between queries, Verify per run) release it; a library
+    * user embedding these builders in a long-lived session unpersists
+    * after materializing the result. */
   private def prefixPairs08(ex: DataFrame): DataFrame = {
     val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val wsh = org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))
@@ -465,10 +473,13 @@ object DedupOps extends OpModule {
         val t = truth.agg(count(lit(1)).as("n_truth"))
         val f = truth.join(cand, Seq("doc_a", "doc_b"), "left_semi")
           .agg(count(lit(1)).as("n_found"))
+        // recall is NULL (not NaN) on a corpus with zero J≥0.8 pairs —
+        // 0/0 would otherwise poison downstream comparisons silently
         t.crossJoin(f).select(
           col("n_truth"), col("n_found"),
-          (col("n_found").cast(DoubleType) /
-            col("n_truth").cast(DoubleType)).as("recall"))
+          when(col("n_truth") > 0,
+            col("n_found").cast(DoubleType) /
+              col("n_truth").cast(DoubleType)).as("recall"))
       },
       Some(s"""WITH sh AS (${shingledSql(4)}),
               |s AS (SELECT doc_id, shingles, len(shingles) AS sz
@@ -489,7 +500,8 @@ object DedupOps extends OpModule {
               |                    WHERE c.doc_a = truth.doc_a
               |                      AND c.doc_b = truth.doc_b))
               |SELECT n_truth, n_found,
-              |  n_found::DOUBLE / n_truth::DOUBLE AS recall
+              |  CASE WHEN n_truth > 0
+              |       THEN n_found::DOUBLE / n_truth::DOUBLE END AS recall
               |FROM t, f""".stripMargin),
       doc = "LLM-pipeline: banded-LSH candidate recall vs the lossless prefix-filter truth (the LSH contract, measured)",
       sort = Nil

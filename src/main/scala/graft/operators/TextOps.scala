@@ -324,13 +324,23 @@ object TextOps extends OpModule {
             count(lit(1)).as("n_docs"),
             sum(size(toksCol).cast(LongType)).as("total_tokens"),
             sum(col("n_chars")).as("total_chars"),
-            expr(s"bit_xor(${phashSqlSpark("text")})").as("content_checksum")),
+            // XOR-fold SALTED with the doc_id discriminator: a plain
+            // bit_xor(phash(text)) is blind to even multiplicities —
+            // adding or removing any PAIR of identical documents leaves
+            // it unchanged, which defeats the ingest-reconciliation
+            // purpose. Hashing (doc_id, text) together keeps the fold
+            // order-free and mergeable while every row, duplicate
+            // content included, perturbs the checksum.
+            expr("bit_xor(" +
+              phashSqlSpark("concat(cast(doc_id as string), ':', text)") +
+              ")").as("content_checksum")),
       Some(s"""SELECT source, count(*)::BIGINT AS n_docs,
               |  sum(len($toksSql))::BIGINT AS total_tokens,
               |  sum(n_chars)::BIGINT AS total_chars,
-              |  bit_xor(${phashSql("text")}) AS content_checksum
+              |  bit_xor(${phashSql("CAST(doc_id AS VARCHAR) || ':' || text")})
+              |    AS content_checksum
               |FROM documents GROUP BY 1 ORDER BY source""".stripMargin),
-      doc = "LLM-pipeline: shard manifest (dataset-card totals + order-free mergeable XOR checksum)",
+      doc = "LLM-pipeline: shard manifest (dataset-card totals + order-free mergeable XOR checksum, doc-salted)",
       sort = Seq("source")
     ),
 

@@ -41,7 +41,9 @@ object UpsertWriter {
     val p = Paths.get(path)
     if (Files.exists(p)) {
       import scala.jdk.CollectionConverters._
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      val walk = Files.walk(p)
+      val all = try walk.iterator().asScala.toSeq finally walk.close()
+      all.reverse.foreach(Files.delete)
     }
   }
 
@@ -188,9 +190,12 @@ object UpsertWriter {
     recover(path)
     require(exists(path), s"no committed table at $path")
     import scala.jdk.CollectionConverters._
-    val bytes = Files.walk(Paths.get(path)).iterator().asScala
-      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
-      .map(Files.size).sum
+    val walk = Files.walk(Paths.get(path))
+    val bytes =
+      try walk.iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+        .map(Files.size).sum
+      finally walk.close()
     val parts = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     val df = spark.read.parquet(path).repartition(parts)
     swapIn(path) { staging =>
@@ -203,26 +208,43 @@ object UpsertWriter {
     * `cutoff` — at 100 TB a fact table is only sustainable with a
     * rolling horizon, and partition-grain deletion is the only form
     * that never rewrites surviving data. ISO dates compare correctly as
-    * strings, matching the directory encoding (`dia=2025-01-02`).
-    * Directory removal is idempotent, so a crashed retention pass is
-    * simply re-run; no swap needed — untouched partitions are never
-    * written. Returns the number of partitions dropped. */
+    * strings, matching the directory encoding (`dia=2025-01-02`) — and
+    * because the comparison is lexicographic, the cutoff is VALIDATED
+    * against the ISO `yyyy-MM-dd` pattern up front: an unpadded value
+    * like `2025-1-2` would silently keep/drop the wrong partitions.
+    * Partition values that don't themselves match the pattern are left
+    * untouched (never deleted on a malformed compare). Dropping every
+    * partition is refused — an empty directory tree is a table
+    * `spark.read.parquet` can no longer read; use [[truncate]] to empty
+    * a table deliberately. Directory removal is idempotent, so a crashed
+    * retention pass is simply re-run; no swap needed — untouched
+    * partitions are never written. Returns the number of partitions
+    * dropped. */
   def retainFrom(
       spark: SparkSession,
       path: String,
       partitionCol: String,
       cutoff: String): Int = {
+    val iso = "\\d{4}-\\d{2}-\\d{2}".r
+    require(iso.matches(cutoff),
+      s"retainFrom cutoff must be an ISO yyyy-MM-dd date, got '$cutoff'")
     recover(path)
     require(exists(path), s"no committed table at $path")
     import scala.jdk.CollectionConverters._
-    val dropped = Files.list(Paths.get(path)).iterator().asScala
-      .filter(Files.isDirectory(_))
-      .filter { dir =>
-        val name = dir.getFileName.toString
-        name.startsWith(s"$partitionCol=") &&
-          name.stripPrefix(s"$partitionCol=") < cutoff
-      }
-      .toList
+    val list = Files.list(Paths.get(path))
+    val partDirs =
+      try list.iterator().asScala
+        .filter(Files.isDirectory(_))
+        .filter(_.getFileName.toString.startsWith(s"$partitionCol="))
+        .toList
+      finally list.close()
+    val dropped = partDirs.filter { dir =>
+      val value = dir.getFileName.toString.stripPrefix(s"$partitionCol=")
+      iso.matches(value) && value < cutoff
+    }
+    require(dropped.size < partDirs.size || dropped.isEmpty,
+      s"retainFrom($cutoff) would drop all ${partDirs.size} partitions of " +
+        s"$path, leaving an unreadable table; use truncate() to empty it")
     dropped.foreach(d => deleteTree(d.toString))
     dropped.size
   }
