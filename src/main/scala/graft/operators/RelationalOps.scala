@@ -593,23 +593,31 @@ object RelationalOps extends OpModule {
       sort = Seq("l_orderkey", "l_linenumber", "quartile")
     ),
 
-    // ── Sketch: HyperLogLog++ distinct counts — the 100 TB path for A5/
+    // ── Sketch: HyperLogLog distinct counts — the 100 TB path for A5/
     // A7-style cardinalities (mergeable fixed-size state, no distinct
-    // shuffle). Sketch results are ENGINE-SPECIFIC (Spark HLL++ vs
-    // DuckDB's approx_count_distinct differ by design), so there is no
-    // oracle twin — the driver records the rows-only check, and
-    // `SketchSpec` pins the 2% relative-error contract against the exact
-    // counts instead. ──
+    // shuffle). ENGINE-EXACT since round 5: [[HllExact]] computes the
+    // registers from the portable md5-derived phash with integer-only
+    // register sums, so the DuckDB twin replays the identical sketch and
+    // the row is fully oracle-gated (was rows-only with Spark's HLL++,
+    // whose registers are engine-specific). `SketchSpec` still pins the
+    // estimate-vs-exact accuracy contract. ──
     "sk1_hll_distinct" -> Q(
-      (s, d) =>
-        Tables
-          .lineitem(s, d)
-          .groupBy($("l_returnflag"))
-          .agg(
-            approx_count_distinct($("l_orderkey"), rsd = 0.02).as("approx_orders"),
-            approx_count_distinct($("l_partkey"), rsd = 0.02).as("approx_parts")),
-      None,
-      doc = "Extension: HLL++ approximate distinct counts (rows-only check; ε pinned in SketchSpec)",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val orders = HllExact.estimate(
+          HllExact.registers(li, Seq("l_returnflag"), $("l_orderkey")),
+          Seq("l_returnflag"), "approx_orders")
+        val parts = HllExact.estimate(
+          HllExact.registers(li, Seq("l_returnflag"), $("l_partkey")),
+          Seq("l_returnflag"), "approx_parts")
+        orders.join(parts, Seq("l_returnflag"))
+      },
+      Some(s"""WITH ${HllExact.chainSql("o", "lineitem", Seq("l_returnflag"), "l_orderkey", "approx_orders")},
+              |${HllExact.chainSql("p", "lineitem", Seq("l_returnflag"), "l_partkey", "approx_parts")}
+              |SELECT o_e.l_returnflag, approx_orders, approx_parts
+              |FROM o_e JOIN p_e ON o_e.l_returnflag = p_e.l_returnflag
+              |ORDER BY 1""".stripMargin),
+      doc = "Extension: engine-exact HLL distinct counts (md5 registers, integer sums — DuckDB replays the sketch)",
       sort = Seq("l_returnflag")
     ),
 
@@ -636,25 +644,39 @@ object RelationalOps extends OpModule {
     ),
 
     // ── Sketch: HLL rollup via MERGEABLE state — per-(flag, status)
-    // Datasketches HLL sketches built in one pass, then UNIONED per flag
-    // without touching the raw data again. This is the property that
-    // makes sketches the 100 TB answer: the fine-grain sketch table is
-    // tiny and re-aggregates to any coarser grain (day→month, SKU→brand)
-    // at sketch-merge cost. Rows-only check (sketch estimates are
-    // engine-specific); `SketchSpec` pins the estimate-vs-exact
-    // contract at both grains. ──
+    // register tables built in one pass, then UNIONED per flag (sketch
+    // merge = max per register) without touching the raw data again.
+    // This is the property that makes sketches the 100 TB answer: the
+    // fine-grain sketch table is tiny and re-aggregates to any coarser
+    // grain (day→month, SKU→brand) at sketch-merge cost. ENGINE-EXACT
+    // since round 5 ([[HllExact]]) → fully oracle-gated: the DuckDB twin
+    // replays the fine registers AND the max-merge. ──
     "sk4_hll_merge_rollup" -> Q(
       (s, d) => {
-        val fine = Tables.lineitem(s, d)
-          .groupBy($("l_returnflag"), $("l_linestatus"))
-          .agg(hll_sketch_agg($("l_orderkey"), lit(12)).as("sk"))
-        fine.groupBy($("l_returnflag"))
-          .agg(hll_sketch_estimate(hll_union_agg($("sk"), lit(false)))
-            .as("approx_orders"),
-            count(lit(1)).as("n_sketches"))
+        val fine = HllExact.registers(Tables.lineitem(s, d),
+          Seq("l_returnflag", "l_linestatus"), $("l_orderkey"))
+        // sketch UNION: register-wise max across the statuses of a flag
+        val coarse = fine.groupBy($("l_returnflag"), $("idx"))
+          .agg(max($("mj")).as("mj"))
+        val est = HllExact.estimate(coarse, Seq("l_returnflag"), "approx_orders")
+        val nsk = fine.select($("l_returnflag"), $("l_linestatus")).distinct()
+          .groupBy($("l_returnflag")).agg(count(lit(1)).as("n_sketches"))
+        est.join(nsk, Seq("l_returnflag"))
       },
-      None,
-      doc = "Extension: mergeable HLL sketch rollup (fine sketches union to coarse grain)",
+      Some(s"""WITH ${HllExact.registersSql("f", "lineitem",
+                 Seq("l_returnflag", "l_linestatus"), "l_orderkey")},
+              |c_r AS (
+              |  SELECT l_returnflag, idx, max(mj) AS mj
+              |  FROM f_r GROUP BY 1, 2),
+              |${HllExact.estimateSql("c", "c_r", Seq("l_returnflag"), "approx_orders")},
+              |n AS (
+              |  SELECT l_returnflag, count(*)::BIGINT AS n_sketches
+              |  FROM (SELECT DISTINCT l_returnflag, l_linestatus FROM f_r)
+              |  GROUP BY 1)
+              |SELECT c_e.l_returnflag, approx_orders, n_sketches
+              |FROM c_e JOIN n ON n.l_returnflag = c_e.l_returnflag
+              |ORDER BY 1""".stripMargin),
+      doc = "Extension: mergeable engine-exact HLL rollup (fine register tables max-merge to coarse grain)",
       sort = Seq("l_returnflag")
     ),
 
@@ -662,32 +684,41 @@ object RelationalOps extends OpModule {
     // mergeable HLLs — |A∩B| ≈ |A| + |B| − |A∪B|, the audience-overlap
     // readout ("how many customers do two segments share") computed
     // WITHOUT ever joining the raw sets: per-segment sketches are
-    // fixed-size state, the union is a sketch merge, and at 100 TB the
-    // segment sketches are precomputed and the overlap question costs
-    // three estimates. Engine-specific by design → rows-only check;
-    // `SketchSpec` pins the estimate against the exact overlap. ──
+    // fixed-size state, the union is a sketch merge (register max), and
+    // at 100 TB the segment sketches are precomputed and the overlap
+    // question costs three estimates. ENGINE-EXACT since round 5
+    // ([[HllExact]]) → fully oracle-gated; `SketchSpec` still pins the
+    // estimate against the exact overlap. ──
     "sk6_hll_overlap" -> Q(
       (s, d) => {
         val o = Tables.orders(s, d)
-        def cohort(y: Int) = o.filter(year($("o_orderdate")) === y)
-          .agg(hll_sketch_agg($("o_custkey"), lit(12)).as("sk"))
-          .select(lit(s"y$y").as("cohort"), $("sk"))
-        val two = cohort(1996).unionByName(cohort(1997))
-        val sizes = two.select($("cohort"),
-          hll_sketch_estimate($("sk")).as("est"))
-        val union = two.agg(
-          hll_sketch_estimate(hll_union_agg($("sk"), lit(false))).as("est_union"))
-        sizes.groupBy()
-          .pivot("cohort", Seq("y1996", "y1997"))
-          .agg(first($("est")))
-          .crossJoin(union)
-          .select(
-            $("y1996").as("est_a"), $("y1997").as("est_b"),
-            $("est_union"),
-            ($("y1996") + $("y1997") - $("est_union")).as("est_overlap"))
+        def regs(y: Int) = HllExact.registers(
+          o.filter(year($("o_orderdate")) === y), Nil, $("o_custkey"))
+        val (ra, rb) = (regs(1996), regs(1997))
+        val estA = HllExact.estimate(ra, Nil, "est_a")
+        val estB = HllExact.estimate(rb, Nil, "est_b")
+        val estU = HllExact.estimate(
+          ra.unionByName(rb).groupBy($("idx")).agg(max($("mj")).as("mj")),
+          Nil, "est_union")
+        estA.crossJoin(estB).crossJoin(estU)
+          .select($("est_a"), $("est_b"), $("est_union"),
+            ($("est_a") + $("est_b") - $("est_union")).as("est_overlap"))
       },
-      None,
-      doc = "Extension: HLL set-overlap estimate via inclusion-exclusion (rows-only; accuracy pinned in SketchSpec)",
+      Some {
+        def cohortFrom(y: Int) =
+          s"(SELECT o_custkey FROM orders WHERE year(o_orderdate) = $y)"
+        s"""WITH ${HllExact.chainSql("a", cohortFrom(1996), Nil, "o_custkey", "est_a")},
+           |${HllExact.chainSql("b", cohortFrom(1997), Nil, "o_custkey", "est_b")},
+           |u_r AS (
+           |  SELECT idx, max(mj) AS mj
+           |  FROM (SELECT idx, mj FROM a_r UNION ALL SELECT idx, mj FROM b_r)
+           |  GROUP BY 1),
+           |${HllExact.estimateSql("u", "u_r", Nil, "est_union")}
+           |SELECT est_a, est_b, est_union,
+           |  est_a + est_b - est_union AS est_overlap
+           |FROM a_e, b_e, u_e""".stripMargin
+      },
+      doc = "Extension: engine-exact HLL set-overlap via inclusion-exclusion (register max-merge union, replayed in DuckDB)",
       sort = Nil
     ),
 

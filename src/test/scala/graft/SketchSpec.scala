@@ -3,10 +3,16 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** The sketch query has no oracle twin (HLL++ is engine-specific by
-  * design), so its correctness contract lives here: every approximate
-  * count within 5% of the exact distinct count (HLL++ default rsd is
-  * 0.05; the fixture cardinalities sit well inside it). */
+/** ACCURACY contracts for the sketch family. Since round 5 the HLL rows
+  * (sk1/sk4/sk6) are engine-exact ([[graft.operators.HllExact]]) and the
+  * driver's DuckDB oracle replays their registers bit-for-bit — but an
+  * oracle twin only proves both engines compute the SAME number, not
+  * that the number is a good estimate. That second half lives here:
+  * every approximate count within 5% of the exact distinct count
+  * (m = 4096 registers → rsd ≈ 1.6%; the small fixture cardinalities
+  * ride the linear-counting branch, tighter still). sk3/sk5 remain
+  * engine-specific (GK / Space-Saving) → these pins are their ONLY
+  * numeric gate. */
 class SketchSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
