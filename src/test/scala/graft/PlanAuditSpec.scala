@@ -67,9 +67,12 @@ class PlanAuditSpec extends AnyFunSuite {
     val pf = plan("dedup_prefix_filter")
     assert(pf.contains("shingle_explode"), "generator missing from the plan")
     assert(!pf.contains("BroadcastNestedLoopJoin") && !pf.contains("CartesianProduct"))
-    // graph second adjacency lookup broadcasts; first stays a hash join
-    // (edge_jaccard's joins sit behind its localCheckpoint and aren't
-    // in the final plan string — triangles carries the same shape)
+    // graph second adjacency lookup broadcasts AT THIS SCALE (the size
+    // gate sees adj under budget; `HubSafeGraphSpec` audits the
+    // over-budget shuffle-hash regime and its value equivalence); the
+    // first lookup stays a hash join (edge_jaccard's joins sit behind
+    // its localCheckpoint and aren't in the final plan string —
+    // triangles carries the same shape)
     val tri = plan("graph_triangles")
     assert(tri.contains("BroadcastHashJoin"), "triangles: adj lookup must broadcast")
     assert(tri.contains("ShuffledHashJoin"), "triangles: first lookup stays a shuffle join")
