@@ -206,6 +206,108 @@ object GraphOps extends OpModule {
         col("dst").as("similar_node"), col("common"), col("sim"))
   }
 
+  /** Production PageRank: iterate the same integer-exact damped update
+    * as the registered `graph_pagerank` until CONVERGENCE — max
+    * per-node rank change ≤ `tolMicro` — instead of a fixed round
+    * count. The registered query keeps 3 unrolled rounds so its DuckDB
+    * twin can replay the exact state; a real run wants the stationary
+    * ranks, and a production graph gives no round bound (this is the
+    * `survivorsToFixpoint` contract applied to the graph family).
+    *
+    * Loop hygiene mirrors [[DedupOps.survivorsToFixpoint]]: every
+    * round's ranks are eagerly `localCheckpoint`ed (an iterative plan
+    * otherwise re-derives all prior rounds per action), and the
+    * convergence probe is a `limit(1)` existence check on
+    * over-tolerance deltas, not a full count. Damping 0.85 contracts
+    * geometrically, so rounds ≈ log(1e6/tol)/log(1/0.85) — bounded and
+    * diameter-free.
+    *
+    * @param symmetric symmetric DISTINCT (src,dst) edge list
+    * @return (node, rank_micro, rounds) — `rounds` actually run
+    */
+  def pagerankToConvergence(
+      symmetric: DataFrame,
+      tolMicro: Long = 1000L,
+      maxRounds: Int = 60,
+      sliceK: Int = AdjSliceK): DataFrame = {
+    val adj = hubSafeAdjacency(symmetric, sliceK)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    adj.count()
+    val nodes = adj.filter(col("slice") === 0).select(col("src").as("node"))
+    var ranks = nodes.withColumn("rank_micro", lit(1000000L))
+      .localCheckpoint(eager = true)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      round += 1
+      val contrib = adj
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .select(explode(col("nbrs")).as("node"),
+          expr("rank_micro div deg").as("c"))
+        .groupBy(col("node"))
+        .agg(sum(col("c")).as("contrib"))
+      val next = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(150000L) +
+            expr("(85 * coalesce(contrib, CAST(0 AS BIGINT))) div 100"))
+            .as("rank_micro"))
+        .localCheckpoint(eager = true)
+      converged = next.as("n")
+        .join(ranks.as("o"), "node")
+        .filter(abs(col("n.rank_micro") - col("o.rank_micro")) > tolMicro)
+        .limit(1).count() == 0
+      ranks = next
+    }
+    adj.unpersist(blocking = false)
+    ranks.withColumn("rounds", lit(round))
+  }
+
+  /** Production BFS: propagate hop distances from `seeds` until the
+    * frontier empties (every reachable node settled) instead of a fixed
+    * hop count — the registered `graph_bfs_3hop` under-converges on any
+    * graph whose diameter exceeds 3. Unweighted BFS lets the loop carry
+    * only the FRONTIER (nodes first reached this round): a settled
+    * distance can never improve, so each round joins the skinny
+    * frontier to the edge list, anti-joins already-settled nodes, and
+    * unions the new layer in — per-round cost scales with the layer,
+    * not the accumulated distance table. Same loop hygiene as the other
+    * fixpoints (eager localCheckpoint per round, limit(1) probes).
+    *
+    * @param symmetric symmetric DISTINCT (src,dst) edge list
+    * @param seeds     (node) seed rows (dist 0)
+    * @return (node, dist) for every node reachable from the seeds
+    */
+  def bfsToFixpoint(
+      symmetric: DataFrame,
+      seeds: DataFrame,
+      maxRounds: Int = 1000): DataFrame = {
+    val edges = symmetric.persist(StorageLevel.MEMORY_AND_DISK)
+    var dist = seeds.select(col("node")).distinct()
+      .withColumn("dist", lit(0L))
+      .localCheckpoint(eager = true)
+    var frontier = dist.select(col("node"))
+    var depth = 0L
+    var done = false
+    while (!done && depth < maxRounds) {
+      depth += 1
+      // frontier is layer-sized (≤ nodes) — broadcast it so the cached
+      // edge list never re-exchanges per round, as in graph_bfs_3hop
+      val next = edges.toDF("node", "nbr")
+        .join(broadcast(frontier), Seq("node"))
+        .select(col("nbr").as("node")).distinct()
+        .join(dist.select(col("node")), Seq("node"), "left_anti")
+        .withColumn("dist", lit(depth))
+        .localCheckpoint(eager = true)
+      if (next.limit(1).count() == 0) done = true
+      else {
+        dist = dist.unionByName(next).localCheckpoint(eager = true)
+        frontier = next.select(col("node"))
+      }
+    }
+    edges.unpersist(blocking = false)
+    dist
+  }
+
   def queries: Map[String, Q] = Map(
     // ── Fixed-point PageRank, THREE fixed unrolled rounds (same
     // contract as the dedup CC query: a fixed count the DuckDB twin
