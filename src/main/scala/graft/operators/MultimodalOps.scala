@@ -7,14 +7,18 @@ import org.apache.spark.sql.types._
 
 /** Multimodal-column plumbing: media payloads ride through the pipeline as
   * opaque `BINARY` columns with typed metadata; decode/feature-extract is
-  * a per-partition batch step. The container has no image/audio codecs, so
-  * the decode itself is a clearly-marked DETERMINISTIC STUB
-  * ([[decodeStub]]) — everything Spark-side (schema, binary slicing,
-  * batched partition iteration, frame sampling) is real and oracle- or
-  * test-verified.
+  * a per-partition batch step. Since round 5 the decode is REAL —
+  * [[graft.functions.WavPcm]] parses RIFF/WAVE PCM in pure JVM code (no
+  * codec library needed), driven by [[decodeWavFeatures]] and the
+  * oracle-gated `mm_wav_pcm_decode` query. Image-style dims in
+  * `mm_metadata` remain derived placeholders (an image codec genuinely
+  * isn't in the container); everything Spark-side (schema, binary
+  * slicing, batched partition iteration, frame sampling) is real and
+  * oracle- or test-verified.
   *
-  * The fixture has no binary column; the payload is derived inside the
-  * query as `encode(text, 'UTF-8')` — the plumbing is identical for real
+  * The fixture has no binary column; payloads are derived inside the
+  * queries (`encode(text, 'UTF-8')`, or a synthesized WAV around those
+  * bytes for the decode query) — the plumbing is identical for real
   * media bytes.
   */
 object MultimodalOps extends OpModule {
@@ -32,8 +36,10 @@ object MultimodalOps extends OpModule {
             length(col("payload")).cast(LongType).as("n_bytes"),
             upper(hex(expr("substring(payload, 1, 4)"))).as("header_hex"),
             md5(upper(hex(col("payload")))).as("checksum"),
-            // decode STUB: width/height derived from byte length — a real
-            // deployment replaces these three lines with the codec call.
+            // image dims are PLACEHOLDERS derived from byte length (an
+            // image codec isn't in the container — audio decode IS real,
+            // see mm_wav_pcm_decode); a deployment with a codec replaces
+            // these three lines with the codec call.
             (pmod(length(col("payload")) * 7, lit(640)) + 1).cast(LongType).as("width"),
             (pmod(length(col("payload")) * 13, lit(480)) + 1).cast(LongType).as("height"),
             lit(3L).as("channels")),
@@ -216,38 +222,87 @@ object MultimodalOps extends OpModule {
              |FROM documents ORDER BY doc_id""".stripMargin),
       doc = "LLM-pipeline: stride-4 byte downsample (resize plumbing over opaque payloads)",
       sort = Seq("doc_id")
+    ),
+
+    // ── REAL media decode, end to end: each document's bytes are
+    // wrapped into a canonical 16-bit PCM mono WAV (with a planted
+    // doc-dependent LIST chunk, so a decoder that assumes byte 44 is
+    // the data start would break), then parsed back by the pure-JVM
+    // [[graft.functions.WavPcm]] decoder — RIFF walk, fmt validation,
+    // little-endian signed sample extraction — and reduced to features.
+    // The ORACLE is what makes this a decode test and not a tautology:
+    // DuckDB computes the expected sample stream directly from the raw
+    // text bytes (hex-pair arithmetic), never seeing the WAV container,
+    // so any header-offset or endianness bug in the decoder mismatches.
+    // Map-only both ways: encode→decode runs per partition at scan
+    // speed; the synthetic payload stands in for a real audio column,
+    // through the exact plumbing ([[decodeWavFeatures]]) a production
+    // corpus would use. ──
+    "mm_wav_pcm_decode" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val synth = Tables.documents(s, d)
+          .select(col("doc_id"), col("text"))
+          .as[(Long, String)]
+          .mapPartitions(_.map { case (id, text) =>
+            val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val even =
+              if (raw.length % 2 == 0) raw
+              else java.util.Arrays.copyOf(raw, raw.length - 1)
+            val junk = new Array[Byte](((id % 5L) * 2L).toInt)
+            (id, graft.functions.WavPcm.encodeRaw(
+              even, 16000, 1, 16, Seq("LIST" -> junk)))
+          })
+          .toDF("doc_id", "payload")
+        decodeWavFeatures(synth).toDF()
+      },
+      Some("""SELECT doc_id,
+             |  (nbytes // 2 * 2)::BIGINT AS n_data_bytes,
+             |  1::BIGINT AS channels,
+             |  16000::BIGINT AS sample_rate,
+             |  16::BIGINT AS bits_per_sample,
+             |  (nbytes // 2)::BIGINT AS n_samples,
+             |  COALESCE(list_sum([
+             |      (x - CASE WHEN x >= 32768 THEN 65536 ELSE 0 END)
+             |      * (x - CASE WHEN x >= 32768 THEN 65536 ELSE 0 END)
+             |    FOR x IN [CAST('0x' || h[4*i-1 : 4*i] || h[4*i-3 : 4*i-2] AS BIGINT)
+             |              FOR i IN range(1, CAST(nbytes // 2 + 1 AS INT))] ]), 0)::BIGINT
+             |    AS energy
+             |FROM (SELECT doc_id, upper(hex(encode(text))) AS h,
+             |        octet_length(encode(text))::BIGINT AS nbytes FROM documents)
+             |ORDER BY doc_id""".stripMargin),
+      doc = "LLM-pipeline: real WAV-PCM decode (RIFF walk + LE sample extraction; oracle recomputes from raw bytes)",
+      sort = Seq("doc_id")
     )
   )
 
   // ───────────────────────── batch decode plumbing ─────────────────────────
 
-  /** What a real decoder would return per payload. */
-  final case class MediaFeatures(
-      doc_id: Long, n_bytes: Int, width: Int, height: Int, byteSum: Long)
+  /** Decoded per-payload audio features (all LONG for oracle parity). */
+  final case class WavFeatures(
+      doc_id: Long, n_data_bytes: Long, channels: Long, sample_rate: Long,
+      bits_per_sample: Long, n_samples: Long, energy: Long)
 
-  /** DETERMINISTIC DECODE STUB — stands in for an image codec the
-    * container doesn't ship. Real deployments replace the body; the
-    * signature (bytes in, features out) and the partition-batch call
-    * pattern in [[decodeFeatures]] are the real contract. */
-  def decodeStub(id: Long, bytes: Array[Byte]): MediaFeatures = {
-    var sum = 0L
-    var i = 0
-    while (i < bytes.length) { sum += bytes(i) & 0xff; i += 1 }
-    MediaFeatures(id, bytes.length,
-      (bytes.length * 7) % 640 + 1, (bytes.length * 13) % 480 + 1, sum)
-  }
-
-  /** Per-partition batched decode — the Scala analogue of `mapInPandas`:
-    * one iterator per partition (the decoder can amortize model/codec
-    * setup across the batch), typed output schema via the case-class
-    * encoder. Used from tests; production pipelines call it after
-    * repartitioning so each task holds a codec-sized batch. */
-  def decodeFeatures(docs: DataFrame): Dataset[MediaFeatures] = {
-    val spark = docs.sparkSession
+  /** Per-partition batched REAL decode — rounds 1-4 carried a
+    * `decodeStub` here because the container ships no media codecs;
+    * RIFF/WAVE PCM needs none ([[graft.functions.WavPcm]]: header walk
+    * + little-endian sample extraction), so the stub is gone. The call
+    * pattern is the Scala analogue of `mapInPandas`: one iterator per
+    * partition (a decoder amortizes setup across the batch), typed
+    * output schema via the case-class encoder. Production pipelines
+    * call it after repartitioning so each task holds a codec-sized
+    * batch; a non-WAV payload fails loudly (the error-channel pattern
+    * of T6 handles it upstream — silent zeros would poison features). */
+  def decodeWavFeatures(wavs: DataFrame): Dataset[WavFeatures] = {
+    val spark = wavs.sparkSession
     import spark.implicits._
-    docs
-      .select(col("doc_id").cast(LongType), encode(col("text"), "UTF-8").as("payload"))
+    wavs
+      .select(col("doc_id").cast(LongType), col("payload"))
       .as[(Long, Array[Byte])]
-      .mapPartitions { it => it.map { case (id, bytes) => decodeStub(id, bytes) } }
+      .mapPartitions(_.map { case (id, bytes) =>
+        val w = graft.functions.WavPcm.decode(bytes)
+        WavFeatures(id, w.nSamples * (w.bitsPerSample / 8), w.channels,
+          w.sampleRate, w.bitsPerSample, w.nSamples, w.energy)
+      })
   }
 }

@@ -58,17 +58,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rounds == 5, s"expected 5 rounds, got $rounds")
   }
 
-  test("multimodal decode stub: batch decode matches the SQL-side metadata") {
-    val docs = Tables.documents(spark, sf)
-    val decoded = MultimodalOps.decodeFeatures(docs).collect()
-      .map(f => f.doc_id -> f).toMap
-    val sqlSide = SparkEntry.queries("mm_metadata")(spark, sf).collect()
-    sqlSide.foreach { r =>
-      val f = decoded(r.getAs[Long]("doc_id"))
-      assert(f.n_bytes.toLong == r.getAs[Long]("n_bytes"))
-      assert(f.width.toLong == r.getAs[Long]("width"))
-      assert(f.height.toLong == r.getAs[Long]("height"))
-    }
+  test("multimodal decode: batched WAV decode matches the oracle-gated query") {
+    val viaQuery = SparkEntry.queries("mm_wav_pcm_decode")(spark, sf)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_samples"), r.getAs[Long]("energy"))).toMap
+    // independently: bytes → WavPcm.encode → decodeWavFeatures
+    import spark.implicits._
+    val synth = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val even = if (raw.length % 2 == 0) raw
+          else java.util.Arrays.copyOf(raw, raw.length - 1)
+        (id, graft.functions.WavPcm.encodeRaw(even, 16000, 1, 16))
+      }).toDF("doc_id", "payload")
+    val direct = MultimodalOps.decodeWavFeatures(synth).collect()
+      .map(f => f.doc_id -> (f.n_samples, f.energy)).toMap
+    assert(direct == viaQuery)
   }
 
   test("ta_fingerprint: bag-of-words fp ignores word order, rolling fp doesn't") {
