@@ -50,11 +50,17 @@ object DedupOps extends OpModule {
       col("doc_id"),
       call_function("word_shingles", col("text"), lit(n)).as("shingles"))
 
-  private def shingledSql(n: Int): String = {
+  private def shingledSql(n: Int): String = shingledSqlFrom(n, "documents")
+
+  /** [[shingledSql]] over an arbitrary (doc_id, text) relation — the
+    * sampled-recall harness shingles a deterministic subset. */
+  private def shingledSqlFrom(n: Int, docsRel: String): String = {
     val parts = (0 until n).map(i => s"toks[i+$i]").mkString(" || ' ' || ")
     s"""SELECT doc_id, list_distinct(CASE WHEN len(toks) >= $n
        |  THEN [$parts FOR i IN range(1, len(toks)-${n - 2})]
-       |  ELSE [] END) AS shingles FROM (${toksSql})""".stripMargin
+       |  ELSE [] END) AS shingles FROM (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+       |  FROM $docsRel)""".stripMargin
   }
 
   private val H2Mod = 1L << 55
@@ -504,6 +510,67 @@ object DedupOps extends OpModule {
               |       THEN n_found::DOUBLE / n_truth::DOUBLE END AS recall
               |FROM t, f""".stripMargin),
       doc = "LLM-pipeline: banded-LSH candidate recall vs the lossless prefix-filter truth (the LSH contract, measured)",
+      sort = Nil
+    ),
+
+    // ── SAMPLED LSH-recall harness: the same contract measurement on a
+    // deterministic CONTENT-HASH sample of the corpus (phash(text) % 4
+    // = 0 → 25%) — the production form. At 100 TB the full lossless
+    // truth set is unaffordable (that's the point of LSH), but the
+    // recall CONTRACT still needs monitoring: a content-stable sample
+    // keeps the same docs in every run/engine, the prefix-filter truth
+    // set over the sample costs (1/16)th of the quadratic-bounded work,
+    // and the measured recall is an unbiased estimate of the corpus
+    // recall (pairs are sampled by membership of both endpoints).
+    // `LshRecallSampleSpec` pins agreement with the full-corpus number
+    // at sf0.01; both engines replay the identical sample. ──
+    "dedup_lsh_recall_sampled" -> Q(
+      (s, d) => {
+        val sampled = Tables.documents(s, d)
+          .where(pmod(phash(col("text")), lit(4L)) === 0L)
+        val ex = sampled
+          .select(col("doc_id"), expr("shingle_explode(text, 4)").as("sh"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        ex.count()
+        val truth = prefixPairs08(ex).select(col("doc_a"), col("doc_b"))
+        val cand = candidates(bandSigsFromRows(ex, 16, 4))
+        val nd = sampled.agg(count(lit(1)).as("n_docs"))
+        val t = truth.agg(count(lit(1)).as("n_truth"))
+        val f = truth.join(cand, Seq("doc_a", "doc_b"), "left_semi")
+          .agg(count(lit(1)).as("n_found"))
+        nd.crossJoin(t).crossJoin(f).select(
+          col("n_docs"), col("n_truth"), col("n_found"),
+          when(col("n_truth") > 0,
+            col("n_found").cast(DoubleType) /
+              col("n_truth").cast(DoubleType)).as("recall"))
+      },
+      Some(s"""WITH docs_s AS (
+              |  SELECT doc_id, text FROM documents
+              |  WHERE ${phashSql("text")} % 4 = 0),
+              |sh AS (${shingledSqlFrom(4, "docs_s")}),
+              |s AS (SELECT doc_id, shingles, len(shingles) AS sz
+              |      FROM sh WHERE len(shingles) > 0),
+              |truth AS (
+              |  SELECT doc_a, doc_b FROM (
+              |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |      len(list_intersect(a.shingles, b.shingles))::DOUBLE
+              |        / len(list_distinct(a.shingles || b.shingles)) AS jaccard
+              |    FROM s a JOIN s b ON a.doc_id < b.doc_id
+              |      AND least(a.sz, b.sz) * 10 >= greatest(a.sz, b.sz) * 8)
+              |  WHERE jaccard >= 0.8),
+              |${bandSigsSql(16, 4)},
+              |$candidatesSql,
+              |nd AS (SELECT count(*)::BIGINT AS n_docs FROM docs_s),
+              |t AS (SELECT count(*)::BIGINT AS n_truth FROM truth),
+              |f AS (SELECT count(*)::BIGINT AS n_found FROM truth
+              |      WHERE EXISTS (SELECT 1 FROM cand c
+              |                    WHERE c.doc_a = truth.doc_a
+              |                      AND c.doc_b = truth.doc_b))
+              |SELECT n_docs, n_truth, n_found,
+              |  CASE WHEN n_truth > 0
+              |       THEN n_found::DOUBLE / n_truth::DOUBLE END AS recall
+              |FROM nd, t, f""".stripMargin),
+      doc = "LLM-pipeline: LSH recall on a deterministic 25% content-hash sample (the affordable production form of the contract)",
       sort = Nil
     ),
 
