@@ -3,6 +3,7 @@ package graft
 import graft.sinks.{AlertSink, UpsertWriter}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
 
 /** The reference's daily cron entry point, as ONE orchestrated job — what
   * a user of `tarefa_consolidar_dados.php` + `tarefa_consolidar_mapa.php`
@@ -66,5 +67,40 @@ object Pipeline {
       try walk.filter(p => p.toString.endsWith(".parquet")).count()
       finally walk.close()
     if (files > compactOver) UpsertWriter.compact(spark, martPath)
+  }
+
+  /** The STREAMING counterpart of [[runDaily]] — the reference's queue
+    * worker loop (`tarefa_popular_fila_*` → `worker_*`, T4) as one
+    * orchestrated entry a user schedules instead of cron: claim task
+    * files landing in `queueDir` (rate-limited micro-batches), enrich
+    * each batch with the catalog dim (the worker's API-join step, here a
+    * broadcast join against the part dim), and ack into the keyed state
+    * table at `warehouseDir/queue_state` through the idempotent K1
+    * upsert.
+    *
+    * Exactly-once STATE under kill/restart, end to end: the checkpoint
+    * makes a resumed query replay any in-flight batch with the SAME
+    * batch_id, and the upsert's last-write-wins by (key, version) turns
+    * that replay into a restate — never a duplicate row. The returned
+    * query runs with `Trigger.AvailableNow` (drain-and-stop, the cron
+    * cadence); a long-lived deployment re-invokes on a schedule or swaps
+    * the trigger. `PipelineStreamingSpec` kills a query mid-drain and
+    * resumes it on the same checkpoint.
+    */
+  def runStreaming(
+      spark: SparkSession,
+      sfDir: String,
+      queueDir: String,
+      warehouseDir: String,
+      checkpointDir: String,
+      filesPerTrigger: Int = 1): StreamingQuery = {
+    Sessions.tune(spark)
+    val dim = Tables.part(spark, sfDir)
+      .select(col("p_partkey").as("task_id"), col("p_name"), col("p_brand"))
+    streaming.QueueWorker.start(
+      spark, queueDir, s"$warehouseDir/queue_state", checkpointDir,
+      keys = Seq("task_id"), versionCol = "batch_id",
+      process = batch => batch.join(broadcast(dim), Seq("task_id"), "left"),
+      filesPerTrigger = filesPerTrigger)
   }
 }
