@@ -207,7 +207,9 @@ object RelationalOps extends OpModule {
     // ── Join-key skew audit: per candidate join key, cardinality, the
     // hottest key's row count, and its share of the table — the
     // operational readout you run BEFORE deciding a join needs salting
-    // (`j10_salted_skew_join` is the cure; this is the diagnosis). One
+    // (`j10_salted_skew_join` is the cure; this is the diagnosis; the
+    // wiring between them is [[SkewTools.autoSaltedJoin]], which picks
+    // the salt factor from this measurement). One
     // map-side-combined aggregate per key, each collapsing to a single
     // row — exchange volume is #distinct-keys × partitions, the same
     // envelope as any hash agg, at any corpus size. ──
@@ -1457,7 +1459,10 @@ object RelationalOps extends OpModule {
     // value-identical to the unsalted join — the oracle below IS the
     // plain join — while the hottest key's rows now hash to S partitions
     // instead of one. Cost model: dim shuffle volume ×S, so pick
-    // S ≈ ceil(hottest-key rows / rows-per-healthy-task), not 1000.
+    // S ≈ ceil(hottest-key rows / rows-per-healthy-task), not 1000 —
+    // [[SkewTools.autoSaltedJoin]] computes exactly that S from the
+    // dq3 audit, so library users never hand-tune the constant (this
+    // registered query keeps S = 8 literal for oracle replayability).
     "j10_salted_skew_join" -> Q(
       (s, d) => {
         val S = 8
