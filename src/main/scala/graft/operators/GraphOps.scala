@@ -22,14 +22,15 @@ import org.apache.spark.storage.StorageLevel
   *
   * HUB POSTURE (the round-4 verdict's named scale hazard, now
   * implemented, not just documented): per-node adjacency is stored as
-  * ≤ [[AdjSliceK]]-element SLICES — `ceil(deg/K)` rows per node — so no
-  * single shuffle row, aggregation buffer, or broadcast element grows
-  * with a hub on a power-law graph; and the array-bearing second
-  * adjacency lookup is SIZE-GATED ([[gatedSecondLookup]]): it broadcasts
-  * while the measured cached size fits [[BroadcastBudgetBytes]] and
-  * falls back to a shuffle-hash join (adjacency pinned as build side)
-  * beyond it. Both regimes are value-identical — `HubSafeGraphSpec`
-  * pins that on a planted hub-heavy graph and audits both plans.
+  * hash SLICES of ~[[AdjSliceK]] elements — ≤ `ceil(deg/K)` rows per
+  * node — so no single shuffle row, aggregation buffer, or broadcast
+  * element grows with a hub on a power-law graph; and the array-bearing
+  * second adjacency lookup is SIZE-GATED ([[gatedSecondLookup]]): it
+  * broadcasts while the measured cached size fits
+  * [[BroadcastBudgetBytes]] and falls back to a shuffle-hash join
+  * (adjacency pinned as build side) beyond it. Both regimes are
+  * value-identical — `HubSafeGraphSpec` pins that on a planted
+  * hub-heavy graph and audits both plans.
   */
 object GraphOps extends OpModule {
 
@@ -46,8 +47,11 @@ object GraphOps extends OpModule {
     * Spark's 8 GB broadcast hard limit. */
   val BroadcastBudgetBytes: Long = 256L << 20
 
-  /** Symmetric distinct co-occurrence edges (src ≠ dst, both ways). */
-  private def symEdges(s: SparkSession, d: String): DataFrame = {
+  /** Symmetric co-occurrence pairs, RAW (duplicates kept — src/dst pairs
+    * repeat across orders). [[hubSafeAdjacency]] consumes this directly,
+    * dedup riding its per-slice collect_set instead of a distinct
+    * exchange. */
+  private def rawSymPairs(s: SparkSession, d: String): DataFrame = {
     val a = Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_partkey").as("src"))
     val b = Tables.lineitem(s, d)
@@ -55,23 +59,36 @@ object GraphOps extends OpModule {
     a.join(b, Seq("l_orderkey"))
       .filter(col("src") =!= col("dst"))
       .select(col("src"), col("dst"))
-      .distinct()
   }
 
-  /** Hub-safe sliced adjacency: (src, slice, nbrs, deg) with
-    * ≤ `sliceK` neighbors per row. Built WITHOUT a whole-neighbor-list
-    * aggregation buffer: slice numbers come from a per-node row_number
-    * (window state spills; a `collect_set` of a hub's full list cannot),
-    * then each slice collects independently — the groupBy reuses the
-    * window's src-partitioning, so slicing costs one exchange total.
-    * `deg` is the FULL node degree (slices of one node share it). */
+  /** Symmetric distinct co-occurrence edges (src ≠ dst, both ways). */
+  private def symEdges(s: SparkSession, d: String): DataFrame =
+    rawSymPairs(s, d).distinct()
+
+  /** Hub-safe sliced adjacency: (src, slice, nbrs, deg) with ~`sliceK`
+    * neighbors per row. Accepts RAW (possibly duplicated) symmetric
+    * pairs — no upstream distinct needed.
+    *
+    * Construction is sort-free (a row_number-windowed exact slicing was
+    * measured ~2× slower on `graph_edge_jaccard` at sf0.1 — the global
+    * sort of the edge list dominated): each neighbor hashes into one of
+    * `ceil(cnt/K)` slices, so every copy of a dst lands in the SAME
+    * slice and the per-slice `collect_set` dedups exactly; `cnt` (raw
+    * per-node row count, one map-combined aggregate broadcast back)
+    * upper-bounds the distinct degree, which only ever makes slices
+    * smaller. No aggregation buffer, shuffle row, or broadcast element
+    * grows with a hub: slice sizes concentrate at K (hash uniformity;
+    * a 10M-degree hub becomes ~2.4k ~4096-element rows). `deg` is the
+    * FULL distinct degree, carried on every slice via a window over the
+    * node-slice-sized (tiny) aggregated relation. */
   private[graft] def hubSafeAdjacency(edges: DataFrame, sliceK: Int): DataFrame = {
-    val w = Window.partitionBy(col("src")).orderBy(col("dst"))
+    val cnt = edges.groupBy(col("src")).agg(count(lit(1)).as("cnt"))
     edges
-      .withColumn("rn", row_number().over(w))
-      .withColumn("slice", expr(s"(rn - 1) div $sliceK"))
+      .join(broadcast(cnt), Seq("src"))
+      .withColumn("slice",
+        pmod(hash(col("dst")), expr(s"CAST((cnt - 1) div $sliceK + 1 AS INT)")))
       .groupBy(col("src"), col("slice"))
-      .agg(collect_list(col("dst")).as("nbrs"))
+      .agg(collect_set(col("dst")).as("nbrs"))
       .withColumn("deg",
         sum(size(col("nbrs")).cast(LongType))
           .over(Window.partitionBy(col("src"))))
@@ -166,7 +183,7 @@ object GraphOps extends OpModule {
     val adj = hubSafeAdjacency(symmetric, sliceK)
       .persist(StorageLevel.MEMORY_AND_DISK)
     adj.count()
-    val multiSlice = adj.agg(max(col("slice"))).head.getLong(0) > 0L
+    val multiSlice = adj.agg(max(col("slice"))).head.getInt(0) > 0
     val edges = adj.select(col("src"), explode(col("nbrs")).as("dst"))
       .filter(col("src") < col("dst"))
     // same second-lookup rule as triangleCounts: the first join may
@@ -222,7 +239,8 @@ object GraphOps extends OpModule {
     * geometrically, so rounds ≈ log(1e6/tol)/log(1/0.85) — bounded and
     * diameter-free.
     *
-    * @param symmetric symmetric DISTINCT (src,dst) edge list
+    * @param symmetric symmetric (src,dst) pairs; duplicates tolerated
+    *                   (the adjacency build dedups per slice)
     * @return (node, rank_micro, rounds) — `rounds` actually run
     */
   def pagerankToConvergence(
@@ -330,7 +348,9 @@ object GraphOps extends OpModule {
     // carried on every slice, so slicing never changes a value. ──
     "graph_pagerank" -> Q(
       (s, d) => {
-        val adj = hubSafeAdjacency(symEdges(s, d), AdjSliceK)
+        // raw pairs in: the per-slice collect_set dedups, so no distinct
+        // exchange precedes the adjacency build (the r4 single-pass shape)
+        val adj = hubSafeAdjacency(rawSymPairs(s, d), AdjSliceK)
           .persist(StorageLevel.MEMORY_AND_DISK)
         adj.count()
         // slice 0 exists for every node → node list without a distinct
@@ -470,7 +490,7 @@ object GraphOps extends OpModule {
     // top-5 similar neighbors per node via the per-key rank window
     // (WindowGroupLimit prunes map-side). ──
     "graph_edge_jaccard" -> Q(
-      (s, d) => edgeJaccardTopK(symEdges(s, d)),
+      (s, d) => edgeJaccardTopK(rawSymPairs(s, d)),
       Some("""WITH e AS (
              |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
              |  FROM lineitem a JOIN lineitem b
