@@ -68,7 +68,12 @@ object Bench {
     // intermediate (the dedup family) pay their full build cost in BOTH
     // runs — otherwise run 2 would silently reuse run 1's cache and the
     // min would exclude the work the query exists to measure.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional local-iteration filter (regex over query names); the
+    // driver never sets it → full suite
+    val nameFilter = sys.env.get("SPARK_GRAFT_BENCH_FILTER").map(_.r)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => nameFilter.forall(_.findFirstIn(n).isDefined) }
+      .map { case (name, fn) =>
       // (seconds, shuffleMB, spillMB) for one execution; the listener is
       // async, so drain briefly before snapshotting the deltas
       def once(): (Double, Double, Double) = {

