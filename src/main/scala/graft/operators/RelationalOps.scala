@@ -645,6 +645,70 @@ object RelationalOps extends OpModule {
       sort = Seq("l_returnflag")
     ),
 
+    // ── Sketch: KMV bottom-k quantiles — the ENGINE-EXACT companion to
+    // sk3 (GK is engine-specific by design; this row is the oracle-gated
+    // twin of the same capability, the `HllExact` playbook applied to
+    // quantiles). The sketch is a KMV sample: the k = 256 rows with the
+    // smallest portable-hash values per group — deterministic,
+    // content-stable, and MERGEABLE (bottom-k of a union = bottom-k of
+    // the unioned bottom-ks, pinned in `SketchSpec`). The readout is
+    // exact-rank SELECTION over the sample — the value at integer rank
+    // ceil(q·k) computed with `div`, never float multiply-then-ceil
+    // (0.9·k in double vs DuckDB's decimal literal can straddle an
+    // integer) — so both engines pick the identical sample row. Shape:
+    // two-phase bottom-k (salted local rank → per-group rank) keeps the
+    // exchange ≤ 64·k rows per group at ANY input size — fixed-size
+    // sample state, the 100 TB posture for quantiles over groups. ──
+    "sk7_kmv_quantiles" -> Q(
+      (s, d) => {
+        val k = 256
+        val ord = Seq($("h").asc, $("l_orderkey").asc, $("l_linenumber").asc)
+        val wLocal = Window.partitionBy($("l_returnflag"), $("salt")).orderBy(ord: _*)
+        val wGroup = Window.partitionBy($("l_returnflag")).orderBy(ord: _*)
+        val wVal = Window.partitionBy($("l_returnflag"))
+          .orderBy($("l_extendedprice").asc, $("rh").asc)
+        Tables
+          .lineitem(s, d)
+          .select($("l_returnflag"), $("l_orderkey"), $("l_linenumber"),
+            $("l_extendedprice"),
+            Exprs.phash(concat_ws("#", $("l_orderkey"), $("l_linenumber"))).as("h"))
+          .withColumn("salt", pmod($("h"), lit(64)))
+          .withColumn("rl", row_number().over(wLocal)).filter($("rl") <= k)
+          .withColumn("rh", row_number().over(wGroup)).filter($("rh") <= k)
+          .withColumn("rv", row_number().over(wVal))
+          .withColumn("ks", count(lit(1)).over(Window.partitionBy($("l_returnflag"))))
+          .groupBy($("l_returnflag"))
+          .agg(
+            max(when($("rv") === expr("(ks + 1) div 2"), $("l_extendedprice")))
+              .as("approx_median"),
+            max(when($("rv") === expr("(ks * 9 + 9) div 10"), $("l_extendedprice")))
+              .as("approx_p90"),
+            max($("ks")).as("n_sample"))
+      },
+      Some(s"""WITH s AS (
+              |  SELECT * FROM (
+              |    SELECT l_returnflag, l_extendedprice,
+              |      ROW_NUMBER() OVER (PARTITION BY l_returnflag
+              |        ORDER BY ${Exprs.phashSql(
+                       "CAST(l_orderkey AS VARCHAR) || '#' || CAST(l_linenumber AS VARCHAR)")},
+              |          l_orderkey, l_linenumber) AS rh
+              |    FROM lineitem)
+              |  WHERE rh <= 256),
+              |r AS (
+              |  SELECT l_returnflag, l_extendedprice,
+              |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+              |      ORDER BY l_extendedprice, rh) AS rv,
+              |    count(*) OVER (PARTITION BY l_returnflag) AS ks
+              |  FROM s)
+              |SELECT l_returnflag,
+              |  max(CASE WHEN rv = (ks + 1) // 2 THEN l_extendedprice END) AS approx_median,
+              |  max(CASE WHEN rv = (ks * 9 + 9) // 10 THEN l_extendedprice END) AS approx_p90,
+              |  max(ks) AS n_sample
+              |FROM r GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "Extension: engine-exact KMV bottom-k quantiles (oracle-gated twin of sk3; mergeable fixed-size sample, integer-rank readout)",
+      sort = Seq("l_returnflag")
+    ),
+
     // ── Sketch: HLL rollup via MERGEABLE state — per-(flag, status)
     // register tables built in one pass, then UNIONED per flag (sketch
     // merge = max per register) without touching the raw data again.

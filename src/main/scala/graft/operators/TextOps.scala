@@ -936,6 +936,40 @@ object TextOps extends OpModule {
       None,
       doc = "Extension: Space-Saving heavy hitters via custom TypedImperativeAggregate (rows-only; guarantees pinned in SketchSpec)",
       sort = Nil
+    ),
+
+    // ── Sketch: hash-sampled heavy hitters — the ENGINE-EXACT companion
+    // to sk5 (Space-Saving estimates are partition-order dependent by
+    // design; this row is the oracle-gated twin of the capability, the
+    // `HllExact` playbook applied to frequency estimation). A 1-in-4
+    // DOCUMENT sample from the portable hash family is deterministic and
+    // content-stable — re-runs AND both engines pick identical docs — and
+    // est = 4·sampled_count is the Horvitz–Thompson estimate of the true
+    // token total. Top-15 by (est desc, item) is a total order, so the
+    // LIMIT is deterministic (TakeOrderedAndProject, never a global
+    // sort). At 100 TB the sampled explode+groupBy touches 1/4 of the
+    // stream and merges trivially (counts sum); accuracy vs the exact
+    // counts is pinned in `SketchSpec`. ──
+    "sk8_sampled_freq" -> Q(
+      (s, d) =>
+        Tables.documents(s, d)
+          .filter(pmod(phash(col("doc_id").cast(StringType)), lit(4)) === 0)
+          .select(explode(toksCol).as("item"))
+          .filter(col("item") =!= "")
+          .groupBy(col("item"))
+          .agg((count(lit(1)) * 4).as("est_count"))
+          .orderBy(col("est_count").desc, col("item"))
+          .limit(15),
+      Some(s"""SELECT item, CAST(count(*) * 4 AS BIGINT) AS est_count
+              |FROM (
+              |  SELECT unnest($toksSql) AS item
+              |  FROM documents
+              |  WHERE ${phashSql("CAST(doc_id AS VARCHAR)")} % 4 = 0)
+              |WHERE item <> ''
+              |GROUP BY 1
+              |ORDER BY est_count DESC, item LIMIT 15""".stripMargin),
+      doc = "Extension: engine-exact sampled heavy hitters (oracle-gated twin of sk5; content-stable doc sample, Horvitz-Thompson estimate)",
+      sort = Nil
     )
   )
 

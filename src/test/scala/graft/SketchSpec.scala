@@ -1,6 +1,9 @@
 package graft
 
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
 import org.scalatest.funsuite.AnyFunSuite
 
 /** ACCURACY contracts for the sketch family. Since round 5 the HLL rows
@@ -108,6 +111,74 @@ class SketchSpec extends AnyFunSuite {
       assert(reported.contains(item), s"heavy item $item (count $c > ${n / k}) missing")
     // and the clear heavies should surface regardless of merge order
     assert(Set("alpha", "beta", "gamma").subsetOf(reported))
+  }
+
+  test("sk7: KMV sample quantiles sit within the sampling rank window of the exact values") {
+    val sf = TestSpark.sf0001
+    val approx = SparkEntry.queries("sk7_kmv_quantiles")(spark, sf)
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    // KMV with k = 256: quantile rank-error stddev = sqrt(q(1-q)/k) ≈
+    // 0.031 at the median, 0.019 at p90 — ±0.10 is a > 3σ window.
+    val eps = 0.10
+    val exact = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        percentile(col("l_extendedprice"), lit(0.5 - eps)).as("lo50"),
+        percentile(col("l_extendedprice"), lit(0.5 + eps)).as("hi50"),
+        percentile(col("l_extendedprice"), lit(0.9 - eps)).as("lo90"),
+        percentile(col("l_extendedprice"), lit(1.0.min(0.9 + eps))).as("hi90"))
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(approx.keySet == exact.keySet)
+    for ((k, (a50, a90)) <- approx) {
+      val (lo50, hi50, lo90, hi90) = exact(k)
+      assert(a50 >= lo50 && a50 <= hi50, s"$k median $a50 outside [$lo50,$hi50]")
+      assert(a90 >= lo90 && a90 <= hi90, s"$k p90 $a90 outside [$lo90,$hi90]")
+    }
+  }
+
+  /** The property that makes bottom-k the 100 TB shape: per-shard
+    * bottom-k sketches union to the corpus bottom-k without re-touching
+    * the data (same claim HLL registers make via max-merge). */
+  test("sk7: bottom-k sketches merge — bottom-k of unioned bottom-ks = direct bottom-k") {
+    import spark.implicits._
+    val k = 16
+    def bottomK(df: DataFrame): DataFrame = df
+      .withColumn("h", Exprs.phash(col("v").cast(StringType)))
+      .withColumn("r", row_number().over(Window.orderBy(col("h"), col("v"))))
+      .filter(col("r") <= k)
+      .select(col("v"))
+    val a = (1 to 500).map(i => s"a$i").toDF("v")
+    val b = (1 to 500).map(i => s"b$i").toDF("v")
+    val direct = bottomK(a.unionByName(b)).collect().map(_.getString(0)).toSet
+    val merged = bottomK(bottomK(a).unionByName(bottomK(b)))
+      .collect().map(_.getString(0)).toSet
+    assert(direct == merged, s"merged bottom-k diverged: $direct vs $merged")
+  }
+
+  test("sk8: sampled heavy-hitter estimates track exact counts and surface the true top items") {
+    val sf = TestSpark.sf0001
+    val est = SparkEntry.queries("sk8_sampled_freq")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.documents(spark, sf)
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("item"))
+      .filter(col("item") =!= "")
+      .groupBy(col("item")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 1-in-4 doc sampling: the reported items are corpus-wide frequent
+    // tokens appearing across hundreds of sampled docs, so the HT
+    // estimate rides a large effective sample — 35% is a generous band.
+    for ((item, e) <- est) {
+      val t = exact.getOrElse(item, 0L)
+      assert(t > 0, s"$item reported but absent from corpus")
+      assert(math.abs(e - t).toDouble / t < 0.35, s"$item: est $e vs true $t")
+    }
+    val top3 = exact.toSeq.sortBy { case (i, n) => (-n, i) }.take(3).map(_._1).toSet
+    assert(top3.subsetOf(est.keySet), s"true top-3 $top3 not all reported")
   }
 
   test("sk6: HLL inclusion-exclusion overlap estimate tracks the exact repeat-buyer count") {
