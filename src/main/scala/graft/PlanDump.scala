@@ -83,7 +83,15 @@ object PlanDump {
     "ta_inverted_index" ->
       ("Posting cap enforced BEFORE arrays exist: per-term row_number <= 10 prunes " +
        "map-side via WindowGroupLimit, so a stopword's posting never materializes; " +
-       "df aggregates separately; global top-50 is a TakeOrdered, not a sort."))
+       "df aggregates separately; global top-50 is a TakeOrdered, not a sort."),
+    "sk7_kmv_quantiles" ->
+      ("KMV bottom-k via two-phase WindowGroupLimit: the Partial phase prunes " +
+       "row_number <= k map-side BEFORE the one exchange; readout windows and the " +
+       "final agg reuse the group partitioning — fixed-size sample state, no join, " +
+       "no global sort."),
+    "sk8_sampled_freq" ->
+      ("Hash-gated 1-in-4 doc sample applied at the scan (map-side filter), one token " +
+       "aggregate, deterministic top-15 as TakeOrderedAndProject — never a global sort."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

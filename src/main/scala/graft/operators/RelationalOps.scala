@@ -656,14 +656,18 @@ object RelationalOps extends OpModule {
     // ceil(q·k) computed with `div`, never float multiply-then-ceil
     // (0.9·k in double vs DuckDB's decimal literal can straddle an
     // integer) — so both engines pick the identical sample row. Shape:
-    // two-phase bottom-k (salted local rank → per-group rank) keeps the
-    // exchange ≤ 64·k rows per group at ANY input size — fixed-size
-    // sample state, the 100 TB posture for quantiles over groups. ──
+    // the rank filter plans as a two-phase WindowGroupLimit — Spark 4
+    // prunes row_number ≤ k MAP-SIDE before the exchange, so no
+    // hand-rolled salt phase is needed (a salt window would ADD a
+    // full-data shuffle the engine's partial prune makes redundant) and
+    // the single exchange carries ≤ k rows per group per input partition
+    // at ANY input size — fixed-size sample state, the 100 TB posture
+    // for quantiles over groups. `PlanAuditSpec` pins the one-exchange,
+    // partial-prune plan. ──
     "sk7_kmv_quantiles" -> Q(
       (s, d) => {
         val k = 256
         val ord = Seq($("h").asc, $("l_orderkey").asc, $("l_linenumber").asc)
-        val wLocal = Window.partitionBy($("l_returnflag"), $("salt")).orderBy(ord: _*)
         val wGroup = Window.partitionBy($("l_returnflag")).orderBy(ord: _*)
         val wVal = Window.partitionBy($("l_returnflag"))
           .orderBy($("l_extendedprice").asc, $("rh").asc)
@@ -672,8 +676,6 @@ object RelationalOps extends OpModule {
           .select($("l_returnflag"), $("l_orderkey"), $("l_linenumber"),
             $("l_extendedprice"),
             Exprs.phash(concat_ws("#", $("l_orderkey"), $("l_linenumber"))).as("h"))
-          .withColumn("salt", pmod($("h"), lit(64)))
-          .withColumn("rl", row_number().over(wLocal)).filter($("rl") <= k)
           .withColumn("rh", row_number().over(wGroup)).filter($("rh") <= k)
           .withColumn("rv", row_number().over(wVal))
           .withColumn("ks", count(lit(1)).over(Window.partitionBy($("l_returnflag"))))

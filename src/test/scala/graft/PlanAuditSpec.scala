@@ -54,6 +54,25 @@ class PlanAuditSpec extends AnyFunSuite {
       || p.contains("(o_orderdate#"), s"filter not pushed:\n${p.take(600)}")
   }
 
+  test("sketch twins keep their scale shapes: bounded exchanges, TakeOrdered limit") {
+    // sk7: the bottom-k rank filter must plan as a two-phase
+    // WindowGroupLimit (Partial prunes to <= k per group MAP-SIDE, before
+    // the exchange), and the readout windows + final agg must reuse the
+    // group partitioning — exactly ONE exchange, nothing joins. A second
+    // exchange would mean the fixed-size-sample claim leaks a shuffle.
+    val p7 = plan("sk7_kmv_quantiles")
+    assert("Exchange hashpartitioning".r.findAllMatchIn(p7).size == 1,
+      s"sk7 must shuffle exactly once:\n${p7.take(800)}")
+    assert(p7.contains("WindowGroupLimit") && p7.contains("Partial"),
+      s"sk7 rank filter should partial-prune map-side:\n${p7.take(800)}")
+    assert(!p7.contains("Join"), "sk7 should be windows + one agg, no join")
+    // sk8: the deterministic top-15 must plan as TakeOrderedAndProject,
+    // never a global sort of the token aggregate.
+    val p8 = plan("sk8_sampled_freq")
+    assert(p8.contains("TakeOrderedAndProject"),
+      s"sk8 limit should be a TakeOrdered:\n${p8.take(800)}")
+  }
+
   test("dedup candidates come from bucket equi-joins, not nested loops") {
     for (name <- Seq("dedup_minhash", "dedup_ngram_jaccard")) {
       val p = plan(name)
