@@ -20,8 +20,9 @@ object PlanDump {
     "ep1_consolidar_relatorio" ->
       "Two fact shuffles + broadcast dims + window over the small aggregate; no global sort.",
     "w6_rank_topk" ->
-      ("Two-phase top-k: salted local rank then global re-rank over <= salts*k survivors — " +
-       "never one window over the whole fact."),
+      ("Two-phase top-k via WindowGroupLimit: the Partial phase prunes to k rows per " +
+       "group per input partition map-side, so the one exchange never carries the " +
+       "whole fact."),
     "dedup_minhash" ->
       ("Candidates only from (band, signature) equi-join buckets; exact-Jaccard verify " +
        "co-counts exploded shingles (skinny rows, no arrays in shuffle flight)."),

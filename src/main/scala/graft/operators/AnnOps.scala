@@ -13,8 +13,8 @@ import org.apache.spark.sql.types._
   *
   * Scale posture: the query set is tiny and BROADCAST, so the candidate
   * side streams through map tasks with no shuffle of the big relation;
-  * top-k is TWO-PHASE (local top-k per (query, salt) bucket, then a global
-  * re-rank over ≤ #salts × k survivors) — never a single window over one
+  * top-k is TWO-PHASE via WindowGroupLimit (the Partial phase prunes to k
+  * rows per query map-side before the exchange) — never a full window over one
   * query's entire candidate list. The IVF variant additionally prunes
   * candidates to the query's cell before scoring, the standard
   * inverted-file trade (recall bounded by cell assignment, cost by cell
@@ -78,19 +78,16 @@ object AnnOps extends OpModule {
   private def probeSigs(sig: Column): Column =
     array(sig +: (0 until LshBits).map(j => sig.bitwiseXOR(lit(1L << j))): _*)
 
-  /** Two-phase top-k rank over scored (query_id, neighbor_id, cos) rows:
-    * local top-k per (query, salt) bucket, then a global re-rank over
-    * ≤ #salts × k survivors — never one window over a query's whole
-    * candidate list. */
+  /** Top-k rank over scored (query_id, neighbor_id, cos) rows. One rank
+    * window: Spark 4 plans the row_number ≤ k filter as a two-phase
+    * WindowGroupLimit whose Partial phase prunes to k rows per query per
+    * input partition BEFORE the exchange — the engine's native two-phase
+    * top-k, so a hand-rolled salt pre-rank would only add a full
+    * candidate-set shuffle (removed round 5). */
   private def rankTopk(scored: DataFrame, k: Int): DataFrame = {
     val ord = Seq(col("cos").desc, col("neighbor_id").asc)
-    val wLocal = Window
-      .partitionBy(col("query_id"), pmod(col("neighbor_id"), lit(32)))
-      .orderBy(ord: _*)
     val wGlobal = Window.partitionBy(col("query_id")).orderBy(ord: _*)
     scored
-      .withColumn("rl", row_number().over(wLocal))
-      .filter(col("rl") <= k)
       .withColumn("rank", row_number().over(wGlobal))
       .filter(col("rank") <= k)
       // Quantize to 1e-6 through an integer intermediate (the pattern the

@@ -1348,17 +1348,17 @@ object RelationalOps extends OpModule {
     // identical to the naive single window at any scale. ──
     "w6_rank_topk" -> Q(
       (s, d) => {
+        // Top-k per group: one rank window. Spark 4 plans the
+        // row_number <= 3 filter as a two-phase WindowGroupLimit whose
+        // Partial phase prunes to 3 rows per group per input partition
+        // BEFORE the exchange — the engine's native two-phase top-k, so
+        // a hand-rolled salt pre-rank would only add a full-data
+        // shuffle (removed round 5; plan pinned in `PlanAuditSpec`).
         val ord = Seq(
           $("l_extendedprice").desc, $("l_orderkey").asc, $("l_linenumber").asc)
-        val wLocal = Window
-          .partitionBy($("l_returnflag"), $("salt"))
-          .orderBy(ord: _*)
         val wGlobal = Window.partitionBy($("l_returnflag")).orderBy(ord: _*)
         Tables
           .lineitem(s, d)
-          .withColumn("salt", pmod(hash($("l_orderkey"), $("l_linenumber")), lit(64)))
-          .withColumn("rl", row_number().over(wLocal))
-          .filter($("rl") <= 3)
           .withColumn("posicao", row_number().over(wGlobal))
           .filter($("posicao") <= 3)
           .select($("l_returnflag"), $("posicao"), $("l_orderkey"), $("l_linenumber"),

@@ -73,6 +73,14 @@ class PlanAuditSpec extends AnyFunSuite {
       s"sk8 limit should be a TakeOrdered:\n${p8.take(800)}")
   }
 
+  test("w6: top-k plans as one exchange with a map-side WindowGroupLimit prune") {
+    val p = plan("w6_rank_topk")
+    assert("Exchange hashpartitioning".r.findAllMatchIn(p).size == 1,
+      s"w6 must shuffle exactly once:\n${p.take(800)}")
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      s"w6 rank filter should partial-prune map-side:\n${p.take(800)}")
+  }
+
   test("dedup candidates come from bucket equi-joins, not nested loops") {
     for (name <- Seq("dedup_minhash", "dedup_ngram_jaccard")) {
       val p = plan(name)
