@@ -131,8 +131,9 @@ object WavPcm {
       (id, body, body.length + (body.length & 1))
     }
     val extraBytes = extras.map(8 + _._3).sum
+    val dataPadded = data.length + (data.length & 1)
     val blockAlign = channels * bitsPerSample / 8
-    wtag("RIFF"); w32(4 + (8 + 16) + extraBytes + 8L + data.length); wtag("WAVE")
+    wtag("RIFF"); w32(4 + (8 + 16) + extraBytes + 8L + dataPadded); wtag("WAVE")
     wtag("fmt "); w32(16)
     w16(1); w16(channels); w32(sampleRate)
     w32(sampleRate.toLong * blockAlign); w16(blockAlign); w16(bitsPerSample)
@@ -142,6 +143,10 @@ object WavPcm {
       if (padded != body.length) bb.write(0)
     }
     wtag("data"); w32(data.length); bb.write(data)
+    // RIFF even-boundary rule: an odd-length chunk body carries one pad
+    // byte (the size field stays the unpadded length) — reachable with
+    // 8-bit mono PCM and an odd sample count
+    if ((data.length & 1) == 1) bb.write(0)
     bb.toByteArray
   }
 

@@ -192,7 +192,8 @@ object GraphOps extends OpModule {
     val adj = hubSafeAdjacency(symmetric, sliceK)
       .persist(StorageLevel.MEMORY_AND_DISK)
     adj.count()
-    val multiSlice = adj.agg(max(col("slice"))).head.getInt(0) > 0
+    val multiSlice =
+      adj.agg(coalesce(max(col("slice")), lit(0)).as("m")).head.getInt(0) > 0
     val edges = adj.select(col("src"), explode(col("nbrs")).as("dst"))
       .filter(col("src") < col("dst"))
     // same second-lookup rule as triangleCounts: the first join may

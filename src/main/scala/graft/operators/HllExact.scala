@@ -60,7 +60,11 @@ object HllExact {
     * state per group (merge = max per idx). */
   def registers(df: DataFrame, groupCols: Seq[String], key: Column): DataFrame = {
     val g = groupCols.map(col)
-    df.select(g :+ Exprs.phash(key.cast(StringType)).as("h"): _*)
+    // NULL keys contribute no register (matching approx_count_distinct's
+    // NULL-ignoring contract) — unfiltered, phash(NULL)'s NULL idx would
+    // fall through the rho CASE to RMAX and count as one distinct value
+    df.filter(key.isNotNull)
+      .select(g :+ Exprs.phash(key.cast(StringType)).as("h"): _*)
       .select(g ++ Seq(
         pmod(col("h"), lit(M.toLong)).as("idx"),
         expr(s"${rhoCase(s"(h div $M)")}").as("rho")): _*)
@@ -115,7 +119,7 @@ object HllExact {
        |  SELECT $gsel idx, max(rho) AS mj
        |  FROM (SELECT $gsel h % $M AS idx, ${rhoCase(s"(h // $M)")} AS rho
        |        FROM (SELECT $gsel ${Exprs.phashSql(s"CAST($keyExpr AS VARCHAR)")} AS h
-       |              FROM $from) ${prefix}_h) ${prefix}_w
+       |              FROM $from WHERE ($keyExpr) IS NOT NULL) ${prefix}_h) ${prefix}_w
        |  GROUP BY $grpIdx)""".stripMargin
   }
 

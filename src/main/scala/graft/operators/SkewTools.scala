@@ -56,29 +56,58 @@ object SkewTools {
     }
   }
 
+  /** The deterministic fact-side salt in [0,`s`): a hash of `saltCols`
+    * (or of every fact column when none are given) — a pure function of
+    * row CONTENT, so a given row gets the same salt on every run and
+    * every retry, unlike a `monotonically_increasing_id` salt whose
+    * row→task placement varies with partition layout. */
+  def saltColumn(fact: DataFrame, saltCols: Seq[String], s: Int): Column = {
+    val cols = if (saltCols.nonEmpty) saltCols else fact.columns.toSeq
+    pmod(hash(cols.map(col): _*), lit(s))
+  }
+
   /** Inner equi-join of `fact` ⋈ `dim` on `key` that AUDITS the fact
     * side first and salts only when the measured skew warrants it
-    * (S > 1): the fact side gets a deterministic salt in [0,S) from
-    * `saltCols` (non-join columns; row identity via a monotonic id when
-    * none are given), the dim side replicates ×S, and the join adds
-    * salt = rep to the key — the j10 shape with a measured S.
-    * Returns the same rows as `fact.join(dim, key)` in every regime. */
+    * (S > 1): the fact side gets a deterministic salt in [0,S) hashed
+    * from `saltCols` (non-join columns) or, when none are given, from
+    * ALL of the fact's columns — so a given row lands on the same
+    * salted task every run, keeping straggler debugging reproducible
+    * (a `monotonically_increasing_id` salt would be correct but would
+    * reshuffle row→task placement run-to-run). The dim side replicates
+    * ×S and the join adds salt = rep to the key — the j10 shape with a
+    * measured S. Returns the same rows as `fact.join(dim, key)` in
+    * every regime.
+    *
+    * COST NOTE: the audit aggregation and the join each execute the
+    * full `fact` lineage — an expensive upstream pipeline runs TWICE
+    * unless the caller `persist`s it first or passes a precomputed
+    * audit via the overload below. */
   def autoSaltedJoin(
       fact: DataFrame,
       dim: DataFrame,
       key: String,
       saltCols: Seq[String] = Nil,
       skewThreshold: Double = 2.0,
-      maxFactor: Int = 64): DataFrame = {
+      maxFactor: Int = 64): DataFrame =
+    autoSaltedJoin(fact, dim, key, audit(fact, key), saltCols,
+      skewThreshold, maxFactor)
+
+  /** [[autoSaltedJoin]] with a caller-supplied audit — the single-pass
+    * form when the fact lineage is expensive (audit once, reuse). */
+  def autoSaltedJoin(
+      fact: DataFrame,
+      dim: DataFrame,
+      key: String,
+      precomputed: SkewAudit,
+      saltCols: Seq[String],
+      skewThreshold: Double,
+      maxFactor: Int): DataFrame = {
     val partitions = fact.sparkSession.conf
       .get("spark.sql.shuffle.partitions", "200").toInt
-    val s = saltFactor(audit(fact, key), partitions, skewThreshold, maxFactor)
+    val s = saltFactor(precomputed, partitions, skewThreshold, maxFactor)
     if (s == 1) fact.join(dim, Seq(key))
     else {
-      val saltOf: Column =
-        if (saltCols.nonEmpty) pmod(hash(saltCols.map(col): _*), lit(s))
-        else pmod(hash(monotonically_increasing_id()), lit(s))
-      val f = fact.withColumn("__salt", saltOf)
+      val f = fact.withColumn("__salt", saltColumn(fact, saltCols, s))
       val d = dim
         .withColumnRenamed(key, "__dim_key")
         .withColumn("__rep", explode(sequence(lit(0), lit(s - 1))))

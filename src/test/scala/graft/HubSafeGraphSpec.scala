@@ -77,6 +77,11 @@ class HubSafeGraphSpec extends AnyFunSuite {
     assert(default.exists { case (n, _, s, c) => n == 50L && s == 51L && c == 1L })
   }
 
+  test("edge jaccard: an empty edge list returns an empty result, not an NPE") {
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(GraphOps.edgeJaccardTopK(empty).count() == 0L)
+  }
+
   test("hub adjacency really slices: ceil(deg/K) rows per node, full degree on every slice") {
     // the hub (deg 40, K=8) must cut into exactly 5 sequential slices of
     // 8, every row carrying the full degree; duplicated input pairs must

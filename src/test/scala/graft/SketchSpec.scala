@@ -36,6 +36,22 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("sk1: NULL keys contribute nothing to the HLL estimate") {
+    import spark.implicits._
+    val withNulls = ((1 to 200).map(i => Some(s"k$i")) ++
+      Seq.fill(50)(Option.empty[String])).toDF("key")
+    val est = graft.operators.HllExact.estimate(
+      graft.operators.HllExact.registers(withNulls, Nil, col("key")),
+      Nil, "est").head().getLong(0)
+    val estNoNull = graft.operators.HllExact.estimate(
+      graft.operators.HllExact.registers(
+        withNulls.filter(col("key").isNotNull), Nil, col("key")),
+      Nil, "est").head().getLong(0)
+    assert(est == estNoNull,
+      "NULL keys must be ignored, matching approx_count_distinct")
+    assert(math.abs(est - 200).toDouble / 200 < 0.05)
+  }
+
   test("sk3: approx quantiles within GK rank-error bound of the exact values") {
     val sf = TestSpark.sf0001
     val approx = SparkEntry.queries("sk3_approx_quantiles")(spark, sf)

@@ -64,6 +64,23 @@ class SkewToolsSpec extends AnyFunSuite {
     assert(joined.count() == 1000)
   }
 
+  test("salt assignment is deterministic: identical across runs and repartitions") {
+    val fact = skewedFact()
+    def assignment(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("__salt", SkewTools.saltColumn(df, Nil, 4))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    val run1 = assignment(fact)
+    val run2 = assignment(skewedFact())            // fresh lineage, same content
+    val run3 = assignment(fact.repartition(13))    // different physical layout
+    assert(run1 == run2, "salt changed between two runs over identical content")
+    assert(run1 == run3, "salt depends on partition layout")
+    // and with explicit saltCols, only those columns matter
+    val a = fact.withColumn("__salt", SkewTools.saltColumn(fact, Seq("v"), 4))
+      .select(col("v"), col("__salt")).distinct().count()
+    val distinctV = fact.select(col("v")).distinct().count()
+    assert(a == distinctV, "same saltCols value must always get the same salt")
+  }
+
   test("row-identity salt (no saltCols) still matches the plain join") {
     val fact = skewedFact()
     val d = dim()

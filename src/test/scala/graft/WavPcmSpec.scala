@@ -73,4 +73,17 @@ class WavPcmSpec extends AnyFunSuite {
     val wav = WavPcm.decode(WavPcm.encodeRaw(Array[Byte](1, 0, 99), 16000, 1, 16))
     assert(wav.samples.toSeq == Seq(1))
   }
+
+  test("odd-length 8-bit data chunk is pad-byte aligned per the RIFF rule") {
+    val data = Array[Byte](0, 255.toByte, 128.toByte) // 3 samples, odd body
+    val bytes = WavPcm.encodeRaw(data, 8000, 1, 8)
+    // total file length is even and the RIFF size field covers the pad
+    assert(bytes.length % 2 == 0)
+    val riffSize = (bytes(4) & 0xff) | ((bytes(5) & 0xff) << 8) |
+      ((bytes(6) & 0xff) << 16) | ((bytes(7) & 0xff) << 24)
+    assert(riffSize == bytes.length - 8)
+    // the data size field stays the unpadded length and decode ignores the pad
+    val wav = WavPcm.decode(bytes)
+    assert(wav.samples.toSeq == Seq(-128, 127, 0))
+  }
 }
