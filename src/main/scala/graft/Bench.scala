@@ -17,6 +17,56 @@ import java.nio.file.{Files, Paths}
   * an exchange.
   */
 object Bench {
+
+  /** Re-time `names` in one FRESH child JVM via [[TimeOne]] (same
+    * -Xmx/--add-opens as this JVM, same classpath — `run / fork := true`
+    * makes both real). Returns name → (min-of-3, all three times);
+    * missing entries mean the child skipped or died on that query.
+    * Bounded: the child gets 15 minutes, then is killed and whatever
+    * parsed so far is kept — the isolated column can be partial but can
+    * never hang the bench. */
+  private def runIsolated(
+      names: Seq[String],
+      sfDir: String,
+      cpus: String): Map[String, (Double, Seq[Double])] = {
+    val javaBin = Paths.get(sys.props("java.home"), "bin", "java").toString
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.toArray.map(_.toString)
+      .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent"))
+    val cmd = (Seq(javaBin) ++ jvmArgs ++
+      Seq("-cp", sys.props("java.class.path"), "graft.TimeOne") ++ names)
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+    pb.environment().put("SPARK_GRAFT_CPUS", cpus)
+    pb.redirectErrorStream(false)
+    pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+    val proc = pb.start()
+    val out = new java.io.BufferedReader(
+      new java.io.InputStreamReader(proc.getInputStream))
+    val parsed = scala.collection.mutable.Map.empty[String, (Double, Seq[Double])]
+    val line = """\[timeone-json\] \{"name":"([^"]+)","min":([0-9.]+),"times":\[([0-9.,]+)\]\}""".r
+    val reader = new Thread(() => {
+      var l = out.readLine()
+      while (l != null) {
+        line.findFirstMatchIn(l).foreach { m =>
+          parsed.synchronized {
+            parsed(m.group(1)) =
+              (m.group(2).toDouble, m.group(3).split(',').toSeq.map(_.toDouble))
+          }
+        }
+        l = out.readLine()
+      }
+    })
+    reader.setDaemon(true)
+    reader.start()
+    if (!proc.waitFor(15, java.util.concurrent.TimeUnit.MINUTES)) {
+      System.err.println("[bench] isolated child timed out; keeping partial results")
+      proc.destroyForcibly()
+    }
+    reader.join(5000)
+    parsed.synchronized(parsed.toMap)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -105,6 +155,34 @@ object Bench {
         "\"" + k + "\":" + "%.3f".formatLocal(java.util.Locale.ROOT, f(v))
       }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v._1 >= 0 => v._1 }.sum
+
+    // ISOLATED re-timing of the slowest queries in a FRESH child JVM
+    // (TimeOne discipline: sf0.001 warmup, min-of-3, cache cleared
+    // between runs). Round 5 showed the full-suite session numbers
+    // carry up to 3× cross-query memory/GC interference — the isolated
+    // column is the one that supports round-over-round comparison.
+    // Opt-out / resize via SPARK_GRAFT_ISOLATED (0 disables).
+    val isolatedN = sys.env.get("SPARK_GRAFT_ISOLATED").map(_.toInt).getOrElse(12)
+    val topNames = results
+      .collect { case (k, v) if v._1 >= 0 => k -> v._1 }
+      .sortBy(-_._2).take(isolatedN).map(_._1)
+    val isolated: Map[String, (Double, Seq[Double])] =
+      if (topNames.isEmpty) Map.empty
+      else try runIsolated(topNames, sfDir, cpus)
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] isolated pass failed: ${e.getMessage}")
+          Map.empty
+      }
+    def isoMap: String = topNames.flatMap(n => isolated.get(n).map(n -> _))
+      .map { case (k, (min, _)) =>
+        "\"" + k + "\":" + "%.3f".formatLocal(java.util.Locale.ROOT, min)
+      }.mkString("{", ",", "}")
+    def isoTimes: String = topNames.flatMap(n => isolated.get(n).map(n -> _))
+      .map { case (k, (_, ts)) =>
+        "\"" + k + "\":[" + ts.map(t =>
+          "%.3f".formatLocal(java.util.Locale.ROOT, t)).mkString(",") + "]"
+      }.mkString("{", ",", "}")
     // The stdout line is deliberately COMPACT (per-query seconds at 3
     // decimals, no shuffle/spill maps): the recorder keeps only a bounded
     // tail of the sbt output, and round 3's full-detail line (~6 KB for 73
@@ -118,6 +196,8 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${
         results.map { case (k, v) => "\"" + k + "\":" + v._1 }.mkString("{", ",", "}")
       },"shuffle_mb":${jmap(_._2)},"spill_mb":${jmap(_._3)},""" +
+        s""""isolated":$isoMap,"isolated_times":$isoTimes,""" +
+        s""""isolated_note":"fresh-JVM min-of-3 for the ${topNames.size} slowest; session numbers carry cross-query GC interference",""" +
         s""""sf":"$sfDir","failed":${failed.size}}"""
     // The recorder keeps only the last ~2 KB of output: with 100+ queries
     // the compact full-map line overflows that window and gets cut
@@ -139,6 +219,7 @@ object Bench {
     val bounded =
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +
         s""""queries":$slowest,"queries_note":"12 slowest of ${results.size}; full map in bench_last.json",""" +
+        s""""isolated":$isoMap,""" +
         s""""sf":"$sfDir","failed":${failed.size}}"""
     println(bounded)
     println(line)

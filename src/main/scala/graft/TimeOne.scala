@@ -30,6 +30,12 @@ object TimeOne {
         (System.nanoTime() - t0) / 1e9
       }
       println(f"[timeone] $name: ${times.map(t => f"$t%.2f").mkString(" ")} s")
+      // machine-readable twin of the line above — [[Bench]]'s isolated
+      // re-timing pass parses these from the child process's stdout
+      val ts = times.map(t =>
+        "%.3f".formatLocal(java.util.Locale.ROOT, t)).mkString(",")
+      println(s"""[timeone-json] {"name":"$name","min":${
+        "%.3f".formatLocal(java.util.Locale.ROOT, times.min)},"times":[$ts]}""")
     }
     spark.stop()
   }
