@@ -103,4 +103,25 @@ object Pipeline {
       process = batch => batch.join(broadcast(dim), Seq("task_id"), "left"),
       filesPerTrigger = filesPerTrigger)
   }
+
+  /** The STREAMING form of the T2 D-3 watermark — continuous event
+    * ingest where a day's totals accrue from on-time arrivals and rows
+    * older than the data-derived cutoff land in the T6 error channel
+    * instead of the mart ([[streaming.WatermarkedIngest]]; the batch
+    * twin is the registered `t2_asof_watermark`). Exactly-once under
+    * kill/resume by the same checkpoint + idempotent-upsert pair as
+    * [[runStreaming]] — `WatermarkedStreamSpec` kills mid-drain and
+    * resumes. */
+  def runWatermarked(
+      spark: SparkSession,
+      eventsDir: String,
+      warehouseDir: String,
+      checkpointDir: String,
+      delayDays: Int = 3,
+      filesPerTrigger: Int = 1): StreamingQuery = {
+    Sessions.tune(spark)
+    streaming.WatermarkedIngest.start(
+      spark, eventsDir, warehouseDir, checkpointDir, delayDays,
+      filesPerTrigger)
+  }
 }

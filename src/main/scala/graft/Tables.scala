@@ -154,6 +154,33 @@ object Exprs {
   def phashLong(s: String): Long =
     java.lang.Long.parseLong(md5Hex(s).substring(0, 15), 16)
 
+  /** Cheap PORTABLE integer mix of two int keys — the fast member of the
+    * [[phash]] family for hot per-row paths (md5's hex round-trip
+    * dominated `sk7_kmv_quantiles`' scan). Two Lehmer-LCG rounds mod the
+    * Mersenne prime 2^31−1: every intermediate stays below 2^47, so the
+    * arithmetic is exact in any engine's signed 64-bit integers — no
+    * wrap-around semantics to disagree on (Spark ANSI overflow vs DuckDB
+    * error vs C wrap) — and [[pmix2Sql]] replays it bit-for-bit. 31-bit
+    * output: callers that rank by it (KMV bottom-k) must break ties on
+    * the original keys, which they already do for determinism. */
+  def pmix2(a: Column, b: Column): Column = {
+    val p = 2147483647L // 2^31 - 1
+    val h1 = pmod(
+      pmod(a.cast(LongType), lit(p)) * 16807L +
+        pmod(b.cast(LongType), lit(p)) + 12345L, lit(p))
+    pmod(h1 * 48271L + 11L, lit(p))
+  }
+
+  /** DuckDB twin of [[pmix2]] (same floored-mod normalization; operands
+    * forced to BIGINT — DuckDB keeps INT32 arithmetic for INT32 columns
+    * and would overflow on `% p + p`). */
+  def pmix2Sql(a: String, b: String): String = {
+    val p = "2147483647"
+    def pm(x: String) = s"((CAST($x AS BIGINT) % $p + $p) % $p)"
+    val h1 = pm(s"${pm(a)} * 16807 + ${pm(b)} + 12345")
+    pm(s"$h1 * 48271 + 11")
+  }
+
   /** Seeded member of the [[phash]] family (seed prefixed into the input —
     * avoids 64-bit modular multiplication overflow entirely). */
   def phashSeeded(seed: Column, c: Column): Column =

@@ -24,15 +24,17 @@ import org.apache.spark.storage.StorageLevel
   * implemented, not just documented): per-node adjacency is stored as
   * SLICES of ≤ [[AdjSliceK]] elements — `ceil(deg/K)` rows per node —
   * so no result row, adjacency-shipping exchange, or broadcast element
-  * grows with a hub on a power-law graph; and the array-bearing second
-  * adjacency lookup is SIZE-GATED ([[gatedSecondLookup]]): it
-  * broadcasts while the measured cached size fits
+  * grows with a hub on a power-law graph; and EVERY build-side
+  * relation in the family — the adjacency second lookups, the degree
+  * orientation joins, the BFS distance/frontier tables — is SIZE-GATED
+  * ([[sizeGatedJoin]]): it broadcasts while the measured plan size fits
   * [[BroadcastBudgetBytes]] and falls back to a shuffle-hash join
-  * (adjacency pinned as build side) beyond it. Both regimes are
-  * value-identical — `HubSafeGraphSpec` pins that on a planted
-  * hub-heavy graph and audits both plans. See [[hubSafeAdjacency]] for
-  * the one documented residual (the transient set-aggregation buffer)
-  * and the pre-agg variant that removes it.
+  * (the skinny relation pinned as build side) beyond it. Both regimes
+  * are value-identical — `HubSafeGraphSpec` pins that on a planted
+  * hub-heavy graph and audits both plans. The transient set-aggregation
+  * buffer [[hubSafeAdjacency]] documents is removed at hub scale by
+  * [[preAggAdjacency]], chosen by [[adaptiveAdjacency]]'s measured
+  * max-degree gate.
   */
 object GraphOps extends OpModule {
 
@@ -88,9 +90,10 @@ object GraphOps extends OpModule {
     * The one residual exposure is the TRANSIENT collect_set buffer
     * while a hub's set aggregates (~80 MB for a 10M-degree hub — within
     * executor budgets far past any broadcastable graph); a pipeline
-    * whose hubs outgrow that switches to the pre-agg hash-slice form
-    * (slice = hash(dst) % ceil(cnt/K) before the groupBy) and pays the
-    * extra degree pass knowingly. */
+    * whose hubs outgrow that switches to [[preAggAdjacency]] (slice by
+    * hash BEFORE the grouping, so every buffer holds ~K elements) and
+    * pays the extra degree pass knowingly — [[adaptiveAdjacency]]
+    * measures and chooses. */
   private[graft] def hubSafeAdjacency(edges: DataFrame, sliceK: Int): DataFrame =
     edges.groupBy(col("src"))
       .agg(collect_set(col("dst")).as("all"))
@@ -101,18 +104,129 @@ object GraphOps extends OpModule {
       .withColumnRenamed("pos", "slice")
       .withColumnRenamed("col", "nbrs")
 
-  /** Size-gated second adjacency lookup. The FAT side (rows already
-    * carrying one adjacency array) must never re-exchange just to fetch
-    * the second array — so while `adj` fits the budget it broadcasts;
-    * beyond it the join degrades to shuffle_hash with `adj` pinned as
-    * the build side (the fat side streams — one exchange of the skinny
-    * pre-join rows, never a sort of the array-bearing intermediate). */
-  private[operators] def gatedSecondLookup(
-      fat: DataFrame, adj: DataFrame, keys: Seq[String],
-      budgetBytes: Long): DataFrame = {
-    val bytes = adj.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (bytes <= BigInt(budgetBytes)) fat.join(broadcast(adj), keys)
-    else fat.join(adj.hint("shuffle_hash"), keys)
+  /** Max per-node degree up to which [[adaptiveAdjacency]] keeps the
+    * single-pass [[hubSafeAdjacency]] build: a 2^20-neighbor set
+    * buffer is ~8 MB of longs — trivially inside an executor heap —
+    * while past it the pre-agg form's bounded ~K-element buffers are
+    * worth its extra degree pass. */
+  val HubBufferDegreeLimit: Long = 1L << 20
+
+  /** Hash-slice adjacency with NO per-node aggregation buffer: the
+    * slice id is assigned to each edge BEFORE the grouping —
+    * `slice = pmod(hash(dst), ceil(deg/K))` — so the collect buffers
+    * hold ~K elements each regardless of hub degree (vs
+    * [[hubSafeAdjacency]]'s transient whole-neighborhood set). Same
+    * schema and same per-node content: (src, full distinct deg on
+    * every row, slice, nbrs) with the slices partitioning the exact
+    * neighbor set — only the ASSIGNMENT of neighbors to slices
+    * differs (hash vs sequential), which no consumer observes (they
+    * explode, intersect, or sum across slices). Hash slicing can
+    * leave a slice id empty, so consumers must not assume slice 0
+    * exists for every node — derive node lists with a distinct, as
+    * [[pagerankToConvergence]] does.
+    *
+    * Costs one count aggregation + one size-gated degree join over
+    * the distinct edge list — the price quoted in
+    * [[hubSafeAdjacency]]'s doc for removing the hub buffer.
+    *
+    * @param distinctEdges DISTINCT (src, dst) pairs — duplicates here
+    *                      would inflate both deg and the slice lists
+    * @param degrees       (src, deg) exact distinct degrees, reused
+    *                      from the caller's gate measurement
+    */
+  private[graft] def preAggAdjacency(
+      distinctEdges: DataFrame,
+      degrees: DataFrame,
+      sliceK: Int,
+      broadcastBudget: Long = BroadcastBudgetBytes): DataFrame =
+    sizeGatedJoin(distinctEdges, degrees, Seq("src"), broadcastBudget)
+      .withColumn("slice",
+        pmod(hash(col("dst")), expr(s"(deg + ${sliceK - 1}) div $sliceK"))
+          .cast(IntegerType))
+      .groupBy(col("src"), col("slice"))
+      .agg(first(col("deg")).as("deg"), collect_list(col("dst")).as("nbrs"))
+      .select(col("src"), col("deg").cast(LongType), col("slice"), col("nbrs"))
+
+  /** Adjacency build with a MEASURED max-degree gate: distinct the
+    * edges once (cached for both passes), measure the true max degree
+    * with one skinny aggregation, and build via [[hubSafeAdjacency]]
+    * (single pass, transient set buffer) while the largest hub's
+    * buffer stays harmless, or [[preAggAdjacency]] (bounded buffers,
+    * extra degree join — already computed for the gate, so the switch
+    * costs nothing more) beyond it. Returns the adjacency PERSISTED
+    * and materialized; the intermediate edge cache is released. */
+  private[graft] def adaptiveAdjacency(
+      edges: DataFrame,
+      sliceK: Int = AdjSliceK,
+      hubDegreeLimit: Long = HubBufferDegreeLimit): DataFrame = {
+    val e = edges.distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    // persisted BEFORE the maxDeg action materializes it: the pre-agg
+    // branch gates this relation ([[sizeGatedJoin]]'s materialization
+    // contract), and the gate must read the node-sized actual bytes,
+    // not an estimate propagated from the edge list
+    val degrees = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val maxDeg = degrees.agg(coalesce(max(col("deg")), lit(0L)).as("m"))
+      .head.getLong(0)
+    val adj = (if (maxDeg <= hubDegreeLimit) hubSafeAdjacency(e, sliceK)
+               else preAggAdjacency(e, degrees, sliceK))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    adj.count()
+    e.unpersist(blocking = false)
+    degrees.unpersist(blocking = false)
+    adj
+  }
+
+  /** Size-gated build-side inner join — the family's ONE broadcast
+    * rule. The stream side (often rows already carrying an adjacency
+    * array) must never re-exchange just to fetch a skinny relation —
+    * so while `build`'s measured plan size fits the budget it
+    * broadcasts; beyond it
+    *
+    * CONTRACT: the caller must MATERIALIZE `build` (persist + count,
+    * or an eager `localCheckpoint` whose origin was itself
+    * materialized) before calling. The gate decides at
+    * plan-construction time, so an unmaterialized build side is
+    * measured by Catalyst's non-CBO propagated estimate — an upstream
+    * self-join inflates it multiplicatively and silently flips a tiny
+    * relation onto the shuffle path (measured on [[triangleCounts]]'
+    * degree join: +1.5 s at sf0.1). Materialized relations report
+    * actual bytes; a mis-measure then only costs the safe fallback,
+    * never an executor-memory overflow. Beyond the budget the
+    * join degrades to shuffle_hash with `build` pinned as the
+    * build side (the stream side streams — one exchange of its rows,
+    * never a sort of an array-bearing intermediate, and never an
+    * executor-memory copy of a graph-sized table). */
+  private[operators] def sizeGatedJoin(
+      stream: DataFrame, build: DataFrame, keys: Seq[String],
+      budgetBytes: Long): DataFrame =
+    gatedBy(stream, build, keys,
+      build.queryExecution.optimizedPlan.stats.sizeInBytes, budgetBytes)
+
+  /** [[sizeGatedJoin]] for callers that already MEASURED the build
+    * side's row count (fixpoint loops count their frontier for the
+    * termination probe anyway — the count is free). Catalyst stats are
+    * useless here: `localCheckpoint` propagates the ORIGIN plan's
+    * estimate, and a per-round chain of joins compounds it to absurdity
+    * (measured 8.6e19 "bytes" for a 200-row BFS frontier by round 3),
+    * silently pinning every round to the shuffle path. Bytes =
+    * rows × (schema default width + 16 B row overhead) — skinny
+    * integer rows, so the width estimate is tight. */
+  private[operators] def countGatedJoin(
+      stream: DataFrame, build: DataFrame, keys: Seq[String],
+      buildRows: Long, budgetBytes: Long): DataFrame = {
+    val width = build.schema.map(_.dataType.defaultSize).sum + 16
+    gatedBy(stream, build, keys, BigInt(buildRows) * width, budgetBytes)
+  }
+
+  private def gatedBy(
+      stream: DataFrame, build: DataFrame, keys: Seq[String],
+      bytes: BigInt, budgetBytes: Long): DataFrame = {
+    if (sys.env.contains("GRAFT_GATE_DEBUG"))
+      System.err.println(s"[gate] bytes=$bytes budget=$budgetBytes " +
+        s"-> ${if (bytes <= BigInt(budgetBytes)) "broadcast" else "shuffle_hash"}")
+    if (bytes <= BigInt(budgetBytes)) stream.join(broadcast(build), keys)
+    else stream.join(build.hint("shuffle_hash"), keys)
   }
 
   /** Per-node triangle counts by COMPACT-FORWARD (edges oriented by
@@ -122,7 +236,7 @@ object GraphOps extends OpModule {
     * never materialized as shuffle rows. Orientation itself caps the
     * out-lists (hubs point IN — amortized O(√m) out-degree), so a plain
     * collect_list is safe here; slicing still bounds the per-row
-    * payload, and the second lookup rides [[gatedSecondLookup]].
+    * payload, and the second lookup rides [[sizeGatedJoin]].
     * `symmetric` must be a DISTINCT edge list ([[symEdges]] shape). */
   def triangleCounts(
       symmetric: DataFrame,
@@ -130,20 +244,30 @@ object GraphOps extends OpModule {
       broadcastBudget: Long = BroadcastBudgetBytes): DataFrame = {
     val sym = symmetric.persist(StorageLevel.MEMORY_AND_DISK)
     // Degrees via one map-side-combined groupBy on the persisted edge
-    // list, joined back as a broadcast — deg rows are SKINNY (node, n):
-    // node-scaled but hub-independent, the one node-sized relation this
-    // operator keeps broadcasting unconditionally (a graph too big for
-    // that broadcast re-derives degrees into the edge rows upstream).
+    // list, joined back SIZE-GATED like every build side in the family
+    // — deg rows are SKINNY (node, n): node-scaled and hub-independent,
+    // so the gate keeps the broadcast on any graph whose node count
+    // fits the budget and degrades to shuffle-hash (deg as build side)
+    // on a billions-of-nodes graph instead of overflowing executors.
+    // MATERIALIZED (persist + count) before the gate reads its stats:
+    // the gate decides at plan-construction time, and an unmaterialized
+    // aggregate over a cold cache inherits the upstream self-join's
+    // multiplicative row estimate — measured flipping this broadcast to
+    // shuffle-hash and re-exchanging the edge list twice (+1.5 s at
+    // sf0.1). Feeding two joins, the cache pays for itself anyway.
     val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val oriented = sym
-      .join(broadcast(deg.toDF("src", "dsrc")), Seq("src"))
-      .join(broadcast(deg.toDF("dst", "ddst")), Seq("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    deg.count()
+    val oriented = sizeGatedJoin(
+      sizeGatedJoin(sym, deg.toDF("src", "dsrc"), Seq("src"), broadcastBudget),
+      deg.toDF("dst", "ddst"), Seq("dst"), broadcastBudget)
       .filter(col("dsrc") < col("ddst") ||
         (col("dsrc") === col("ddst") && col("src") < col("dst")))
       .select(col("src"), col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     oriented.count()
     sym.unpersist(blocking = false)
+    deg.unpersist(blocking = false)
     val adj = oriented.groupBy(col("src"))
       .agg(collect_list(col("dst")).as("all"))
       .select(col("src"), explode(expr(
@@ -154,7 +278,7 @@ object GraphOps extends OpModule {
     // first lookup may shuffle (skinny edges meet node-sized arrays);
     // the second is the size-gated one — each dst slice joins in, each
     // intersection element is counted once (slices partition the list)
-    val perEdge = gatedSecondLookup(
+    val perEdge = sizeGatedJoin(
       oriented.join(
         adj.select(col("src"), col("nbrs").as("nu")).hint("shuffle_hash"),
         Seq("src")),
@@ -199,7 +323,7 @@ object GraphOps extends OpModule {
     // same second-lookup rule as triangleCounts: the first join may
     // shuffle, the second is size-gated — re-exchanging rows that
     // already carry `nu` would move the arrays a second time
-    val perPair = gatedSecondLookup(
+    val perPair = sizeGatedJoin(
       edges.join(
         adj.select(col("src"), col("nbrs").as("nu"), col("deg").as("deg_u"))
           .hint("shuffle_hash"),
@@ -257,11 +381,15 @@ object GraphOps extends OpModule {
       symmetric: DataFrame,
       tolMicro: Long = 1000L,
       maxRounds: Int = 60,
-      sliceK: Int = AdjSliceK): DataFrame = {
-    val adj = hubSafeAdjacency(symmetric, sliceK)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    adj.count()
-    val nodes = adj.filter(col("slice") === 0).select(col("src").as("node"))
+      sliceK: Int = AdjSliceK,
+      hubDegreeLimit: Long = HubBufferDegreeLimit): DataFrame = {
+    // production path → adaptive build: the measured max-degree gate
+    // picks the pre-agg form when a hub would outgrow the set buffer
+    val adj = adaptiveAdjacency(symmetric, sliceK, hubDegreeLimit)
+    // node list via distinct, not `slice === 0` — hash slicing (the
+    // pre-agg regime) may leave slice 0 empty for a node
+    val nodes = adj.select(col("src").as("node")).distinct()
+      .localCheckpoint(eager = true)
     var ranks = nodes.withColumn("rank_micro", lit(1000000L))
       .localCheckpoint(eager = true)
     var converged = false
@@ -308,28 +436,38 @@ object GraphOps extends OpModule {
   def bfsToFixpoint(
       symmetric: DataFrame,
       seeds: DataFrame,
-      maxRounds: Int = 1000): DataFrame = {
+      maxRounds: Int = 1000,
+      broadcastBudget: Long = BroadcastBudgetBytes): DataFrame = {
     val edges = symmetric.persist(StorageLevel.MEMORY_AND_DISK)
     var dist = seeds.select(col("node")).distinct()
       .withColumn("dist", lit(0L))
       .localCheckpoint(eager = true)
     var frontier = dist.select(col("node"))
+    // the termination probe IS the gate's measurement: checkpointed
+    // relations report garbage propagated stats, so the frontier gate
+    // rides the exact row count the loop needs anyway
+    var frontierRows = dist.count()
     var depth = 0L
     var done = false
     while (!done && depth < maxRounds) {
       depth += 1
-      // frontier is layer-sized (≤ nodes) — broadcast it so the cached
-      // edge list never re-exchanges per round, as in graph_bfs_3hop
-      val next = edges.toDF("node", "nbr")
-        .join(broadcast(frontier), Seq("node"))
+      // frontier is layer-sized (≤ nodes) — count-gated: broadcast
+      // keeps the cached edge list from re-exchanging per round, and a
+      // layer too big to ship degrades to shuffle-hash instead of
+      // overflowing executors
+      val next = countGatedJoin(
+        edges.toDF("node", "nbr"), frontier, Seq("node"),
+        frontierRows, broadcastBudget)
         .select(col("nbr").as("node")).distinct()
         .join(dist.select(col("node")), Seq("node"), "left_anti")
         .withColumn("dist", lit(depth))
         .localCheckpoint(eager = true)
-      if (next.limit(1).count() == 0) done = true
+      val n = next.count()
+      if (n == 0) done = true
       else {
         dist = dist.unionByName(next).localCheckpoint(eager = true)
         frontier = next.select(col("node"))
+        frontierRows = n
       }
     }
     edges.unpersist(blocking = false)
@@ -450,15 +588,21 @@ object GraphOps extends OpModule {
         var dist = edges.select(col("src").as("node")).distinct()
           .where(pmod(col("node"), lit(100)) === 0)
           .withColumn("dist", lit(0L))
+          .localCheckpoint()
         for (_ <- 1 to 3) {
-          // the distance table is node-sized (catalog-bounded) — broadcast
-          // it so the cached edge list never re-exchanges per round (the
-          // shuffle-join form moved 97 MB at sf0.1, this 36 MB — the rest
-          // is the edge-list distinct itself); localCheckpoint truncates
-          // the per-round lineage, or round N's broadcast re-executes
-          // rounds 1..N−1 (the survivorsToFixpoint lesson)
-          val next = edges.toDF("node", "nbr")
-            .join(broadcast(dist), Seq("node"))
+          // the distance table is node-sized (catalog-bounded) — COUNT-
+          // gated broadcast (checkpointed stats are propagated garbage),
+          // so the cached edge list never re-exchanges per round (the
+          // shuffle-join form moved 97 MB at sf0.1, this 36 MB — the
+          // rest is the edge-list distinct itself) while a billions-of-
+          // nodes table would degrade to shuffle-hash; localCheckpoint
+          // truncates the per-round lineage, or round N's join
+          // re-executes rounds 1..N−1 (the survivorsToFixpoint lesson),
+          // and makes the gate's count a one-touch scan of the
+          // checkpointed rows
+          val next = countGatedJoin(
+            edges.toDF("node", "nbr"), dist, Seq("node"),
+            dist.count(), BroadcastBudgetBytes)
             .select(col("nbr").as("node"), (col("dist") + 1L).as("dist"))
           dist = dist.unionByName(next)
             .groupBy(col("node"))

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Exprs, OpModule, Q, Tables}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -675,7 +676,11 @@ object RelationalOps extends OpModule {
           .lineitem(s, d)
           .select($("l_returnflag"), $("l_orderkey"), $("l_linenumber"),
             $("l_extendedprice"),
-            Exprs.phash(concat_ws("#", $("l_orderkey"), $("l_linenumber"))).as("h"))
+            // pmix2, not phash: the md5 hex round-trip dominated this
+            // scan (3.2 s isolated at sf0.1 → the integer mix trims it);
+            // 31-bit output is plenty for a k=256 bottom-k whose ties
+            // break on (orderkey, linenumber) anyway
+            Exprs.pmix2($("l_orderkey"), $("l_linenumber")).as("h"))
           .withColumn("rh", row_number().over(wGroup)).filter($("rh") <= k)
           .withColumn("rv", row_number().over(wVal))
           .withColumn("ks", count(lit(1)).over(Window.partitionBy($("l_returnflag"))))
@@ -691,8 +696,7 @@ object RelationalOps extends OpModule {
               |  SELECT * FROM (
               |    SELECT l_returnflag, l_extendedprice,
               |      ROW_NUMBER() OVER (PARTITION BY l_returnflag
-              |        ORDER BY ${Exprs.phashSql(
-                       "CAST(l_orderkey AS VARCHAR) || '#' || CAST(l_linenumber AS VARCHAR)")},
+              |        ORDER BY ${Exprs.pmix2Sql("l_orderkey", "l_linenumber")},
               |          l_orderkey, l_linenumber) AS rh
               |    FROM lineitem)
               |  WHERE rh <= 256),
@@ -1554,6 +1558,54 @@ object RelationalOps extends OpModule {
               |GROUP BY 1 ORDER BY 1""".stripMargin),
       doc = "Skew-salted join ≡ plain join; spreads a hot o_orderkey over 8 partitions",
       sort = Seq("o_orderpriority")
+    ),
+
+    // ── J10b: the MEASURED-S twin of j10 — the full diagnose→cure path
+    // through [[SkewTools.autoSaltedJoin]] (audit the fact side, derive
+    // S ≈ ceil(hottest-key rows / healthy-task rows), salt only when
+    // warranted), oracle-gated instead of just spec'd. The fixture is
+    // deterministically skewed: every l_orderkey not divisible by 4
+    // collapses onto hot key 1 (~75% of the fact on one join key — the
+    // bot-user shape), so the audit measures a real hot key and the
+    // executed plan carries the replicated-dim join (`SkewToolsSpec`
+    // pins plan shape in both regimes; the driver's plan audit sees the
+    // salted form). The dim side folds orders onto the same derived key
+    // (min priority per key — deterministic, unique per key), so the
+    // salted join's oracle is the PLAIN join over the same mapping. ──
+    "j10b_auto_salted" -> Q(
+      (s, d) => {
+        val hotOf = (c: Column) =>
+          when(pmod(c, lit(4)) =!= 0, lit(1L)).otherwise(c)
+        val fact = Tables
+          .lineitem(s, d)
+          .select(hotOf($("l_orderkey")).as("hot_key"),
+            $("l_partkey"), $("l_suppkey"), $("l_linenumber"),
+            ($("l_extendedprice") * (lit(1.0) - $("l_discount"))).as("revenue"))
+        val dim = Tables
+          .orders(s, d)
+          .groupBy(hotOf($("o_orderkey")).as("hot_key"))
+          .agg(min($("o_orderpriority")).as("priority"))
+        SkewTools
+          .autoSaltedJoin(fact, dim, "hot_key",
+            saltCols = Seq("l_partkey", "l_suppkey", "l_linenumber"))
+          .groupBy($("priority"))
+          .agg(dsum($("revenue")).as("revenue"), count(lit(1)).as("n"))
+      },
+      Some(s"""WITH fact AS (
+              |  SELECT CASE WHEN l_orderkey % 4 <> 0 THEN 1
+              |              ELSE l_orderkey END AS hot_key,
+              |         l_extendedprice * (1.0 - l_discount) AS revenue
+              |  FROM lineitem),
+              |dim AS (
+              |  SELECT CASE WHEN o_orderkey % 4 <> 0 THEN 1
+              |              ELSE o_orderkey END AS hot_key,
+              |         min(o_orderpriority) AS priority
+              |  FROM orders GROUP BY 1)
+              |SELECT priority, ${dsumSql("revenue")} AS revenue, COUNT(*) AS n
+              |FROM fact JOIN dim USING (hot_key)
+              |GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "Measured-S auto-salted join (SkewTools audit → salt factor) ≡ plain join on a planted 75%-hot key",
+      sort = Seq("priority")
     )
   )
 

@@ -100,4 +100,83 @@ class HubSafeGraphSpec extends AnyFunSuite {
     val leaf = rows.filter(col("src") === 5L).collect()
     assert(leaf.length == 1 && leaf.head.getAs[Long]("deg") == 1L)
   }
+
+  /** (src, deg, nbr) content of an adjacency frame — the invariant both
+    * build forms must share (slice ASSIGNMENT may differ). */
+  private def adjContent(adj: org.apache.spark.sql.DataFrame) =
+    adj.select(col("src"), col("deg"), explode(col("nbrs")).as("nbr"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("pre-agg hash-slice adjacency: same per-node content as the set form, bounded slice ids, no empty-slice assumption") {
+    val edges = plantedEdges()
+    val e = edges.distinct()
+    val degrees = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val preAgg = GraphOps.preAggAdjacency(e, degrees, sliceK = 8)
+    // identical neighbor sets and degrees — only the slicing differs
+    assert(adjContent(preAgg) == adjContent(GraphOps.hubSafeAdjacency(edges, 8)))
+    // slice ids live in [0, ceil(deg/K)) and no (src, slice) repeats
+    val rows = preAgg.select(col("src"), col("slice"), col("deg"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.forall { case (_, s, d) => s >= 0 && s < (d + 7) / 8 })
+    assert(rows.map(t => (t._1, t._2)).distinct.length == rows.length)
+    // duplicate input pairs change nothing IF pre-distincted (the
+    // contract: preAggAdjacency takes DISTINCT edges)
+    assert(adjContent(GraphOps.preAggAdjacency(
+      edges.unionByName(edges).distinct(), degrees, 8)) == adjContent(preAgg))
+  }
+
+  test("adaptive adjacency: the measured max-degree gate picks the set form under the limit, the pre-agg form past it") {
+    val edges = plantedEdges()
+    // hub degree 40: limit 64 → set form (collect_set in the plan)
+    val setForm = GraphOps.adaptiveAdjacency(edges, sliceK = 8, hubDegreeLimit = 64)
+    assert(setForm.queryExecution.analyzed.toString.contains("collect_set"),
+      "under the degree limit the single-pass set build must be chosen")
+    // limit 10 → the 40-degree hub trips the gate → pre-agg form
+    val preForm = GraphOps.adaptiveAdjacency(edges, sliceK = 8, hubDegreeLimit = 10)
+    assert(preForm.queryExecution.analyzed.toString.contains("collect_list"),
+      "past the degree limit the bounded-buffer pre-agg build must be chosen")
+    assert(adjContent(setForm) == adjContent(preForm),
+      "the two builds must carry identical adjacency content")
+    setForm.unpersist(); preForm.unpersist()
+  }
+
+  test("pagerank fixpoint: identical ranks under the set and pre-agg adjacency regimes") {
+    val edges = plantedEdges()
+    def ranks(limit: Long) =
+      GraphOps.pagerankToConvergence(edges, tolMicro = 100L, maxRounds = 30,
+        sliceK = 8, hubDegreeLimit = limit)
+        .select(col("node"), col("rank_micro"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ranks(Long.MaxValue) == ranks(1L),
+      "hash-sliced (pre-agg) adjacency changed converged pageranks")
+  }
+
+  test("every build side in the family is gated: zero budget leaves NO broadcast join anywhere in the triangles plan") {
+    // drop caches left by prior tests: the cache manager matches plans
+    // MODULO join hints, so a default-budget run's cached `oriented`
+    // (broadcasts inside) would be reused here and fail the audit
+    spark.catalog.clearCache()
+    val edges = plantedEdges()
+    // full plan string INCLUDING cached relations — the degree
+    // orientation joins live inside the persisted `oriented` build
+    val full = GraphOps.triangleCounts(edges, sliceK = 8, broadcastBudget = 0L)
+      .queryExecution.executedPlan.toString
+    assert(!full.contains("BroadcastHashJoin"),
+      "budget 0 must push every family join — adjacency lookups AND " +
+        "degree orientation — off the broadcast path")
+  }
+
+  test("bfs fixpoint: the frontier gate's shuffle regime matches the broadcast regime") {
+    val edges = plantedEdges()
+    val seeds = Seq(0L).toDF("node")
+    def dists(budget: Long) =
+      GraphOps.bfsToFixpoint(edges, seeds, broadcastBudget = budget)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val broadcastRegime = dists(Long.MaxValue)
+    assert(broadcastRegime == dists(0L),
+      "shuffle-hash frontier join changed BFS distances")
+    // sanity on the planted truth: leaves at hop 1, off-hub island
+    // unreachable from the hub seed
+    assert(broadcastRegime(1L) == 1L && !broadcastRegime.contains(50L))
+  }
 }
