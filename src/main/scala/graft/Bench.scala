@@ -161,7 +161,21 @@ object Bench {
     // between runs). Round 5 showed the full-suite session numbers
     // carry up to 3× cross-query memory/GC interference — the isolated
     // column is the one that supports round-over-round comparison.
-    // Opt-out / resize via SPARK_GRAFT_ISOLATED (0 disables).
+    // The parent session STOPS first: a resident 32-thread local Spark
+    // with a full-suite heap behind it was measured inflating the
+    // child's numbers ~1.6× (graph_triangles 7.3 s contended vs 5.9 s
+    // clean) — the child must own the box. The settle window lets the
+    // stop's async cleanup (local-dir shuffle-file deletion for the
+    // whole suite, executor teardown) drain before the child starts
+    // competing for the same disk; a bare-java control run on an
+    // otherwise-idle box matches sbt-forked numbers, so the residue of
+    // the session IS the confounder being waited out.
+    // Opt-out / resize via SPARK_GRAFT_ISOLATED (0 disables);
+    // settle seconds via SPARK_GRAFT_ISOLATED_SETTLE.
+    spark.stop()
+    System.gc()
+    Thread.sleep(
+      sys.env.get("SPARK_GRAFT_ISOLATED_SETTLE").map(_.toInt).getOrElse(30) * 1000L)
     val isolatedN = sys.env.get("SPARK_GRAFT_ISOLATED").map(_.toInt).getOrElse(12)
     val topNames = results
       .collect { case (k, v) if v._1 >= 0 => k -> v._1 }
@@ -227,7 +241,6 @@ object Bench {
     // Stdout from sbt is noisy; keep a clean full-detail copy on disk.
     try Files.writeString(Paths.get("bench_last.json"), full + "\n")
     catch { case _: Throwable => () }
-    spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -92,7 +92,17 @@ object PlanDump {
        "no global sort."),
     "sk8_sampled_freq" ->
       ("Hash-gated 1-in-4 doc sample applied at the scan (map-side filter), one token " +
-       "aggregate, deterministic top-15 as TakeOrderedAndProject — never a global sort."))
+       "aggregate, deterministic top-15 as TakeOrderedAndProject — never a global sort."),
+    "j10b_auto_salted" ->
+      ("Measured-S skew cure end-to-end: the audit finds the planted 75%-hot key, " +
+       "derives S = ceil(hot rows / healthy task), salts the fact deterministically " +
+       "and explodes the dim xS — the join runs on (key, salt) with no single " +
+       "oversized task; S=1 inputs skip the machinery entirely."),
+    "graph_triangles" ->
+      ("Compact-forward orientation: node-sized degree table persisted then " +
+       "size-gated broadcast into BOTH orientation joins (materialized stats, " +
+       "not estimates); sliced adjacency arrays intersect in codegen; the one " +
+       "fat-side exchange is the skinny oriented edge list, never the arrays."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

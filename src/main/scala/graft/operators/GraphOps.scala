@@ -212,7 +212,7 @@ object GraphOps extends OpModule {
     * silently pinning every round to the shuffle path. Bytes =
     * rows × (schema default width + 16 B row overhead) — skinny
     * integer rows, so the width estimate is tight. */
-  private[operators] def countGatedJoin(
+  private[graft] def countGatedJoin(
       stream: DataFrame, build: DataFrame, keys: Seq[String],
       buildRows: Long, budgetBytes: Long): DataFrame = {
     val width = build.schema.map(_.dataType.defaultSize).sum + 16

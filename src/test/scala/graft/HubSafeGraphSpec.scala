@@ -166,6 +166,40 @@ class HubSafeGraphSpec extends AnyFunSuite {
         "degree orientation — off the broadcast path")
   }
 
+  test("default budget BROADCASTS the degree orientation joins — the gate must read materialized stats, not estimates") {
+    // regression guard: gating the degree aggregate BEFORE its cache
+    // materializes made Catalyst propagate the upstream self-join's
+    // multiplicative row estimate through it, silently flipping these
+    // tiny joins to shuffle-hash (+1.5 s at sf0.1). With deg
+    // persisted+counted the gate sees actual bytes and must broadcast
+    // at any sane budget.
+    spark.catalog.clearCache()
+    val full = GraphOps.triangleCounts(plantedEdges(), sliceK = 8)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(full).size >= 3,
+      "default budget must broadcast both deg orientation joins and " +
+        "the adjacency second lookup — an estimate-driven gate flip " +
+        "means a build side was measured unmaterialized")
+  }
+
+  test("countGatedJoin: the measured row count picks the regime — checkpointed stats never consulted") {
+    val stream = (1L to 100L).map(i => (i, i * 2)).toDF("k", "v")
+    // checkpointed build side whose ORIGIN stats are irrelevant to the gate
+    val build = (1L to 50L).map(i => (i, s"x$i")).toDF("k", "name")
+      .localCheckpoint(eager = true)
+    val rows = build.count()
+    val small = GraphOps.countGatedJoin(stream, build, Seq("k"), rows,
+      budgetBytes = 256L << 20)
+    assert(small.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "50 skinny measured rows must broadcast")
+    val big = GraphOps.countGatedJoin(stream, build, Seq("k"), rows,
+      budgetBytes = 0L)
+    assert(!big.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "zero budget must push the build side to shuffle-hash")
+    // both regimes return identical rows
+    assert(small.collect().map(_.toSeq).toSet == big.collect().map(_.toSeq).toSet)
+  }
+
   test("bfs fixpoint: the frontier gate's shuffle regime matches the broadcast regime") {
     val edges = plantedEdges()
     val seeds = Seq(0L).toDF("node")
