@@ -124,4 +124,22 @@ object Pipeline {
       spark, eventsDir, warehouseDir, checkpointDir, delayDays,
       filesPerTrigger)
   }
+
+  /** Continuous exact-dedup ingest over arriving document files — the
+    * K2 insert-if-absent contract streamed ([[streaming.DedupIngest]]):
+    * first copy of every content hash admitted to the survivors table,
+    * later copies dropped, per-batch admission counts in the log table.
+    * Exactly-once under kill/resume by checkpoint + table-resident
+    * state + idempotent keyed upserts — `DedupIngestStreamSpec` kills
+    * mid-drain and resumes. */
+  def runDedupIngest(
+      spark: SparkSession,
+      docsDir: String,
+      warehouseDir: String,
+      checkpointDir: String,
+      filesPerTrigger: Int = 1): StreamingQuery = {
+    Sessions.tune(spark)
+    streaming.DedupIngest.start(
+      spark, docsDir, warehouseDir, checkpointDir, filesPerTrigger)
+  }
 }

@@ -1,0 +1,145 @@
+package graft.streaming
+
+import graft.Exprs
+import graft.sinks.UpsertWriter
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import java.nio.file.{Files, Paths}
+
+/** Continuous exact-dedup ingest — the K2 insert-if-absent contract
+  * (SURVEY §2.2; tarefa_processar_fila.php's "skip if key exists"
+  * applied to document content) as STRUCTURED STREAMING over the
+  * `documents` shape: each arriving micro-batch keeps the first copy
+  * of every content hash ever seen and drops the rest, exactly once
+  * under kill/resume.
+  *
+  * Dedup state lives in the SURVIVORS TABLE, not in executor memory:
+  * each batch resolves its within-batch winners (row_number over the
+  * content hash, lowest doc_id wins — deterministic under replay),
+  * then anti-joins the survivors table on the hash to drop everything
+  * already admitted, then upserts the remainder keyed by hash. A
+  * `flatMapGroupsWithState` form would carry every hash ever seen as
+  * operator state — unbounded, checkpoint-fattening, and lost to a
+  * checkpoint wipe; the table form IS the state, it compacts like any
+  * table, and replay is idempotent for free ([[UpsertWriter]] keyed
+  * merge + the anti-join dropping rows a crashed attempt already
+  * wrote).
+  *
+  * First-wins semantics: across batches, first ARRIVAL wins (the
+  * earlier batch admitted the hash); within a batch, lowest doc_id.
+  * A replayed batch re-derives the identical winner set against the
+  * identical admitted-before state, so restarts restate rather than
+  * duplicate — the same argument as [[QueueWorker]]'s acks, with the
+  * anti-join standing in for the claim check.
+  *
+  * Observability: a `dedup_log` table records per batch how many rows
+  * arrived, lost the within-batch race, were already admitted, and
+  * were admitted now — keyed by batch_id, so replays restate the same
+  * log row instead of appending a second.
+  *
+  * Scale posture: per-batch cost is one batch-sized window (hash
+  * groups) plus one keyed equi-join of the batch against the
+  * survivors table — batch-sized shuffle on one side, hash-pruned
+  * scan of the other; nothing grows with stream lifetime except the
+  * table itself. At 100 TB the survivors table is bucketed or
+  * partitioned by hash prefix upstream of the join; the anti-join
+  * needs only the `content_hash` column either way (column-pruned
+  * scan).
+  */
+object DedupIngest {
+
+  /** Start the dedup worker draining parquet document files from
+    * `inputDir` (schema must carry `doc_id` and `text`; extra columns
+    * ride along into the survivors table). AvailableNow drain-and-stop
+    * + checkpoint, like every worker in this package: re-invoke on a
+    * schedule or resume after a kill. */
+  def start(
+      spark: SparkSession,
+      inputDir: String,
+      warehouseDir: String,
+      checkpointDir: String,
+      filesPerTrigger: Int = 1): StreamingQuery = {
+
+    val survivorsDir = s"$warehouseDir/dedup_survivors"
+    val logDir = s"$warehouseDir/dedup_log"
+    val schema = spark.read.parquet(inputDir).schema
+
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", filesPerTrigger)
+      .parquet(inputDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val hashed = batch
+          .withColumn("content_hash", Exprs.phash(col("text")))
+          .persist()
+        try {
+          val nIn = hashed.count()
+
+          // within-batch winner per hash: lowest doc_id — a total
+          // order, so a replayed batch picks the same winner
+          val winners = hashed
+            .withColumn("__rn", row_number().over(
+              Window.partitionBy(col("content_hash")).orderBy(col("doc_id"))))
+            .filter(col("__rn") === 1).drop("__rn")
+
+          // cross-stream check rides the TABLE, not operator state:
+          // hashes some prior batch (or a crashed attempt at THIS
+          // batch) already admitted drop here
+          val seen =
+            if (!Files.exists(Paths.get(survivorsDir, "_SUCCESS")))
+              winners.limit(0).select(col("content_hash"))
+            else s.read.parquet(survivorsDir).select(col("content_hash"))
+          val fresh = winners
+            .join(seen, Seq("content_hash"), "left_anti")
+            .withColumn("batch_id", lit(batchId))
+            .persist()
+          val nFresh = fresh.count()
+          val nBatchDupes = nIn - winners.count()
+
+          if (nFresh > 0)
+            UpsertWriter.upsert(s, survivorsDir, fresh,
+              keys = Seq("content_hash"), versionCol = "batch_id")
+
+          // admissions counted from the TABLE, not from this attempt's
+          // anti-join: a kill between the survivors upsert and the log
+          // write replays the batch, and the replay's anti-join sees
+          // its own crashed-attempt rows as "already admitted"
+          // (nFresh = 0). An admitted hash keeps its admitting
+          // batch_id forever (later copies never reach the upsert), so
+          // the table count is the attempt-invariant truth.
+          val nAdmitted =
+            if (!Files.exists(Paths.get(survivorsDir, "_SUCCESS"))) 0L
+            else s.read.parquet(survivorsDir)
+              .filter(col("batch_id") === batchId).count()
+
+          // the log restates on replay (keyed by batch_id) — written
+          // LAST, so a crash between the writes replays the batch into
+          // the identical split
+          import s.implicits._
+          UpsertWriter.upsert(s, logDir,
+            Seq((batchId, nIn, nBatchDupes, nIn - nBatchDupes - nAdmitted,
+              nAdmitted))
+              .toDF("batch_id", "n_in", "n_batch_dupes", "n_seen_before",
+                "n_admitted"),
+            keys = Seq("batch_id"), versionCol = "batch_id")
+          fresh.unpersist()
+        } finally hashed.unpersist()
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Serving view: every admitted (first-arrival) document. */
+  def survivors(spark: SparkSession, warehouseDir: String): DataFrame =
+    spark.read.parquet(s"$warehouseDir/dedup_survivors")
+
+  /** Serving view: the per-batch admission log. */
+  def ingestLog(spark: SparkSession, warehouseDir: String): DataFrame =
+    spark.read.parquet(s"$warehouseDir/dedup_log")
+}
