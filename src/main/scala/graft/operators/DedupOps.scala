@@ -675,6 +675,59 @@ object DedupOps extends OpModule {
       sort = Seq("doc_a", "doc_b")
     ),
 
+    // ── Boilerplate ratio: per document, the fraction of its distinct
+    // trigram shingles that are CORPUS-COMMON (document frequency above
+    // 1% of the corpus) — the RefinedWeb/C4-style repetition signal
+    // that flags template pages, navigation chrome, and licence
+    // headers before they flood a training set. Scale shape: one
+    // (doc, shingle) explode feeds the df aggregation AND the per-doc
+    // counting; the common-shingle set joins back by SHUFFLE on the
+    // shingle (vocabulary is unbounded at corpus scale — never
+    // broadcast, the ta_lm_score rule); the corpus size rides a 1-row
+    // broadcast. Integer threshold compare (df * 100 > nDocs), so the
+    // common set is engine-exact. ──
+    "dedup_boilerplate_ratio" -> Q(
+      (s, d) => {
+        val sets = shingled(s, d, 3)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        sets.count()
+        val ex = sets.select(col("doc_id"), explode(col("shingles")).as("sh"))
+        val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("nd"))
+        val common = ex.groupBy(col("sh"))
+          .agg(count(lit(1)).as("df"))
+          .crossJoin(broadcast(nDocs))
+          .filter(col("df") * 100 > col("nd"))
+          .select(col("sh"))
+        ex.join(common.hint("shuffle_hash"), Seq("sh"), "left_semi")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_common"))
+          .join(sets.select(col("doc_id"), size(col("shingles")).as("n_shingles")),
+            Seq("doc_id"), "right")
+          .filter(col("n_shingles") > 0)
+          .select(col("doc_id"),
+            col("n_shingles").cast(LongType),
+            coalesce(col("n_common"), lit(0L)).as("n_common"),
+            (coalesce(col("n_common"), lit(0L)).cast(DoubleType) /
+              col("n_shingles").cast(DoubleType)).as("ratio"))
+      },
+      Some(s"""WITH sh AS (${shingledSql(3)}),
+              |ex AS (SELECT doc_id, unnest(shingles) AS shg FROM sh),
+              |nd AS (SELECT COUNT(*)::BIGINT AS nd FROM documents),
+              |dfreq AS (SELECT shg, COUNT(*)::BIGINT AS df FROM ex GROUP BY 1),
+              |common AS (SELECT shg FROM dfreq, nd WHERE df * 100 > nd),
+              |perdoc AS (
+              |  SELECT e.doc_id,
+              |    COUNT(*)::BIGINT AS n_shingles,
+              |    COUNT(c.shg)::BIGINT AS n_common
+              |  FROM ex e LEFT JOIN common c ON c.shg = e.shg
+              |  GROUP BY 1)
+              |SELECT doc_id, n_shingles, n_common,
+              |  CAST(n_common AS DOUBLE) / n_shingles AS ratio
+              |FROM perdoc ORDER BY doc_id""".stripMargin),
+      doc = "LLM-pipeline: per-doc boilerplate ratio (share of shingles with corpus df > 1%) — template/chrome repetition signal",
+      sort = Seq("doc_id")
+    ),
+
     // ── k-NN document graph: per document, its top-3 most-similar
     // neighbors by exact Jaccard, candidates restricted to the LSH
     // bands — the construction step of a similarity graph (the input
