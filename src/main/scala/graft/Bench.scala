@@ -171,19 +171,23 @@ object Bench {
     // otherwise-idle box matches sbt-forked numbers, so the residue of
     // the session IS the confounder being waited out.
     // Opt-out / resize via SPARK_GRAFT_ISOLATED (0 disables);
-    // settle seconds via SPARK_GRAFT_ISOLATED_SETTLE.
+    // settle seconds via SPARK_GRAFT_ISOLATED_SETTLE. Env parsing is
+    // forgiving (malformed → default) — nothing after the timing loop
+    // may throw before the results are printed and persisted.
     spark.stop()
-    System.gc()
-    Thread.sleep(
-      sys.env.get("SPARK_GRAFT_ISOLATED_SETTLE").map(_.toInt).getOrElse(30) * 1000L)
-    val isolatedN = sys.env.get("SPARK_GRAFT_ISOLATED").map(_.toInt).getOrElse(12)
+    val isolatedN = sys.env.get("SPARK_GRAFT_ISOLATED")
+      .flatMap(_.toIntOption).getOrElse(12)
     val topNames = results
       .collect { case (k, v) if v._1 >= 0 => k -> v._1 }
       .sortBy(-_._2).take(isolatedN).map(_._1)
     val isolated: Map[String, (Double, Seq[Double])] =
       if (topNames.isEmpty) Map.empty
-      else try runIsolated(topNames, sfDir, cpus)
-      catch {
+      else try {
+        System.gc()
+        Thread.sleep(sys.env.get("SPARK_GRAFT_ISOLATED_SETTLE")
+          .flatMap(_.toIntOption).getOrElse(30) * 1000L)
+        runIsolated(topNames, sfDir, cpus)
+      } catch {
         case e: Throwable =>
           System.err.println(s"[bench] isolated pass failed: ${e.getMessage}")
           Map.empty

@@ -60,14 +60,18 @@ object HllExact {
     * state per group (merge = max per idx). */
   def registers(df: DataFrame, groupCols: Seq[String], key: Column): DataFrame = {
     val g = groupCols.map(col)
-    // NULL keys contribute no register (matching approx_count_distinct's
-    // NULL-ignoring contract) — unfiltered, phash(NULL)'s NULL idx would
-    // fall through the rho CASE to RMAX and count as one distinct value
-    df.filter(key.isNotNull)
-      .select(g :+ Exprs.phash(key.cast(StringType)).as("h"): _*)
+    // NULL keys contribute no register but KEEP their group alive:
+    // h = phash(NULL) is NULL → idx NULL, rho forced NULL (unguarded,
+    // the rho CASE's ELSE would stamp RMAX and count NULL as one
+    // distinct value). [[estimate]] counts only non-NULL registers, so
+    // a group whose keys are all NULL estimates 0 — exactly
+    // approx_count_distinct's contract; a filter here instead made
+    // such groups VANISH from the output.
+    df.select(g :+ Exprs.phash(key.cast(StringType)).as("h"): _*)
       .select(g ++ Seq(
         pmod(col("h"), lit(M.toLong)).as("idx"),
-        expr(s"${rhoCase(s"(h div $M)")}").as("rho")): _*)
+        when(col("h").isNull, lit(null))
+          .otherwise(expr(s"${rhoCase(s"(h div $M)")}")).as("rho")): _*)
       .groupBy(g :+ col("idx"): _*)
       .agg(max(col("rho")).as("mj"))
   }
@@ -76,11 +80,14 @@ object HllExact {
     * Empty `groupCols` → one global row. */
   def estimate(regs: DataFrame, groupCols: Seq[String], outName: String): DataFrame = {
     val g = groupCols.map(col)
+    // count(idx), not count(*): a NULL-idx row is a NULL-key group
+    // keeper, not a register — its mj is NULL (sum skips it; coalesce
+    // covers the all-NULL group, whose s is then m·2^RMAX → LC → 0)
     val agg = (if (g.isEmpty) regs.groupBy() else regs.groupBy(g: _*))
       .agg(
-        (sum(expr(s"shiftleft(CAST(1 AS BIGINT), $RMAX - mj)")) +
-          (lit(M.toLong) - count(lit(1))) * lit(1L << RMAX)).as("s"),
-        (lit(M.toLong) - count(lit(1))).as("v"))
+        (coalesce(sum(expr(s"shiftleft(CAST(1 AS BIGINT), $RMAX - mj)")), lit(0L)) +
+          (lit(M.toLong) - count(col("idx"))) * lit(1L << RMAX)).as("s"),
+        (lit(M.toLong) - count(col("idx"))).as("v"))
     // alpha_m * m^2 * 2^RMAX / S — every multiplication is an exact
     // power-of-two scaling; the single rounding is the division
     val raw = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(M.toDouble)) *
@@ -117,9 +124,11 @@ object HllExact {
     val grpIdx = (groups :+ "idx").mkString(", ")
     s"""${prefix}_r AS (
        |  SELECT $gsel idx, max(rho) AS mj
-       |  FROM (SELECT $gsel h % $M AS idx, ${rhoCase(s"(h // $M)")} AS rho
+       |  FROM (SELECT $gsel h % $M AS idx,
+       |               CASE WHEN h IS NULL THEN NULL
+       |                    ELSE ${rhoCase(s"(h // $M)")} END AS rho
        |        FROM (SELECT $gsel ${Exprs.phashSql(s"CAST($keyExpr AS VARCHAR)")} AS h
-       |              FROM $from WHERE ($keyExpr) IS NOT NULL) ${prefix}_h) ${prefix}_w
+       |              FROM $from) ${prefix}_h) ${prefix}_w
        |  GROUP BY $grpIdx)""".stripMargin
   }
 
@@ -140,9 +149,9 @@ object HllExact {
        |        / CAST(s AS DOUBLE) AS raw
        |    FROM (
        |      SELECT $gsel
-       |        sum(CAST(1 AS BIGINT) << ($RMAX - mj))
-       |          + ($M - count(*)) * ${1L << RMAX} AS s,
-       |        $M - count(*) AS v
+       |        coalesce(sum(CAST(1 AS BIGINT) << ($RMAX - mj)), 0)
+       |          + ($M - count(idx)) * ${1L << RMAX} AS s,
+       |        $M - count(idx) AS v
        |      FROM $regsRel$grpClause) ${prefix}_s) ${prefix}_raw)""".stripMargin
   }
 }

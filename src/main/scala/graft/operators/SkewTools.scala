@@ -60,7 +60,16 @@ object SkewTools {
     * (or of every fact column when none are given) — a pure function of
     * row CONTENT, so a given row gets the same salt on every run and
     * every retry, unlike a `monotonically_increasing_id` salt whose
-    * row→task placement varies with partition layout. */
+    * row→task placement varies with partition layout.
+    *
+    * LIMIT of content salting: rows that are bit-identical get the
+    * same salt, so a hot key whose rows are LITERAL duplicates still
+    * collapses onto one task — the cure splits a hot key only as far
+    * as its rows are distinguishable. For duplicate-heavy facts pass
+    * `saltCols` that discriminate physical provenance (file name,
+    * batch id) or dedup upstream; a row-position salt would spread
+    * duplicates but costs run-to-run reproducibility, the trade this
+    * module deliberately refuses. */
   def saltColumn(fact: DataFrame, saltCols: Seq[String], s: Int): Column = {
     val cols = if (saltCols.nonEmpty) saltCols else fact.columns.toSeq
     pmod(hash(cols.map(col): _*), lit(s))

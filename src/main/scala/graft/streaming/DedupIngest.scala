@@ -73,8 +73,14 @@ object DedupIngest {
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
+        // NULL text coalesces to '' BEFORE hashing: phash(NULL) is NULL,
+        // and a NULL hash never matches itself in the anti-join — a
+        // null-text doc would be "fresh" every batch, each replay
+        // replacing the prior survivor (first-arrival-wins broken, log
+        // double-counting). Collapsing NULL and empty text onto one
+        // content class admits exactly one empty survivor instead.
         val hashed = batch
-          .withColumn("content_hash", Exprs.phash(col("text")))
+          .withColumn("content_hash", Exprs.phash(coalesce(col("text"), lit(""))))
           .persist()
         try {
           val nIn = hashed.count()
@@ -97,36 +103,37 @@ object DedupIngest {
             .join(seen, Seq("content_hash"), "left_anti")
             .withColumn("batch_id", lit(batchId))
             .persist()
-          val nFresh = fresh.count()
-          val nBatchDupes = nIn - winners.count()
+          try {
+            val nFresh = fresh.count()
+            val nBatchDupes = nIn - winners.count()
 
-          if (nFresh > 0)
-            UpsertWriter.upsert(s, survivorsDir, fresh,
-              keys = Seq("content_hash"), versionCol = "batch_id")
+            if (nFresh > 0)
+              UpsertWriter.upsert(s, survivorsDir, fresh,
+                keys = Seq("content_hash"), versionCol = "batch_id")
 
-          // admissions counted from the TABLE, not from this attempt's
-          // anti-join: a kill between the survivors upsert and the log
-          // write replays the batch, and the replay's anti-join sees
-          // its own crashed-attempt rows as "already admitted"
-          // (nFresh = 0). An admitted hash keeps its admitting
-          // batch_id forever (later copies never reach the upsert), so
-          // the table count is the attempt-invariant truth.
-          val nAdmitted =
-            if (!Files.exists(Paths.get(survivorsDir, "_SUCCESS"))) 0L
-            else s.read.parquet(survivorsDir)
-              .filter(col("batch_id") === batchId).count()
+            // admissions counted from the TABLE, not from this attempt's
+            // anti-join: a kill between the survivors upsert and the log
+            // write replays the batch, and the replay's anti-join sees
+            // its own crashed-attempt rows as "already admitted"
+            // (nFresh = 0). An admitted hash keeps its admitting
+            // batch_id forever (later copies never reach the upsert), so
+            // the table count is the attempt-invariant truth.
+            val nAdmitted =
+              if (!Files.exists(Paths.get(survivorsDir, "_SUCCESS"))) 0L
+              else s.read.parquet(survivorsDir)
+                .filter(col("batch_id") === batchId).count()
 
-          // the log restates on replay (keyed by batch_id) — written
-          // LAST, so a crash between the writes replays the batch into
-          // the identical split
-          import s.implicits._
-          UpsertWriter.upsert(s, logDir,
-            Seq((batchId, nIn, nBatchDupes, nIn - nBatchDupes - nAdmitted,
-              nAdmitted))
-              .toDF("batch_id", "n_in", "n_batch_dupes", "n_seen_before",
-                "n_admitted"),
-            keys = Seq("batch_id"), versionCol = "batch_id")
-          fresh.unpersist()
+            // the log restates on replay (keyed by batch_id) — written
+            // LAST, so a crash between the writes replays the batch into
+            // the identical split
+            import s.implicits._
+            UpsertWriter.upsert(s, logDir,
+              Seq((batchId, nIn, nBatchDupes, nIn - nBatchDupes - nAdmitted,
+                nAdmitted))
+                .toDF("batch_id", "n_in", "n_batch_dupes", "n_seen_before",
+                  "n_admitted"),
+              keys = Seq("batch_id"), versionCol = "batch_id")
+          } finally fresh.unpersist()
         } finally hashed.unpersist()
         ()
       }

@@ -88,20 +88,33 @@ object WatermarkedIngest {
               else Some(r.getDate(0).toLocalDate.minusDays(delayDays.toLong))
             }
 
-          val late = cutoff
-            .map(c => withDay.filter(col("event_day") < lit(c)))
-            .getOrElse(withDay.limit(0))
-          val ontime = cutoff
-            .map(c => withDay.filter(col("event_day") >= lit(c)))
-            .getOrElse(withDay)
+          // rows with no event time can be neither on-time nor late —
+          // without this split they'd fail BOTH cutoff predicates
+          // (NULL comparisons) and vanish from every table, the exact
+          // silent drop this module exists to prevent; they take the
+          // error channel with their own verdict instead
+          val dated = withDay.filter(col("event_day").isNotNull)
+          val undated = withDay.filter(col("event_day").isNull)
 
-          // T6 error channel: the late rows themselves, keyed so a
-          // replayed batch restates the same verdicts
+          val late = cutoff
+            .map(c => dated.filter(col("event_day") < lit(c)))
+            .getOrElse(dated.limit(0))
+          val ontime = cutoff
+            .map(c => dated.filter(col("event_day") >= lit(c)))
+            .getOrElse(dated)
+
+          // T6 error channel: the late and undated rows themselves,
+          // keyed so a replayed batch restates the same verdicts
           val lateRows = late.select(
             col("order_id"), col("event_day"),
             lit(batchId).as("batch_id"),
             lit("erro").as("status"),
             lit("late_arrival").as("mensagem_erro"))
+            .unionByName(undated.select(
+              col("order_id"), col("event_day"),
+              lit(batchId).as("batch_id"),
+              lit("erro").as("status"),
+              lit("null_event_time").as("mensagem_erro")))
           if (lateRows.head(1).nonEmpty)
             UpsertWriter.upsert(s, lateDir, lateRows,
               keys = Seq("order_id", "batch_id"), versionCol = "batch_id")
@@ -133,15 +146,34 @@ object WatermarkedIngest {
       .start()
   }
 
+  /** Read a worker table, or an EMPTY frame of the given schema when no
+    * batch has created it yet — a healthy stream with zero late rows is
+    * the common case a monitoring caller checks, and it must see an
+    * empty error channel, not a path-does-not-exist failure. */
+  private def tableOrEmpty(
+      spark: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    if (!Files.exists(Paths.get(dir, "_SUCCESS")))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.parquet(dir)
+
+  import org.apache.spark.sql.types._
+
   /** Serving view: fold the per-batch day partials to daily totals —
     * exact, because the receita partials are decimal sums. */
   def dailyTotals(spark: SparkSession, warehouseDir: String): DataFrame =
-    spark.read.parquet(s"$warehouseDir/daily_partials")
+    tableOrEmpty(spark, s"$warehouseDir/daily_partials", StructType(Seq(
+      StructField("event_day", DateType), StructField("n_orders", LongType),
+      StructField("receita", DoubleType), StructField("batch_id", LongType))))
       .groupBy(col("event_day"))
       .agg(sum(col("n_orders")).as("n_orders"),
         Exprs.dsum(col("receita")).as("receita"))
 
-  /** Serving view: the T6 error channel of late arrivals. */
+  /** Serving view: the T6 error channel of late and undated arrivals. */
   def lateErrors(spark: SparkSession, warehouseDir: String): DataFrame =
-    spark.read.parquet(s"$warehouseDir/late_errors")
+    tableOrEmpty(spark, s"$warehouseDir/late_errors", StructType(Seq(
+      StructField("order_id", LongType), StructField("event_day", DateType),
+      StructField("batch_id", LongType), StructField("status", StringType),
+      StructField("mensagem_erro", StringType))))
 }

@@ -14,13 +14,8 @@ class DedupIngestStreamSpec extends AnyFunSuite {
   import spark.implicits._
 
   private def addDocFile(flat: String, base: java.nio.file.Path,
-      name: String, rows: Seq[(Long, String)]): Unit = {
-    val tmp = base.resolve(name + ".tmp").toString
-    rows.toDF("doc_id", "text").coalesce(1).write.parquet(tmp)
-    val part = new java.io.File(tmp).listFiles()
-      .filter(_.getName.endsWith(".parquet")).head
-    Files.move(part.toPath, new java.io.File(s"$flat/$name.parquet").toPath)
-  }
+      name: String, rows: Seq[(Long, String)]): Unit =
+    StreamFiles.landOne(base, flat, name, rows.toDF("doc_id", "text"))
 
   test("kill mid-drain, resume: every hash admitted once, first arrival wins, log consistent") {
     val base = Files.createTempDirectory("graft-dedup-stream")

@@ -13,13 +13,8 @@ class PipelineStreamingSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
 
   private def addTaskFile(flat: String, base: java.nio.file.Path,
-      name: String, rows: Seq[(Long, String)]): Unit = {
-    val tmp = base.resolve(name + ".tmp").toString
-    rows.toDF("task_id", "payload").coalesce(1).write.parquet(tmp)
-    val part = new java.io.File(tmp).listFiles()
-      .filter(_.getName.endsWith(".parquet")).head
-    Files.move(part.toPath, new java.io.File(s"$flat/$name.parquet").toPath)
-  }
+      name: String, rows: Seq[(Long, String)]): Unit =
+    StreamFiles.landOne(base, flat, name, rows.toDF("task_id", "payload"))
 
   test("kill mid-drain, resume on the same checkpoint: every task acked exactly once, enriched") {
     val base = Files.createTempDirectory("graft-pipe-stream")

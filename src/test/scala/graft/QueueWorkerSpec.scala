@@ -67,13 +67,8 @@ class QueueWorkerSpec extends AnyFunSuite {
     val ckptDir = base.resolve("ckpt").toString
     new java.io.File(flat).mkdirs()
 
-    def addFile(name: String, rows: Seq[(Long, String)]): Unit = {
-      val tmp = base.resolve(name + ".tmp").toString
-      rows.toDF("task_id", "payload").coalesce(1).write.parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      Files.move(part.toPath, new java.io.File(s"$flat/$name.parquet").toPath)
-    }
+    def addFile(name: String, rows: Seq[(Long, String)]): Unit =
+      StreamFiles.landOne(base, flat, name, rows.toDF("task_id", "payload"))
 
     // run 1: one task file, worker drains and stops (AvailableNow)
     addFile("t1", Seq((10L, "a")))

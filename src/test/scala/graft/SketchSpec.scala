@@ -52,6 +52,29 @@ class SketchSpec extends AnyFunSuite {
     assert(math.abs(est - 200).toDouble / 200 < 0.05)
   }
 
+  test("sk1: a group whose keys are ALL NULL estimates 0 — it must not vanish") {
+    import spark.implicits._
+    // approx_count_distinct's contract: grouped aggregation keeps the
+    // group and reports 0; a register-level NULL filter made it vanish
+    val df = Seq(("a", Some("k1")), ("a", Some("k2")),
+      ("b", Option.empty[String]), ("b", Option.empty[String]))
+      .toDF("g", "key")
+    val est = graft.operators.HllExact.estimate(
+      graft.operators.HllExact.registers(df, Seq("g"), col("key")),
+      Seq("g"), "est")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est == Map("a" -> 2L, "b" -> 0L),
+      s"all-NULL group must survive with estimate 0: $est")
+    // ungrouped all-NULL input: one row, estimate 0 (not NULL, not empty)
+    val global = graft.operators.HllExact.estimate(
+      graft.operators.HllExact.registers(
+        Seq(Option.empty[String]).toDF("key"), Nil, col("key")),
+      Nil, "est").collect()
+    assert(global.length == 1 && !global.head.isNullAt(0) &&
+      global.head.getLong(0) == 0L,
+      "all-NULL ungrouped input must estimate 0")
+  }
+
   test("sk3: approx quantiles within GK rank-error bound of the exact values") {
     val sf = TestSpark.sf0001
     val approx = SparkEntry.queries("sk3_approx_quantiles")(spark, sf)

@@ -21,13 +21,9 @@ class WatermarkedStreamSpec extends AnyFunSuite {
     Timestamp.valueOf(LocalDateTime.of(2026, 1, day, hour, 0))
 
   private def addEventFile(flat: String, base: java.nio.file.Path,
-      name: String, rows: Seq[(Long, Timestamp, Double)]): Unit = {
-    val tmp = base.resolve(name + ".tmp").toString
-    rows.toDF("order_id", "event_time", "amount").coalesce(1).write.parquet(tmp)
-    val part = new java.io.File(tmp).listFiles()
-      .filter(_.getName.endsWith(".parquet")).head
-    Files.move(part.toPath, new java.io.File(s"$flat/$name.parquet").toPath)
-  }
+      name: String, rows: Seq[(Long, Timestamp, Double)]): Unit =
+    StreamFiles.landOne(base, flat, name,
+      rows.toDF("order_id", "event_time", "amount"))
 
   test("kill mid-drain, resume: daily totals exact, late row in the error channel exactly once") {
     val base = Files.createTempDirectory("graft-wm-stream")
