@@ -69,6 +69,13 @@ object Sessions {
   /** Session tuning every entry point applies. Idempotent. */
   def tune(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The driver's generator writes naive timestamp[us] columns
+    // (isAdjustedToUTC=false). Left to the default inference those
+    // surface as TIMESTAMP_NTZ, which unix_micros()/to_utc_timestamp()
+    // reject outright — read them as the session-UTC TIMESTAMP instead,
+    // which is value-identical (the session TZ is pinned to UTC
+    // everywhere) and matches how DuckDB's naive TIMESTAMP compares.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     // InferFiltersFromGenerate turns every explode(f(x)) into a pushed-down
     // scan filter `size(f(x)) > 0` that re-evaluates f — for the dedup

@@ -275,13 +275,18 @@ object GraphOps extends OpModule {
           s" i -> slice(all, i*$sliceK+1, $sliceK))")).as("nbrs"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     adj.count()
-    // first lookup may shuffle (skinny edges meet node-sized arrays);
-    // the second is the size-gated one — each dst slice joins in, each
-    // intersection element is counted once (slices partition the list)
+    // BOTH lookups ride the size gate: adj is persisted+counted (the
+    // contract), so while the sliced-adjacency table measures under
+    // budget it broadcasts — the edge list then never exchanges at all
+    // (measured −2 s at sf0.1 vs a forced shuffle_hash here) — and on
+    // an over-budget graph the gate degrades this join to shuffle_hash
+    // exactly as before. Each dst slice joins in, each intersection
+    // element is counted once (slices partition the list).
     val perEdge = sizeGatedJoin(
-      oriented.join(
-        adj.select(col("src"), col("nbrs").as("nu")).hint("shuffle_hash"),
-        Seq("src")),
+      sizeGatedJoin(
+        oriented,
+        adj.select(col("src"), col("nbrs").as("nu")),
+        Seq("src"), broadcastBudget),
       adj.select(col("src").as("dst"), col("nbrs").as("nw")),
       Seq("dst"), broadcastBudget)
       .select(col("src").as("u"), col("dst").as("v"),
@@ -320,14 +325,15 @@ object GraphOps extends OpModule {
       adj.agg(coalesce(max(col("slice")), lit(0)).as("m")).head.getInt(0) > 0
     val edges = adj.select(col("src"), explode(col("nbrs")).as("dst"))
       .filter(col("src") < col("dst"))
-    // same second-lookup rule as triangleCounts: the first join may
-    // shuffle, the second is size-gated — re-exchanging rows that
-    // already carry `nu` would move the arrays a second time
+    // same rule as triangleCounts: both lookups ride the size gate
+    // (adj is persisted+counted) — a small adjacency broadcasts and the
+    // exploded edge list never exchanges; an over-budget one degrades
+    // to shuffle_hash with adj as the build side
     val perPair = sizeGatedJoin(
-      edges.join(
-        adj.select(col("src"), col("nbrs").as("nu"), col("deg").as("deg_u"))
-          .hint("shuffle_hash"),
-        Seq("src")),
+      sizeGatedJoin(
+        edges,
+        adj.select(col("src"), col("nbrs").as("nu"), col("deg").as("deg_u")),
+        Seq("src"), broadcastBudget),
       adj.select(col("src").as("dst"), col("nbrs").as("nv"),
         col("deg").as("deg_v")),
       Seq("dst"), broadcastBudget)

@@ -864,6 +864,82 @@ object TextOps extends OpModule {
       sort = Seq("doc_id", "rnk")
     ),
 
+    // ── BM25 ranking: the SCORING counterpart of ta_boolean_search —
+    // top-15 documents for a fixed query under the BM25 tf-saturation
+    // model. Engine-exact by the family's conventions: the idf is the
+    // RATIONAL (N+1)/(df+0.5) (log-free — same reasoning as ta_tfidf:
+    // ln() hands each engine's libm the last ulp; the rational form is
+    // monotone in 1/df, which is all the ranking consumes), the
+    // saturation term tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) is pure
+    // IEEE arithmetic written in the same shape on both sides (k1=1.2,
+    // b=0.75), avgdl is an exact integer sum over one division (never
+    // an incremental double avg — accumulation order differs between
+    // engines), and the per-term scores sum through DECIMAL(38,9) so
+    // the 3-addend addition is order-free. Shape at scale: the IN-list
+    // prunes the exploded token stream to query-term rows before any
+    // exchange; df reuses the tf aggregate (3 rows, broadcast); dl is
+    // a narrow per-doc projection joined on doc_id; the top-15 is
+    // TakeOrderedAndProject, never a global sort. ──
+    "ta_bm25" -> Q(
+      (s, d) => {
+        val terms = Seq("query", "window", "merge")
+        val base = Tables.documents(s, d)
+          .select(col("doc_id"),
+            filter(toksCol, t => t =!= lit("")).as("toks"))
+        val dls = base.select(col("doc_id"),
+          size(col("toks")).cast(LongType).as("dl"))
+        val stats = dls.agg(
+          (sum(col("dl")).cast(DoubleType) / count(lit(1))).as("avgdl"),
+          count(lit(1)).as("n"))
+        val tf = base.select(col("doc_id"), explode(col("toks")).as("term"))
+          .where(col("term").isin(terms: _*))
+          .groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        tf.join(broadcast(df), Seq("term"))
+          .join(dls, Seq("doc_id"))
+          .crossJoin(broadcast(stats))
+          .withColumn("term_score",
+            ((col("n") + lit(1.0)) / (col("df") + lit(0.5))) *
+              ((col("tf") * lit(2.2)) /
+                (col("tf") + lit(1.2) *
+                  (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl"))))))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_terms"),
+            sum(col("term_score").cast(DecimalType(38, 9)))
+              .cast(DoubleType).as("score"))
+          .orderBy(col("score").desc, col("doc_id").asc)
+          .limit(15)
+      },
+      Some(s"""WITH base AS (
+              |  SELECT doc_id, list_filter($toksSql, t -> t <> '') AS toks
+              |  FROM documents),
+              |dls AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM base),
+              |stats AS (
+              |  SELECT sum(dl)::DOUBLE / count(*) AS avgdl,
+              |         count(*)::BIGINT AS n
+              |  FROM dls),
+              |tf AS (
+              |  SELECT doc_id, term, count(*)::BIGINT AS tf
+              |  FROM (SELECT doc_id, unnest(toks) AS term FROM base)
+              |  WHERE term IN ('query', 'window', 'merge')
+              |  GROUP BY 1, 2),
+              |df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+              |scored AS (
+              |  SELECT doc_id,
+              |    ((n + 1.0) / (df + 0.5)) *
+              |      ((tf * 2.2) /
+              |        (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))) AS term_score
+              |  FROM tf JOIN df USING (term) JOIN dls USING (doc_id)
+              |  CROSS JOIN stats)
+              |SELECT doc_id, count(*)::BIGINT AS n_terms,
+              |  CAST(SUM(CAST(term_score AS DECIMAL(38,9))) AS DOUBLE) AS score
+              |FROM scored GROUP BY 1
+              |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin),
+      doc = "LLM-pipeline: BM25 top-15 ranking (rational log-free idf, order-free decimal term sum)",
+      sort = Nil
+    ),
+
     // ── Inverted index: per term, document frequency + a CAPPED posting
     // list (first 10 doc_ids). The posting cap is enforced BEFORE any
     // array materializes — a per-term row_number ≤ 10 (WindowGroupLimit

@@ -94,15 +94,18 @@ class PlanAuditSpec extends AnyFunSuite {
     val pf = plan("dedup_prefix_filter")
     assert(pf.contains("shingle_explode"), "generator missing from the plan")
     assert(!pf.contains("BroadcastNestedLoopJoin") && !pf.contains("CartesianProduct"))
-    // graph second adjacency lookup broadcasts AT THIS SCALE (the size
-    // gate sees adj under budget; `HubSafeGraphSpec` audits the
-    // over-budget shuffle-hash regime and its value equivalence); the
-    // first lookup stays a hash join (edge_jaccard's joins sit behind
-    // its localCheckpoint and aren't in the final plan string —
-    // triangles carries the same shape)
-    val tri = plan("graph_triangles")
-    assert(tri.contains("BroadcastHashJoin"), "triangles: adj lookup must broadcast")
-    assert(tri.contains("ShuffledHashJoin"), "triangles: first lookup stays a shuffle join")
+    // BOTH adjacency lookups broadcast AT THIS SCALE (the size gate
+    // sees the persisted adj under budget — the edge list then never
+    // exchanges; `HubSafeGraphSpec` audits the over-budget shuffle-hash
+    // regime and its value equivalence). Only the plan above the cache
+    // boundary counts: InMemoryRelation dumps replay the orientation
+    // build's own joins. (edge_jaccard's joins sit behind its
+    // localCheckpoint and aren't in the final plan string — triangles
+    // carries the same shape)
+    val tri = plan("graph_triangles").split("InMemoryRelation").head
+    assert(tri.contains("BroadcastHashJoin"), "triangles: adj lookups must broadcast")
+    assert(!tri.contains("ShuffledHashJoin"),
+      "triangles: an under-budget adj lookup must not shuffle the edge list")
     // PIT join: interval containment must ride the custkey EQUI join —
     // a pure range condition would degrade to a nested loop
     assert(!plan("t8_pit_join").contains("BroadcastNestedLoopJoin"),
