@@ -142,4 +142,18 @@ object Pipeline {
     streaming.DedupIngest.start(
       spark, docsDir, warehouseDir, checkpointDir, filesPerTrigger)
   }
+
+  /** Continuous near-dup ingest (banded-LSH + exact-Jaccard verify,
+    * batch-scaled work, table-held state) — see
+    * [[streaming.NearDupIngest]]. */
+  def runNearDupIngest(
+      spark: SparkSession,
+      docsDir: String,
+      warehouseDir: String,
+      checkpointDir: String,
+      filesPerTrigger: Int = 1): StreamingQuery = {
+    Sessions.tune(spark)
+    streaming.NearDupIngest.start(
+      spark, docsDir, warehouseDir, checkpointDir, filesPerTrigger)
+  }
 }

@@ -79,7 +79,7 @@ object DedupOps extends OpModule {
     * conv/substring/md5 chain ran the digest twice and round-tripped
     * through hex; bit-equivalence is pinned in `PHashPairSpec` and the
     * oracle still replays the hex form). One shuffled row per doc. */
-  private def bandSigs(sets: DataFrame, numHashes: Int, bandRows: Int): DataFrame =
+  private[graft] def bandSigs(sets: DataFrame, numHashes: Int, bandRows: Int): DataFrame =
     bandSigsFromRows(
       sets.select(col("doc_id"), explode(col("shingles")).as("sh")),
       numHashes, bandRows)
@@ -146,7 +146,7 @@ object DedupOps extends OpModule {
     * pairs × 250-element sets, and the shape that survives 100 TB.
     * Candidates sharing zero shingles drop out of the inner join, which a
     * positive threshold filters anyway. */
-  private def jaccardPairs(pairs: DataFrame, sets: DataFrame, thresh: Double): DataFrame =
+  private[graft] def jaccardPairs(pairs: DataFrame, sets: DataFrame, thresh: Double): DataFrame =
     jaccardPairsFromRows(pairs,
       sets.select(col("doc_id"), explode(col("shingles")).as("sh")),
       sets.select(col("doc_id"), size(col("shingles")).as("sz")),

@@ -1,0 +1,207 @@
+package graft.streaming
+
+import graft.operators.DedupOps
+import graft.sinks.UpsertWriter
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+import java.nio.file.{Files, Paths}
+
+/** Continuous NEAR-dup ingest — the streaming form of
+  * `dedup_incremental` (new batch × existing corpus at banded-LSH
+  * candidates only), with [[DedupIngest]]'s state discipline: all
+  * dedup state lives in TABLES, never in operator memory, so restarts
+  * restate instead of duplicating and state compacts like any table.
+  *
+  * Per micro-batch:
+  *
+  *  1. WITHIN-BATCH clustering: band signatures (32 hashes, 8×4 bands
+  *     — the family's standard J≥0.8 operating point) self-join into
+  *     candidate pairs, exact 3-gram Jaccard verifies them, and
+  *     min-label propagation ([[DedupOps.survivorsToFixpoint]]) picks
+  *     one representative per near-dup cluster (lowest doc_id — a
+  *     total order, so a replayed batch picks the same winners).
+  *  2. VS-CORPUS check: the winners' band signatures equi-join the
+  *     stored signature INDEX table — per-ingest work scales with the
+  *     batch, never the corpus — and collisions verify by exact
+  *     Jaccard against only the colliding survivors' texts (semi-join
+  *     pruned). A winner matching an admitted survivor at ≥ threshold
+  *     is dropped; cluster members it represented fall with it (the
+  *     representative carries the cluster, the standard
+  *     streaming-dedup contract).
+  *  3. ADMIT: fresh winners upsert into the survivors table (keyed by
+  *     doc_id) and their signatures append to the index (keyed by
+  *     (band, sig, doc_id)) — both idempotent under replay. A crashed
+  *     attempt's rows are keyed identically, so the retry restates
+  *     them; self-collisions in the index check are filtered on
+  *     doc_id, so a replayed winner never drops against its own
+  *     crashed-attempt signature row.
+  *
+  * The admission log is keyed by batch_id and written LAST, with the
+  * admitted count read back from the TABLE (attempt-invariant), the
+  * same crash argument as [[DedupIngest]].
+  *
+  * Scale posture: the index table IS `dedup_incremental`'s "stored
+  * band signatures you append to" — (band, sig, doc_id) skinny rows,
+  * bucketed by (band, sig) upstream of the join at 100 TB; candidate
+  * work is bucket collisions only; Jaccard verify ships skinny
+  * (pair, shingle) rows, never whole arrays.
+  */
+object NearDupIngest {
+
+  /** Start the near-dup worker draining parquet document files from
+    * `inputDir` (schema must carry `doc_id` and `text`; extra columns
+    * ride into the survivors table). AvailableNow drain-and-stop +
+    * checkpoint, like every worker in this package. */
+  def start(
+      spark: SparkSession,
+      inputDir: String,
+      warehouseDir: String,
+      checkpointDir: String,
+      filesPerTrigger: Int = 1,
+      numHashes: Int = 32,
+      bandRows: Int = 4,
+      thresh: Double = 0.8): StreamingQuery = {
+
+    val survivorsDir = s"$warehouseDir/neardup_survivors"
+    val indexDir = s"$warehouseDir/neardup_index"
+    val logDir = s"$warehouseDir/neardup_log"
+    val schema = spark.read.parquet(inputDir).schema
+
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", filesPerTrigger)
+      .parquet(inputDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        // NULL text → '' (same reasoning as DedupIngest: NULL must be
+        // one content class, not an ever-fresh row); word_shingles('')
+        // is empty, so null/short docs are singletons that always admit
+        val docs = batch
+          .withColumn("text", coalesce(col("text"), lit("")))
+          .persist()
+        try {
+          val nIn = docs.count()
+          val sets = docs
+            .select(col("doc_id"),
+              call_function("word_shingles", col("text"), lit(3)).as("shingles"))
+            .persist()
+          val sigs = DedupOps.bandSigs(sets, numHashes, bandRows).persist()
+          sigs.count()
+          try {
+            // 1. within-batch clusters → one winner per cluster
+            val candIn = sigs.as("x").hint("shuffle_hash")
+              .join(sigs.as("y").hint("shuffle_hash"),
+                col("x.band") === col("y.band") &&
+                  col("x.sig") === col("y.sig") &&
+                  col("x.doc_id") < col("y.doc_id"))
+              .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+              .distinct()
+            val pairsIn = DedupOps.jaccardPairs(candIn, sets, thresh)
+            val edges = pairsIn
+              .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+              .union(pairsIn.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+            val winners = docs.join(
+              DedupOps.survivorsToFixpoint(docs.select(col("doc_id")), edges)
+                .filter(col("is_survivor")).select(col("doc_id")),
+              Seq("doc_id"), "left_semi")
+              .persist()
+            try {
+              val nWinners = winners.count()
+
+              // 2. winners vs the stored corpus, candidates from the
+              // index table only; self-matches (a crashed attempt's own
+              // rows) are filtered on doc_id
+              val dupVsCorpus =
+                if (!Files.exists(Paths.get(indexDir, "_SUCCESS")))
+                  winners.limit(0).select(col("doc_id"))
+                else {
+                  val idx = s.read.parquet(indexDir)
+                    .select(col("band"), col("sig"), col("doc_id").as("doc_b"))
+                  val candX = sigs
+                    .join(winners.select(col("doc_id")), Seq("doc_id"), "left_semi")
+                    .join(idx, Seq("band", "sig"))
+                    .filter(col("doc_id") =!= col("doc_b"))
+                    .select(col("doc_id").as("doc_a"), col("doc_b"))
+                    .distinct()
+                  val oldSets = s.read.parquet(survivorsDir)
+                    .join(candX.select(col("doc_b").as("doc_id")).distinct(),
+                      Seq("doc_id"), "left_semi")
+                    .select(col("doc_id"),
+                      call_function("word_shingles", col("text"), lit(3))
+                        .as("shingles"))
+                  DedupOps.jaccardPairs(
+                      candX, sets.unionByName(oldSets), thresh)
+                    .select(col("doc_a").as("doc_id")).distinct()
+                }
+
+              // 3. admit fresh winners: survivors row + index signatures
+              val fresh = winners
+                .join(dupVsCorpus, Seq("doc_id"), "left_anti")
+                .withColumn("batch_id", lit(batchId))
+                .persist()
+              try {
+                val nFresh = fresh.count()
+                if (nFresh > 0) {
+                  UpsertWriter.upsert(s, survivorsDir, fresh,
+                    keys = Seq("doc_id"), versionCol = "batch_id")
+                  UpsertWriter.upsert(s, indexDir,
+                    sigs.join(fresh.select(col("doc_id")), Seq("doc_id"), "left_semi")
+                      .withColumn("batch_id", lit(batchId)),
+                    keys = Seq("band", "sig", "doc_id"), versionCol = "batch_id")
+                }
+
+                // log LAST, admissions counted from the table
+                // (attempt-invariant under replay — see DedupIngest)
+                val nAdmitted =
+                  if (!Files.exists(Paths.get(survivorsDir, "_SUCCESS"))) 0L
+                  else s.read.parquet(survivorsDir)
+                    .filter(col("batch_id") === batchId).count()
+                import s.implicits._
+                UpsertWriter.upsert(s, logDir,
+                  Seq((batchId, nIn, nIn - nWinners, nWinners - nAdmitted,
+                    nAdmitted))
+                    .toDF("batch_id", "n_in", "n_batch_dupes",
+                      "n_corpus_dupes", "n_admitted"),
+                  keys = Seq("batch_id"), versionCol = "batch_id")
+              } finally fresh.unpersist()
+            } finally winners.unpersist()
+          } finally { sigs.unpersist(); sets.unpersist() }
+        } finally docs.unpersist()
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  private def tableOrEmpty(
+      spark: SparkSession, dir: String, schema: StructType): DataFrame =
+    if (!Files.exists(Paths.get(dir, "_SUCCESS")))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.parquet(dir)
+
+  /** Serving view: every admitted (near-dup-unique) document. Empty —
+    * not an error — before the first admitting batch. */
+  def survivors(spark: SparkSession, warehouseDir: String): DataFrame =
+    tableOrEmpty(spark, s"$warehouseDir/neardup_survivors", StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("batch_id", LongType))))
+
+  /** Serving view: the stored band-signature index. */
+  def index(spark: SparkSession, warehouseDir: String): DataFrame =
+    tableOrEmpty(spark, s"$warehouseDir/neardup_index", StructType(Seq(
+      StructField("doc_id", LongType), StructField("band", IntegerType),
+      StructField("sig", StringType), StructField("batch_id", LongType))))
+
+  /** Serving view: the per-batch admission log. */
+  def ingestLog(spark: SparkSession, warehouseDir: String): DataFrame =
+    tableOrEmpty(spark, s"$warehouseDir/neardup_log", StructType(Seq(
+      StructField("batch_id", LongType), StructField("n_in", LongType),
+      StructField("n_batch_dupes", LongType),
+      StructField("n_corpus_dupes", LongType),
+      StructField("n_admitted", LongType))))
+}
