@@ -58,22 +58,90 @@ object HllExact {
   /** Register table (group..., idx, mj) for a distinct-count of `key`:
     * mj = max rho per register. This IS the sketch — m rows of mergeable
     * state per group (merge = max per idx). */
-  def registers(df: DataFrame, groupCols: Seq[String], key: Column): DataFrame = {
+  def registers(df: DataFrame, groupCols: Seq[String], key: Column): DataFrame =
+    registersWith(df, groupCols, Exprs.phash(key.cast(StringType)))
+
+  /** [[registers]] with the md5-FREE integer hash — the fast-scan form
+    * for BIGINT keys ([[hash60]]): same register layout, same estimate
+    * contract, ~none of the per-row digest cost that dominates the
+    * sketch's one pass over the data at scale. Use when the key is an
+    * integer surrogate (the common case for id cardinalities); the
+    * md5 form remains the one hash family for arbitrary strings. */
+  def registersFast(df: DataFrame, groupCols: Seq[String], key: Column): DataFrame =
+    registersWith(df, groupCols, hash60(key.cast(LongType)))
+
+  private def registersWith(df: DataFrame, groupCols: Seq[String], h: Column): DataFrame = {
     val g = groupCols.map(col)
     // NULL keys contribute no register but KEEP their group alive:
-    // h = phash(NULL) is NULL → idx NULL, rho forced NULL (unguarded,
+    // h = hash(NULL) is NULL → idx NULL, rho forced NULL (unguarded,
     // the rho CASE's ELSE would stamp RMAX and count NULL as one
     // distinct value). [[estimate]] counts only non-NULL registers, so
     // a group whose keys are all NULL estimates 0 — exactly
     // approx_count_distinct's contract; a filter here instead made
     // such groups VANISH from the output.
-    df.select(g :+ Exprs.phash(key.cast(StringType)).as("h"): _*)
+    df.select(g :+ h.as("h"): _*)
       .select(g ++ Seq(
         pmod(col("h"), lit(M.toLong)).as("idx"),
         when(col("h").isNull, lit(null))
           .otherwise(expr(s"${rhoCase(s"(h div $M)")}")).as("rho")): _*)
       .groupBy(g :+ col("idx"): _*)
       .agg(max(col("rho")).as("mj"))
+  }
+
+  // ─────────────────── md5-free 60-bit integer hash ───────────────────
+
+  private val B30 = 1L << 30
+  private val Mask30 = B30 - 1
+  // murmur3-finalizer / golden-ratio constants for the round functions
+  private val RoundA = Seq(2654435769L, 2246822507L, 3266489909L, 2654435761L)
+  private val RoundB = Seq(374761393L, 668265263L, 2654435761L, 1597334677L)
+
+  /** PORTABLE 60-bit integer hash with real avalanche: a 4-round
+    * Feistel permutation on the key's two 30-bit halves, round function
+    * = multiply-shift (middle bits of `a·R + b`), halves combined by
+    * xor. Affine families (Lehmer/pmix2 streams) are PERMUTATIONS of
+    * each residue class — sequential id keys then land in too-uniform
+    * a register pattern (too FEW idx collisions vs Poisson), and the
+    * linear-counting branch overestimates by ~10% on the fixture; the
+    * Feistel xor rounds break that structure (the SketchSpec
+    * sequential-key pin is the regression test). Every intermediate
+    * stays below 2^62 — exact in any engine's signed 64-bit integers,
+    * using only ops both engines define identically on non-negatives
+    * (`*`, `+`, `%`, `//`-shift, `&`, xor) — and [[hash60Sql]] replays
+    * it bit-for-bit. NULL in → NULL out, the contract
+    * [[registersWith]]'s NULL-group handling relies on. */
+  private[graft] def hash60(key: Column): Column = {
+    val x = pmod(key, lit(1L << 60))
+    var l = x.bitwiseAND(lit(Mask30))
+    // fold the low half into the high half up front ((l,r)→(l,r⊕l) is
+    // still a bijection): id-like keys live entirely in the low 30
+    // bits, and a constant-zero high half would waste round 1
+    var r = shiftright(x, 30).bitwiseXOR(l)
+    for (i <- RoundA.indices) {
+      val f = shiftright(r * lit(RoundA(i)) + lit(RoundB(i)), 15)
+        .bitwiseAND(lit(Mask30))
+      val nr = l.bitwiseXOR(f)
+      l = r
+      r = nr
+    }
+    l * lit(B30) + r
+  }
+
+  /** DuckDB twin of [[hash60]] (floored-mod normalization; `>>`/`&`/
+    * `xor()` on non-negative BIGINTs match Spark's shiftright/
+    * bitwiseAND/bitwiseXOR bit-for-bit). */
+  private[graft] def hash60Sql(x0: String): String = {
+    val m = 1L << 60
+    val x = s"(((CAST($x0 AS BIGINT) % $m) + $m) % $m)"
+    var l = s"($x & $Mask30)"
+    var r = s"xor(($x >> 30), $l)"
+    for (i <- RoundA.indices) {
+      val f = s"(((($r) * ${RoundA(i)} + ${RoundB(i)}) >> 15) & $Mask30)"
+      val nr = s"xor($l, $f)"
+      l = r
+      r = nr
+    }
+    s"(($l) * $B30 + ($r))"
   }
 
   /** Collapse a register table to the HLL estimate (BIGINT `outName`).
@@ -119,7 +187,23 @@ object HllExact {
 
   /** Just the register CTE `<prefix>_r` (for merge/rollup chains). */
   def registersSql(prefix: String, from: String, groups: Seq[String],
-      keyExpr: String): String = {
+      keyExpr: String): String =
+    registersSqlWith(prefix, from, groups,
+      Exprs.phashSql(s"CAST($keyExpr AS VARCHAR)"))
+
+  /** DuckDB twin of [[registersFast]] (the md5-free integer hash). */
+  def registersFastSql(prefix: String, from: String, groups: Seq[String],
+      keyExpr: String): String =
+    registersSqlWith(prefix, from, groups, hash60Sql(keyExpr))
+
+  /** [[chainSql]] on the md5-free integer hash ([[registersFast]]). */
+  def chainSqlFast(prefix: String, from: String, groups: Seq[String],
+      keyExpr: String, outName: String): String =
+    s"""${registersFastSql(prefix, from, groups, keyExpr)},
+       |${estimateSql(prefix, s"${prefix}_r", groups, outName)}""".stripMargin
+
+  private def registersSqlWith(prefix: String, from: String,
+      groups: Seq[String], hExpr: String): String = {
     val gsel = groups.map(_ + ", ").mkString
     val grpIdx = (groups :+ "idx").mkString(", ")
     s"""${prefix}_r AS (
@@ -127,7 +211,7 @@ object HllExact {
        |  FROM (SELECT $gsel h % $M AS idx,
        |               CASE WHEN h IS NULL THEN NULL
        |                    ELSE ${rhoCase(s"(h // $M)")} END AS rho
-       |        FROM (SELECT $gsel ${Exprs.phashSql(s"CAST($keyExpr AS VARCHAR)")} AS h
+       |        FROM (SELECT $gsel $hExpr AS h
        |              FROM $from) ${prefix}_h) ${prefix}_w
        |  GROUP BY $grpIdx)""".stripMargin
   }

@@ -624,6 +624,35 @@ object RelationalOps extends OpModule {
       sort = Seq("l_returnflag")
     ),
 
+    // ── Sketch: the md5-FREE HLL — sk1's register pipeline with the
+    // portable 60-bit INTEGER hash ([[HllExact.hash60]]: a 4-round
+    // Feistel permutation with multiply-shift round functions)
+    // instead of the md5-derived phash. The sketch's one pass over the
+    // data is hash-dominated at scale, and id-typed keys don't need a
+    // string digest; the DuckDB twin replays the integer hash
+    // bit-for-bit, so this row is as oracle-gated as sk1. `SketchSpec`
+    // pins the fast hash's estimate-vs-exact accuracy separately (a
+    // weak hash would show up there as bias). ──
+    "sk9_hll_fast_distinct" -> Q(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val orders = HllExact.estimate(
+          HllExact.registersFast(li, Seq("l_returnflag"), $("l_orderkey")),
+          Seq("l_returnflag"), "approx_orders")
+        val parts = HllExact.estimate(
+          HllExact.registersFast(li, Seq("l_returnflag"), $("l_partkey")),
+          Seq("l_returnflag"), "approx_parts")
+        orders.join(parts, Seq("l_returnflag"))
+      },
+      Some(s"""WITH ${HllExact.chainSqlFast("o", "lineitem", Seq("l_returnflag"), "l_orderkey", "approx_orders")},
+              |${HllExact.chainSqlFast("p", "lineitem", Seq("l_returnflag"), "l_partkey", "approx_parts")}
+              |SELECT o_e.l_returnflag, approx_orders, approx_parts
+              |FROM o_e JOIN p_e ON o_e.l_returnflag = p_e.l_returnflag
+              |ORDER BY 1""".stripMargin),
+      doc = "Extension: md5-free HLL distinct counts (portable Feistel integer hash — the fast-scan form for integer keys)",
+      sort = Seq("l_returnflag")
+    ),
+
     // ── Sketch: approximate quantiles — the 100 TB path for a8's exact
     // interpolated percentiles. percentile_approx's GK sketch is
     // mergeable fixed-size state (map-side partials, one tiny shuffle)

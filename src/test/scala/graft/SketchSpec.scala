@@ -36,6 +36,34 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("sk9: md5-free hash matches the accuracy contract, incl. sequential keys") {
+    val sf = TestSpark.sf0001
+    val approx = SparkEntry.queries("sk9_hll_fast_distinct")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("o"),
+        countDistinct(col("l_partkey")).as("p"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(approx.keySet == exact.keySet)
+    for ((k, (eo, ep)) <- exact) {
+      val (ao, ap) = approx(k)
+      assert(math.abs(ao - eo).toDouble / eo < 0.05, s"$k orders: $ao vs $eo")
+      assert(math.abs(ap - ep).toDouble / ep < 0.05, s"$k parts: $ap vs $ep")
+    }
+    // 100k SEQUENTIAL keys — the adversarial input for a weak integer
+    // hash (the fixture cardinalities ride linear counting; this pushes
+    // the estimate onto the raw-HLL branch, where register-rank bias
+    // from a non-avalanching hash would surface as gross error)
+    import spark.implicits._
+    val seqKeys = spark.range(1, 100001).toDF("key")
+    val est = graft.operators.HllExact.estimate(
+      graft.operators.HllExact.registersFast(seqKeys, Nil, col("key")),
+      Nil, "n").head().getLong(0)
+    assert(math.abs(est - 100000L).toDouble / 100000 < 0.05,
+      s"sequential-key estimate $est strayed >5% from 100000")
+  }
+
   test("sk1: NULL keys contribute nothing to the HLL estimate") {
     import spark.implicits._
     val withNulls = ((1 to 200).map(i => Some(s"k$i")) ++
