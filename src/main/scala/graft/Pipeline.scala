@@ -143,6 +143,20 @@ object Pipeline {
       spark, docsDir, warehouseDir, checkpointDir, filesPerTrigger)
   }
 
+  /** Continuous ANN-index maintenance (frozen coarse quantizer,
+    * nearest-centroid cell assignment, cell-probed search) — see
+    * [[streaming.AnnIngest]]. */
+  def runAnnIngest(
+      spark: SparkSession,
+      vecsDir: String,
+      warehouseDir: String,
+      checkpointDir: String,
+      filesPerTrigger: Int = 1): StreamingQuery = {
+    Sessions.tune(spark)
+    streaming.AnnIngest.start(
+      spark, vecsDir, warehouseDir, checkpointDir, filesPerTrigger)
+  }
+
   /** Continuous near-dup ingest (banded-LSH + exact-Jaccard verify,
     * batch-scaled work, table-held state) — see
     * [[streaming.NearDupIngest]]. */

@@ -1,0 +1,189 @@
+package graft.streaming
+
+import graft.operators.AnnOps
+import graft.sinks.UpsertWriter
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+import java.nio.file.{Files, Paths}
+
+/** Continuous ANN-index maintenance — the IVF ingest loop every
+  * embedding store runs: a fixed coarse quantizer assigns each arriving
+  * vector to its nearest centroid's cell, and the vector lands in that
+  * cell's postings. Searches then probe a handful of cells instead of
+  * the corpus ([[search]]) — the `ann_topk_ivf` family's contract, kept
+  * current by a stream.
+  *
+  * State discipline is the package standard ([[DedupIngest]]): the
+  * centroid table and the postings index are ordinary keyed tables —
+  * no operator state, restarts restate because assignment is a pure
+  * function of (vector, stored centroids) and the upsert is keyed by
+  * vec_id; the log is keyed by batch_id and written last.
+  *
+  * TRAINING: the first non-empty batch bootstraps the quantizer — one
+  * centroid per `label` cell via the engine-exact fixed-point mean
+  * (`ann_ivf_centroids`' formula). From then on the centroids are
+  * FROZEN: later vectors are assigned by nearest-centroid cosine, NOT
+  * by their label — the standard IVF contract (training distribution
+  * fixes the cells; drift shows up as unbalanced cells, audited from
+  * the log's per-batch cell spread, and a retrain is a new table).
+  *
+  * Scale posture: assignment is one broadcast of k centroid rows
+  * against the batch (map-only argmax, no shuffle of the corpus);
+  * per-ingest work scales with the batch; the postings table is
+  * partitionable by cell, and [[search]] reads only the probed cells'
+  * postings (partition-pruned at real scale).
+  */
+object AnnIngest {
+
+  /** Start the ANN-ingest worker draining parquet embedding files
+    * (schema: vec_id, embedding array<float>, label) from `inputDir`.
+    * AvailableNow drain-and-stop + checkpoint. */
+  def start(
+      spark: SparkSession,
+      inputDir: String,
+      warehouseDir: String,
+      checkpointDir: String,
+      filesPerTrigger: Int = 1): StreamingQuery = {
+
+    val centroidsDir = s"$warehouseDir/ann_centroids"
+    val indexDir = s"$warehouseDir/ann_index"
+    val logDir = s"$warehouseDir/ann_log"
+    val schema = spark.read.parquet(inputDir).schema
+
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", filesPerTrigger)
+      .parquet(inputDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val vecs = AnnOps.withNorm(batch).persist()
+        try {
+          val nIn = vecs.count()
+          if (nIn > 0) {
+            // bootstrap the quantizer from the FIRST batch (frozen
+            // after — written once, before the index, so a crash
+            // between the writes replays assignment against the
+            // identical centroids)
+            if (!Files.exists(Paths.get(centroidsDir, "_SUCCESS"))) {
+              // zip_with fold over the collected vectors is a per-cell
+              // buffer — fine for k small cells; the REGISTERED
+              // ann_ivf_centroids shows the shuffle-free (i,j)-partial
+              // form used at scale. Quantized to 1e-7 like the batch
+              // query, so retraining replays bit-identically.
+              val cents = vecs.groupBy(col("label").as("cell"))
+                .agg(collect_list(col("v")).as("vs"))
+                .select(col("cell"), transform(
+                  aggregate(
+                    col("vs"),
+                    array_repeat(lit(0.0), 64),
+                    (acc, x) => zip_with(acc, x, (a, b) => a + round(b * 1e7))),
+                  x => x / 1e7 / size(col("vs"))).as("centroid"))
+              val withN = cents.withColumn("cnorm",
+                sqrt(AnnOps.dot(col("centroid"), col("centroid"))))
+                .withColumn("batch_id", lit(batchId))
+              UpsertWriter.upsert(s, centroidsDir, withN,
+                keys = Seq("cell"), versionCol = "batch_id")
+            }
+
+            // nearest-centroid assignment: k centroid rows broadcast,
+            // map-only argmax (cell asc breaks cosine ties — and gives
+            // zero-norm vectors a deterministic home)
+            val cents = broadcast(s.read.parquet(centroidsDir)
+              .select(col("cell"), col("centroid"), col("cnorm")))
+            val w = Window.partitionBy(col("vec_id"))
+              .orderBy(col("score").desc, col("cell").asc)
+            val assigned = vecs.crossJoin(cents)
+              .withColumn("score",
+                AnnOps.dot(col("v"), col("centroid")) /
+                  (col("norm") * col("cnorm")))
+              .withColumn("__rn", row_number().over(w))
+              .filter(col("__rn") === 1)
+              .select(col("cell"), col("vec_id"), col("label"),
+                col("v"), col("norm"), lit(batchId).as("batch_id"))
+            UpsertWriter.upsert(s, indexDir, assigned,
+              keys = Seq("vec_id"), versionCol = "batch_id")
+          }
+
+          // log last; indexed count read from the TABLE (a replayed
+          // batch restates its rows under the same keys)
+          val nIndexed =
+            if (!Files.exists(Paths.get(indexDir, "_SUCCESS"))) 0L
+            else s.read.parquet(indexDir)
+              .filter(col("batch_id") === batchId).count()
+          val nCells =
+            if (!Files.exists(Paths.get(indexDir, "_SUCCESS"))) 0L
+            else s.read.parquet(indexDir)
+              .filter(col("batch_id") === batchId)
+              .select(col("cell")).distinct().count()
+          import s.implicits._
+          UpsertWriter.upsert(s, logDir,
+            Seq((batchId, nIn, nIndexed, nCells))
+              .toDF("batch_id", "n_in", "n_indexed", "n_cells_touched"),
+            keys = Seq("batch_id"), versionCol = "batch_id")
+        } finally vecs.unpersist()
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** IVF search over the streamed index: rank cells by query↔centroid
+    * cosine, probe the top `nprobe` cells, exact cosine top-`k` within
+    * their postings. `queries` must be a small (vec_id, v, norm)
+    * relation — it broadcasts twice. With `nprobe` ≥ the cell count
+    * this is EXACT brute-force search (the spec's equivalence pin);
+    * production picks nprobe ≪ cells and reads only those partitions. */
+  def search(
+      spark: SparkSession, warehouseDir: String,
+      queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val cents = spark.read.parquet(s"$warehouseDir/ann_centroids")
+    val idx = spark.read.parquet(s"$warehouseDir/ann_index")
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("v").as("qv"), col("norm").as("qn")))
+    val wCell = Window.partitionBy(col("query_id"))
+      .orderBy(col("cscore").desc, col("cell").asc)
+    val probed = q.crossJoin(broadcast(cents))
+      .withColumn("cscore",
+        AnnOps.dot(col("qv"), col("centroid")) / (col("qn") * col("cnorm")))
+      .withColumn("__rn", row_number().over(wCell))
+      .filter(col("__rn") <= nprobe)
+      .select(col("query_id"), col("qv"), col("qn"), col("cell"))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    probed.join(idx, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (AnnOps.dot(col("qv"), col("v")) / (col("qn") * col("norm")))
+          .as("cos"))
+      .withColumn("rank", row_number().over(wTop).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
+  private def tableOrEmpty(
+      spark: SparkSession, dir: String, schema: StructType): DataFrame =
+    if (!Files.exists(Paths.get(dir, "_SUCCESS")))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.parquet(dir)
+
+  /** Serving view: the postings index (cell, vec_id, v, norm). */
+  def index(spark: SparkSession, warehouseDir: String): DataFrame =
+    tableOrEmpty(spark, s"$warehouseDir/ann_index", StructType(Seq(
+      StructField("cell", IntegerType), StructField("vec_id", LongType),
+      StructField("label", IntegerType),
+      StructField("v", ArrayType(DoubleType)),
+      StructField("norm", DoubleType), StructField("batch_id", LongType))))
+
+  /** Serving view: the per-batch ingest log. */
+  def ingestLog(spark: SparkSession, warehouseDir: String): DataFrame =
+    tableOrEmpty(spark, s"$warehouseDir/ann_log", StructType(Seq(
+      StructField("batch_id", LongType), StructField("n_in", LongType),
+      StructField("n_indexed", LongType),
+      StructField("n_cells_touched", LongType))))
+}

@@ -1,0 +1,84 @@
+package graft
+
+import graft.operators.AnnOps
+import graft.streaming.AnnIngest
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Pipeline.runAnnIngest end to end: continuous IVF index maintenance,
+  * KILLED mid-drain and resumed — every vector indexed exactly once,
+  * the quantizer frozen at the first batch, and full-probe search
+  * EXACTLY equal to brute-force cosine top-k (probing every cell is
+  * exhaustive search, so the equivalence is an equality, not a recall
+  * bound). */
+class AnnIngestStreamSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("kill mid-drain, resume: index exactly-once, full-probe search = brute force") {
+    val base = Files.createTempDirectory("graft-ann-stream")
+    val flat = base.resolve("vecs").toString
+    val wh = base.resolve("wh").toString
+    val ckpt = base.resolve("ckpt").toString
+    new java.io.File(flat).mkdirs()
+
+    // the sf0.001 embeddings fixture, landed as 3 files (batches)
+    val all = Tables.embeddings(spark, TestSpark.sf0001)
+    val n = all.count()
+    for (b <- 0 until 3)
+      StreamFiles.landOne(base, flat, s"f$b",
+        all.filter(pmod(col("vec_id"), lit(3)) === b))
+
+    val q1 = Pipeline.runAnnIngest(spark, flat, wh, ckpt)
+    val indexDir = s"$wh/ann_index"
+    val deadline = System.currentTimeMillis() + 120000
+    def indexed(): Long =
+      if (!Files.exists(java.nio.file.Paths.get(indexDir, "_SUCCESS"))) 0L
+      else spark.read.parquet(indexDir).count()
+    while (indexed() < 1 && System.currentTimeMillis() < deadline)
+      Thread.sleep(100)
+    q1.stop()
+    q1.awaitTermination(60000)
+    val afterKill = indexed()
+    assert(afterKill >= 1, "run 1 never indexed a row")
+
+    val q2 = Pipeline.runAnnIngest(spark, flat, wh, ckpt)
+    q2.awaitTermination(120000)
+
+    // exactly-once: every vector indexed once, none duplicated
+    val idx = AnnIngest.index(spark, wh)
+    assert(idx.count() == n, s"index rows ${idx.count()} != $n vectors")
+    assert(idx.select(col("vec_id")).distinct().count() == n,
+      "duplicate vec_ids in the index after resume")
+
+    // full-probe search == brute-force exact top-5 (8 label cells)
+    val queries = AnnOps.withNorm(all.filter(col("vec_id") < 4))
+    val got = AnnIngest.search(spark, wh, queries, k = 5, nprobe = 64)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val corpus = AnnOps.withNorm(all)
+    val brute = queries.select(col("vec_id").as("query_id"),
+        col("v").as("qv"), col("norm").as("qn"))
+      .crossJoin(corpus)
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (AnnOps.dot(col("qv"), col("v")) / (col("qn") * col("norm"))).as("cos"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("neighbor_id").asc)).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == brute,
+      s"full-probe search diverged from brute force: ${got.diff(brute)} vs ${brute.diff(got)}")
+
+    // the kill genuinely interrupted the drain
+    assert(afterKill < n,
+      s"kill landed after the full drain ($afterKill rows) — test proved nothing")
+
+    // a drained checkpoint re-run is a no-op
+    val q3 = Pipeline.runAnnIngest(spark, flat, wh, ckpt)
+    q3.awaitTermination(120000)
+    assert(indexed() == n, "a drained checkpoint re-run must change nothing")
+  }
+}
