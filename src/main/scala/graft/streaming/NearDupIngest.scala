@@ -126,9 +126,15 @@ object NearDupIngest {
                     .filter(col("doc_id") =!= col("doc_b"))
                     .select(col("doc_id").as("doc_a"), col("doc_b"))
                     .distinct()
+                  // anti-join against the batch ids: a re-arrival REUSING
+                  // a survivor's doc_id would otherwise put two shingle
+                  // rows for one id into the verify relation (batch text
+                  // + stored text), double-joining the intersection
+                  // count; the batch version wins the verify
                   val oldSets = s.read.parquet(survivorsDir)
                     .join(candX.select(col("doc_b").as("doc_id")).distinct(),
                       Seq("doc_id"), "left_semi")
+                    .join(sets.select(col("doc_id")), Seq("doc_id"), "left_anti")
                     .select(col("doc_id"),
                       call_function("word_shingles", col("text"), lit(3))
                         .as("shingles"))
