@@ -429,6 +429,59 @@ object AsofOps extends OpModule {
               |GROUP BY 1 ORDER BY user_id""".stripMargin),
       doc = "Extension: time-weighted average per user (exact dsum numerator/denominator, one final division)",
       sort = Seq("user_id")
+    ),
+
+    // ── OHLC bars: per (user, hour) open/high/low/close — the
+    // time-series downsample every telemetry/market store serves.
+    // Engine-exact without arg_min/arg_max (whose tie semantics the
+    // engines don't share): open/close are row_number = 1 under the
+    // (ts, event_id) TOTAL order ascending/descending, values pass
+    // through untouched (no arithmetic → no rounding to disagree on),
+    // and the hour bucket is integer epoch-micros division. Shape at
+    // scale: two rank windows over the same (user, hour) partition —
+    // one exchange — then a hash agg; WindowGroupLimit does NOT apply
+    // (we keep max/min over all rows), but the windows carry no
+    // arrays and the partition count is the bucket count. ──
+    "ts4_ohlc" -> Q(
+      (s, d) => {
+        val hourUs = 3600L * 1000000L
+        val base = Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+          .withColumn("h", expr(s"unix_micros(ts) div $hourUs"))
+        val wA = Window.partitionBy(col("user_id"), col("h"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+        val wD = Window.partitionBy(col("user_id"), col("h"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        base
+          .withColumn("ra", row_number().over(wA))
+          .withColumn("rd", row_number().over(wD))
+          .groupBy(col("user_id"), col("h"))
+          .agg(
+            max(when(col("ra") === 1, col("value"))).as("open"),
+            max(col("value")).as("high"),
+            min(col("value")).as("low"),
+            max(when(col("rd") === 1, col("value"))).as("close"),
+            count(lit(1)).as("n_events"))
+      },
+      Some("""SELECT user_id, h,
+             |  max(CASE WHEN ra = 1 THEN value END) AS open,
+             |  max(value) AS high,
+             |  min(value) AS low,
+             |  max(CASE WHEN rd = 1 THEN value END) AS close,
+             |  count(*)::BIGINT AS n_events
+             |FROM (
+             |  SELECT user_id, value,
+             |    epoch_us(ts::TIMESTAMP) // 3600000000 AS h,
+             |    ROW_NUMBER() OVER (PARTITION BY user_id,
+             |      epoch_us(ts::TIMESTAMP) // 3600000000
+             |      ORDER BY ts, event_id) AS ra,
+             |    ROW_NUMBER() OVER (PARTITION BY user_id,
+             |      epoch_us(ts::TIMESTAMP) // 3600000000
+             |      ORDER BY ts DESC, event_id DESC) AS rd
+             |  FROM events)
+             |GROUP BY 1, 2 ORDER BY user_id, h""".stripMargin),
+      doc = "Extension: hourly OHLC bars per user (rank-window open/close under a total order — no arg_min/arg_max tie ambiguity)",
+      sort = Seq("user_id", "h")
     )
   )
 }

@@ -378,6 +378,61 @@ object RelationalOps extends OpModule {
       sort = Seq("l_returnflag")
     ),
 
+    // ── Benford first-digit audit: the distribution of leading digits
+    // of order totals — the fraud/synthetic-data screen (natural
+    // multiplicative amounts follow log10(1+1/d); fabricated ones
+    // don't). The digit comes from an integer CASE chain over
+    // magnitude thresholds — NO log10 call (libm, last-ulp per engine)
+    // and no double→string round-trip (formatting differs per engine):
+    // v = trunc to BIGINT, then v div its power of ten. One map-side
+    // combined 9-row aggregate; the share's single division is the
+    // only double op. The expected Benford mass is left to the
+    // consumer — it needs a log, and the OBSERVED distribution is the
+    // audit artifact. ──
+    "dq5_benford_digits" -> Q(
+      (s, d) => {
+        // totals are < 10^7 in any fixture and the chain extends by one
+        // WHEN per magnitude decade — explicit bound keeps it honest
+        val digitCase = (6 to 0 by -1).map(p =>
+          s"WHEN v >= ${math.pow(10, p).toLong} THEN v div ${math.pow(10, p).toLong}")
+          .mkString("CASE ", " ", " ELSE NULL END")
+        // floor, not a bare cast: Spark's double→BIGINT cast TRUNCATES
+        // where DuckDB's ROUNDS — floor is identical in both (and equals
+        // trunc on the positive domain)
+        Tables.orders(s, d)
+          .filter($("o_totalprice") >= 1.0)
+          .select(floor($("o_totalprice")).cast(LongType).as("v"))
+          .selectExpr(s"$digitCase AS digit")
+          .groupBy($("digit"))
+          .agg(count(lit(1)).as("n"))
+          .crossJoin(broadcast(
+            Tables.orders(s, d).filter($("o_totalprice") >= 1.0)
+              .agg(count(lit(1)).as("total"))))
+          .select($("digit"), $("n"),
+            ($("n").cast(DoubleType) / $("total").cast(DoubleType)).as("share"))
+      },
+      Some("""SELECT digit, n, n::DOUBLE / total::DOUBLE AS share
+             |FROM (
+             |  SELECT digit, count(*)::BIGINT AS n,
+             |    (SELECT count(*) FROM orders WHERE o_totalprice >= 1.0)::BIGINT
+             |      AS total
+             |  FROM (
+             |    SELECT CASE WHEN v >= 1000000 THEN v // 1000000
+             |                WHEN v >= 100000 THEN v // 100000
+             |                WHEN v >= 10000 THEN v // 10000
+             |                WHEN v >= 1000 THEN v // 1000
+             |                WHEN v >= 100 THEN v // 100
+             |                WHEN v >= 10 THEN v // 10
+             |                WHEN v >= 1 THEN v
+             |                ELSE NULL END AS digit
+             |    FROM (SELECT CAST(floor(o_totalprice) AS BIGINT) AS v
+             |          FROM orders WHERE o_totalprice >= 1.0))
+             |  GROUP BY 1)
+             |ORDER BY digit""".stripMargin),
+      doc = "Extension: Benford leading-digit audit (integer CASE-chain digit extraction — no log10, no string round-trip)",
+      sort = Seq("digit")
+    ),
+
     // ── Keyset pagination: page N of a ranked listing fetched by an
     // anchor PREDICATE, not OFFSET — the scalable twin of the
     // reference's offset-paged API loops (SURVEY §2.1 S3: offset+=limit
