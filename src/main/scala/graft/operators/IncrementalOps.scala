@@ -280,6 +280,45 @@ object IncrementalOps extends OpModule {
       sort = Seq("o_custkey", "o_orderkey")
     ),
 
+    // ── Receivables aging: per customer, order value bucketed by age
+    // against a fixed as-of date — the finance mart's collections
+    // report. Ages are integer day differences (both engines count
+    // calendar days identically); each bucket is a conditional dsum,
+    // so the report is decimal-exact and the whole thing is ONE
+    // map-side-combined hash aggregate — no window, no second pass,
+    // the shape that holds at any ledger size. ──
+    "fin2_aging_buckets" -> Q(
+      (s, d) => {
+        val asOf = to_date(lit("1998-08-01"))
+        def bucket(cond: org.apache.spark.sql.Column) =
+          Exprs.dsum(when(cond, col("o_totalprice")).otherwise(lit(0.0)))
+        Tables.orders(s, d)
+          .select(col("o_custkey"), col("o_totalprice"),
+            datediff(asOf, to_date(col("o_orderdate"))).as("age"))
+          .groupBy(col("o_custkey"))
+          .agg(
+            bucket(col("age") <= 30).as("b_current"),
+            bucket(col("age") > 30 && col("age") <= 60).as("b_31_60"),
+            bucket(col("age") > 60 && col("age") <= 90).as("b_61_90"),
+            bucket(col("age") > 90).as("b_over_90"),
+            count(lit(1)).as("n_orders"))
+      },
+      Some(s"""SELECT o_custkey,
+              |  ${Exprs.dsumSql("CASE WHEN age <= 30 THEN o_totalprice ELSE 0.0 END")} AS b_current,
+              |  ${Exprs.dsumSql("CASE WHEN age > 30 AND age <= 60 THEN o_totalprice ELSE 0.0 END")} AS b_31_60,
+              |  ${Exprs.dsumSql("CASE WHEN age > 60 AND age <= 90 THEN o_totalprice ELSE 0.0 END")} AS b_61_90,
+              |  ${Exprs.dsumSql("CASE WHEN age > 90 THEN o_totalprice ELSE 0.0 END")} AS b_over_90,
+              |  count(*)::BIGINT AS n_orders
+              |FROM (
+              |  SELECT o_custkey, o_totalprice,
+              |    date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-08-01')
+              |      AS age
+              |  FROM orders)
+              |GROUP BY 1 ORDER BY o_custkey""".stripMargin),
+      doc = "Extension: receivables aging buckets per customer (conditional dsum, one hash agg)",
+      sort = Seq("o_custkey")
+    ),
+
     // ── Point-in-time join: enrich each fact row with the dim VERSION
     // that was valid at the fact's date — the temporal-correctness join
     // every warehouse needs once a dim is SCD2 (joining current state
