@@ -482,6 +482,86 @@ object AsofOps extends OpModule {
              |GROUP BY 1, 2 ORDER BY user_id, h""".stripMargin),
       doc = "Extension: hourly OHLC bars per user (rank-window open/close under a total order — no arg_min/arg_max tie ambiguity)",
       sort = Seq("user_id", "h")
+    ),
+
+    // ── Interval OVERLAP join: which users' sessions overlap in time —
+    // the interval×interval join Spark has no native operator for
+    // (range_join covers point-in-interval). The banded recipe: each
+    // session interval explodes into the 1 h time cells it touches,
+    // candidates are cell equi-join collisions (an interval pair can
+    // only overlap if some cell contains both), the EXACT overlap
+    // predicate (a.start ≤ b.end ∧ b.start ≤ a.end) filters in the
+    // join, and a distinct collapses multi-cell double-hits. Never a
+    // nested loop; per-cell work is the cell's session count squared —
+    // the honest cost of the operator, bounded by the cohort
+    // restriction (user_id ≡ 0 mod 10, the deterministic analysis
+    // cohort — the same bound dedup_incremental uses for its batch).
+    // The oracle is the direct quadratic overlap join, so the banded
+    // decomposition is verified lossless. Session boundaries reuse
+    // sessionize_events' exact gap rules. ──
+    "ts5_interval_overlap" -> Q(
+      (s, d) => {
+        val gapMicros = 3600L * 1000 * 1000
+        val cellUs = 3600L * 1000000L
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+        val sess = Tables.events(s, d)
+          .filter(pmod(col("user_id"), lit(10)) === 0)
+          .select(col("event_id"), col("user_id"), col("ts"))
+          .withColumn("us", unix_micros(col("ts")))
+          .withColumn("prev_us", lag(col("us"), 1).over(w))
+          .withColumn("new_session",
+            when(col("prev_us").isNull ||
+              col("us") - col("prev_us") > gapMicros, 1L).otherwise(0L))
+          .withColumn("sidx", sum(col("new_session"))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy(col("user_id"), col("sidx"))
+          .agg(min(col("us")).as("s_us"), max(col("us")).as("e_us"))
+        val cells = sess.select(col("user_id"), col("sidx"),
+          col("s_us"), col("e_us"),
+          explode(expr(s"sequence(s_us div ${cellUs}L, e_us div ${cellUs}L)"))
+            .as("cell"))
+        cells.as("a").hint("shuffle_hash")
+          .join(cells.as("b").hint("shuffle_hash"),
+            col("a.cell") === col("b.cell") &&
+              col("a.user_id") < col("b.user_id") &&
+              col("a.s_us") <= col("b.e_us") &&
+              col("b.s_us") <= col("a.e_us"))
+          .select(col("a.user_id").as("user_a"), col("a.sidx").as("sidx_a"),
+            col("b.user_id").as("user_b"), col("b.sidx").as("sidx_b"))
+          .distinct()
+          .groupBy(col("user_a"), col("user_b"))
+          .agg(count(lit(1)).as("n_overlaps"))
+          .orderBy(col("n_overlaps").desc, col("user_a").asc,
+            col("user_b").asc)
+          .limit(50)
+      },
+      Some("""WITH sess AS (
+             |  SELECT user_id, sidx,
+             |         min(us) AS s_us, max(us) AS e_us
+             |  FROM (
+             |    SELECT user_id, us,
+             |      CAST(SUM(CASE WHEN prev_us IS NULL
+             |                      OR us - prev_us > 3600000000
+             |                    THEN 1 ELSE 0 END) OVER (
+             |        PARTITION BY user_id ORDER BY ts, event_id
+             |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sidx
+             |    FROM (
+             |      SELECT user_id, event_id, ts,
+             |        epoch_us(ts::TIMESTAMP) AS us,
+             |        LAG(epoch_us(ts::TIMESTAMP)) OVER (PARTITION BY user_id
+             |          ORDER BY ts, event_id) AS prev_us
+             |      FROM events WHERE user_id % 10 = 0))
+             |  GROUP BY 1, 2)
+             |SELECT a.user_id AS user_a, b.user_id AS user_b,
+             |       count(*)::BIGINT AS n_overlaps
+             |FROM sess a JOIN sess b
+             |  ON a.user_id < b.user_id
+             | AND a.s_us <= b.e_us AND b.s_us <= a.e_us
+             |GROUP BY 1, 2
+             |ORDER BY n_overlaps DESC, user_a, user_b LIMIT 50""".stripMargin),
+      doc = "Extension: interval-overlap join via 1 h cell banding (lossless vs the quadratic oracle, never a nested loop)",
+      sort = Nil
     )
   )
 }
