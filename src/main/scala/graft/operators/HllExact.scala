@@ -97,10 +97,11 @@ object HllExact {
   private val RoundB = Seq(374761393L, 668265263L, 2654435761L, 1597334677L)
 
   /** PORTABLE 60-bit integer hash with real avalanche: a 4-round
-    * Feistel permutation on the key's two 30-bit halves, round function
-    * = multiply-shift (middle bits of `a·R + b`), halves combined by
-    * xor. Affine families (Lehmer/pmix2 streams) are PERMUTATIONS of
-    * each residue class — sequential id keys then land in too-uniform
+    * Feistel permutation (the Luby–Rackoff construction) on the key's
+    * two 30-bit halves, round function = multiply-shift hashing
+    * (Dietzfelbinger et al.'s universal family — middle bits of
+    * `a·R + b`), halves combined by xor. Affine families (Lehmer/
+    * pmix2 streams) are PERMUTATIONS of each residue class — sequential id keys then land in too-uniform
     * a register pattern (too FEW idx collisions vs Poisson), and the
     * linear-counting branch overestimates by ~10% on the fixture; the
     * Feistel xor rounds break that structure (the SketchSpec

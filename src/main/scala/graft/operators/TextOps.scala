@@ -864,9 +864,11 @@ object TextOps extends OpModule {
       sort = Seq("doc_id", "rnk")
     ),
 
-    // ── BM25 ranking: the SCORING counterpart of ta_boolean_search —
-    // top-15 documents for a fixed query under the BM25 tf-saturation
-    // model. Engine-exact by the family's conventions: the idf is the
+    // ── BM25 ranking (Robertson et al.'s Okapi BM25 weighting, the
+    // standard probabilistic retrieval model): the SCORING counterpart
+    // of ta_boolean_search — top-15 documents for a fixed query under
+    // the BM25 tf-saturation model. Engine-exact by the family's
+    // conventions: the idf is the
     // RATIONAL (N+1)/(df+0.5) (log-free — same reasoning as ta_tfidf:
     // ln() hands each engine's libm the last ulp; the rational form is
     // monotone in 1/df, which is all the ranking consumes), the
