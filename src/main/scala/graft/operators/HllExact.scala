@@ -128,6 +128,24 @@ object HllExact {
     l * lit(B30) + r
   }
 
+  /** Client-side twin of [[hash60]] — an independent implementation in
+    * plain JVM arithmetic, used by `Hash60Spec` to pin the Column form
+    * (and transitively the SQL twin, which the oracle gate pins against
+    * the Column form) against a third computation of the same rounds. */
+  private[graft] def hash60Long(key: Long): Long = {
+    val m = 1L << 60
+    val x = ((key % m) + m) % m
+    var l = x & Mask30
+    var r = (x >> 30) ^ l
+    for (i <- RoundA.indices) {
+      val f = ((r * RoundA(i) + RoundB(i)) >> 15) & Mask30
+      val nr = l ^ f
+      l = r
+      r = nr
+    }
+    l * B30 + r
+  }
+
   /** DuckDB twin of [[hash60]] (floored-mod normalization; `>>`/`&`/
     * `xor()` on non-negative BIGINTs match Spark's shiftright/
     * bitwiseAND/bitwiseXOR bit-for-bit). */
