@@ -63,11 +63,6 @@ object PlanDump {
       ("Pregel layout: cached per-node adjacency arrays (one collect_set shuffle carries " +
        "dedup + degree + graph); each round is a node-sized join plus a narrow explode " +
        "into one map-combined shuffle — integer-exact fixed-point ranks."),
-    "graph_triangles" ->
-      ("Compact-forward: degree-ordered orientation (groupBy degrees broadcast back, no " +
-       "sort windows), adjacency-array intersection in codegen — the 83M-row wedge set " +
-       "never materializes as shuffle rows, and the second adjacency lookup broadcasts " +
-       "so the edge-x-array intermediate never re-exchanges (256 -> 71 MB at sf0.1)."),
     "dedup_prefix_filter" ->
       ("LOSSLESS similarity join, array-free: shingle_explode Generator births rows " +
        "directly; df via count-over-window on the shingle key; candidates only from " +
@@ -101,8 +96,20 @@ object PlanDump {
     "graph_triangles" ->
       ("Compact-forward orientation: node-sized degree table persisted then " +
        "size-gated broadcast into BOTH orientation joins (materialized stats, " +
-       "not estimates); sliced adjacency arrays intersect in codegen; the one " +
-       "fat-side exchange is the skinny oriented edge list, never the arrays."))
+       "not estimates); sliced adjacency arrays intersect in codegen; BOTH " +
+       "adjacency lookups ride the size gate, so under budget the oriented " +
+       "edge list never exchanges at all."),
+    "ta_bm25" ->
+      ("BM25: the IN-list prunes the exploded token stream before any exchange; " +
+       "df reuses the tf aggregate (3 rows, broadcast); dl joins on doc_id; " +
+       "top-15 is TakeOrderedAndProject, never a global sort."),
+    "sk9_hll_fast_distinct" ->
+      ("sk1's register pipeline on the portable Feistel integer hash — no md5 " +
+       "in the scan; same m-row mergeable exchange, same estimate contract."),
+    "ts5_interval_overlap" ->
+      ("Interval x interval overlap via 1 h cell banding: candidates from a " +
+       "cell equi-join with the exact overlap predicate inside the join — " +
+       "never a nested loop; distinct collapses multi-cell hits."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
