@@ -40,13 +40,18 @@ object AnnIngest {
 
   /** Start the ANN-ingest worker draining parquet embedding files
     * (schema: vec_id, embedding array<float>, label) from `inputDir`.
-    * AvailableNow drain-and-stop + checkpoint. */
+    * AvailableNow drain-and-stop + checkpoint.
+    *
+    * @param dim embedding width — the centroid fold's zero vector must
+    *            match it (the fixture corpus is 64-wide; a mismatched
+    *            vector would zip into NULL centroid components) */
   def start(
       spark: SparkSession,
       inputDir: String,
       warehouseDir: String,
       checkpointDir: String,
-      filesPerTrigger: Int = 1): StreamingQuery = {
+      filesPerTrigger: Int = 1,
+      dim: Int = 64): StreamingQuery = {
 
     val centroidsDir = s"$warehouseDir/ann_centroids"
     val indexDir = s"$warehouseDir/ann_index"
@@ -79,7 +84,7 @@ object AnnIngest {
                 .select(col("cell"), transform(
                   aggregate(
                     col("vs"),
-                    array_repeat(lit(0.0), 64),
+                    array_repeat(lit(0.0), dim),
                     (acc, x) => zip_with(acc, x, (a, b) => a + round(b * 1e7))),
                   x => x / 1e7 / size(col("vs"))).as("centroid"))
               val withN = cents.withColumn("cnorm",
