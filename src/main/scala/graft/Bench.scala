@@ -201,6 +201,22 @@ object Bench {
         "\"" + k + "\":[" + ts.map(t =>
           "%.3f".formatLocal(java.util.Locale.ROOT, t)).mkString(",") + "]"
       }.mkString("{", ",", "}")
+    // Trust flag per isolated query (the r6 verdict's bench directive):
+    // sample spread as a percent of the min, and a boolean at the 25%
+    // threshold. Sub-2 s queries are fresh-JVM-JIT-dominated and swing
+    // far past it — the reader takes `reliable:false` as "rank by the
+    // session number instead", machine-readable instead of re-derived.
+    val isoSpread: Seq[(String, Double)] =
+      topNames.flatMap(n => isolated.get(n).map { case (min, ts) =>
+        n -> (if (min <= 0 || ts.isEmpty) 0.0
+              else (ts.max - ts.min) / min * 100.0)
+      })
+    def isoVar: String = isoSpread.map { case (k, v) =>
+      "\"" + k + "\":" + "%.1f".formatLocal(java.util.Locale.ROOT, v)
+    }.mkString("{", ",", "}")
+    def isoReliable: String = isoSpread.map { case (k, v) =>
+      "\"" + k + "\":" + (v <= 25.0)
+    }.mkString("{", ",", "}")
     // The stdout line is deliberately COMPACT (per-query seconds at 3
     // decimals, no shuffle/spill maps): the recorder keeps only a bounded
     // tail of the sbt output, and round 3's full-detail line (~6 KB for 73
@@ -215,7 +231,8 @@ object Bench {
         results.map { case (k, v) => "\"" + k + "\":" + v._1 }.mkString("{", ",", "}")
       },"shuffle_mb":${jmap(_._2)},"spill_mb":${jmap(_._3)},""" +
         s""""isolated":$isoMap,"isolated_times":$isoTimes,""" +
-        s""""isolated_note":"fresh-JVM min-of-3 for the ${topNames.size} slowest; session numbers carry cross-query GC interference",""" +
+        s""""isolated_variance_pct":$isoVar,"isolated_reliable":$isoReliable,""" +
+        s""""isolated_note":"fresh-JVM min-of-3 for the ${topNames.size} slowest; variance_pct = sample spread / min; reliable=false (spread > 25%) means JIT-dominated — rank by the session number instead",""" +
         s""""sf":"$sfDir","failed":${failed.size}}"""
     // The recorder keeps only the last ~2 KB of output: with 100+ queries
     // the compact full-map line overflows that window and gets cut
@@ -237,7 +254,7 @@ object Bench {
     val bounded =
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +
         s""""queries":$slowest,"queries_note":"12 slowest of ${results.size}; full map in bench_last.json",""" +
-        s""""isolated":$isoMap,""" +
+        s""""isolated":$isoMap,"isolated_reliable":$isoReliable,""" +
         s""""sf":"$sfDir","failed":${failed.size}}"""
     println(bounded)
     println(line)

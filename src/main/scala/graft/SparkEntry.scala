@@ -22,7 +22,8 @@ object SparkEntry {
     operators.CustomFnOps,
     operators.AsofOps,
     operators.GraphOps,
-    operators.LayoutOps
+    operators.LayoutOps,
+    operators.StreamingIngestOps
   )
 
   private lazy val all: Map[String, Q] =

@@ -73,8 +73,12 @@ object Sessions {
     // (isAdjustedToUTC=false). Left to the default inference those
     // surface as TIMESTAMP_NTZ, which unix_micros()/to_utc_timestamp()
     // reject outright — read them as the session-UTC TIMESTAMP instead,
-    // which is value-identical (the session TZ is pinned to UTC
-    // everywhere) and matches how DuckDB's naive TIMESTAMP compares.
+    // which is value-identical ONLY under a UTC session TZ, so that
+    // invariant is enforced right here rather than trusted to the
+    // caller's builder: a Pipeline.run* caller handing in a non-UTC
+    // session would otherwise silently shift every unix_micros/date
+    // value against the DuckDB oracle.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     // InferFiltersFromGenerate turns every explode(f(x)) into a pushed-down

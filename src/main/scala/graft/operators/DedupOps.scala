@@ -50,11 +50,11 @@ object DedupOps extends OpModule {
       col("doc_id"),
       call_function("word_shingles", col("text"), lit(n)).as("shingles"))
 
-  private def shingledSql(n: Int): String = shingledSqlFrom(n, "documents")
+  private[operators] def shingledSql(n: Int): String = shingledSqlFrom(n, "documents")
 
   /** [[shingledSql]] over an arbitrary (doc_id, text) relation — the
     * sampled-recall harness shingles a deterministic subset. */
-  private def shingledSqlFrom(n: Int, docsRel: String): String = {
+  private[operators] def shingledSqlFrom(n: Int, docsRel: String): String = {
     val parts = (0 until n).map(i => s"toks[i+$i]").mkString(" || ' ' || ")
     s"""SELECT doc_id, list_distinct(CASE WHEN len(toks) >= $n
        |  THEN [$parts FOR i IN range(1, len(toks)-${n - 2})]
@@ -107,7 +107,7 @@ object DedupOps extends OpModule {
   }
 
   /** DuckDB twin of [[bandSigs]] (expects a CTE `sh(doc_id, shingles)`). */
-  private def bandSigsSql(numHashes: Int, bandRows: Int): String =
+  private[operators] def bandSigsSql(numHashes: Int, bandRows: Int): String =
     s"""mh AS (
        |  SELECT doc_id,
        |    [ list_min([${phashSql("s")} + seed * ${phash2Sql("s")}

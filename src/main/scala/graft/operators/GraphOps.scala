@@ -147,33 +147,47 @@ object GraphOps extends OpModule {
       .agg(first(col("deg")).as("deg"), collect_list(col("dst")).as("nbrs"))
       .select(col("src"), col("deg").cast(LongType), col("slice"), col("nbrs"))
 
-  /** Adjacency build with a MEASURED max-degree gate: distinct the
-    * edges once (cached for both passes), measure the true max degree
-    * with one skinny aggregation, and build via [[hubSafeAdjacency]]
-    * (single pass, transient set buffer) while the largest hub's
-    * buffer stays harmless, or [[preAggAdjacency]] (bounded buffers,
-    * extra degree join — already computed for the gate, so the switch
-    * costs nothing more) beyond it. Returns the adjacency PERSISTED
-    * and materialized; the intermediate edge cache is released. */
+  /** Adjacency build with a MEASURED max-degree gate, priced so the
+    * COMMON (no-hub) path costs what [[hubSafeAdjacency]] alone did.
+    * The probe is the RAW per-src group size — one map-side-combined
+    * skinny aggregation over the (cached) input pairs, never an
+    * edge-sized distinct exchange — which bounds the true distinct
+    * degree from ABOVE: under the limit the single-pass set build is
+    * provably safe and consumes the raw pairs directly (its set
+    * aggregation dedups, exactly as before the gate existed); only
+    * when the bound trips does the build pay the distinct + exact
+    * degree pass that [[preAggAdjacency]] needs anyway. A node whose
+    * raw bound overshoots its distinct degree (duplicate-heavy input)
+    * can only err toward the bounded-buffer form — the safe direction.
+    * Returns the adjacency PERSISTED and materialized; intermediate
+    * caches are released. */
   private[graft] def adaptiveAdjacency(
       edges: DataFrame,
       sliceK: Int = AdjSliceK,
-      hubDegreeLimit: Long = HubBufferDegreeLimit): DataFrame = {
-    val e = edges.distinct().persist(StorageLevel.MEMORY_AND_DISK)
-    // persisted BEFORE the maxDeg action materializes it: the pre-agg
-    // branch gates this relation ([[sizeGatedJoin]]'s materialization
-    // contract), and the gate must read the node-sized actual bytes,
-    // not an estimate propagated from the edge list
-    val degrees = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val maxDeg = degrees.agg(coalesce(max(col("deg")), lit(0L)).as("m"))
+      hubDegreeLimit: Long = HubBufferDegreeLimit,
+      broadcastBudget: Long = BroadcastBudgetBytes): DataFrame = {
+    val raw = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    val maxRawDeg = raw.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .agg(coalesce(max(col("deg")), lit(0L)).as("m"))
       .head.getLong(0)
-    val adj = (if (maxDeg <= hubDegreeLimit) hubSafeAdjacency(e, sliceK)
-               else preAggAdjacency(e, degrees, sliceK))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    var intermediates = List.empty[DataFrame]
+    val adj = (if (maxRawDeg <= hubDegreeLimit) {
+      hubSafeAdjacency(raw, sliceK)
+    } else {
+      val e = raw.distinct().persist(StorageLevel.MEMORY_AND_DISK)
+      // persisted + counted BEFORE preAggAdjacency's gate reads its
+      // stats ([[sizeGatedJoin]]'s materialization contract): the gate
+      // must see node-sized actual bytes, not an estimate propagated
+      // from the edge list
+      val degrees = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      degrees.count()
+      intermediates = List(e, degrees)
+      preAggAdjacency(e, degrees, sliceK, broadcastBudget)
+    }).persist(StorageLevel.MEMORY_AND_DISK)
     adj.count()
-    e.unpersist(blocking = false)
-    degrees.unpersist(blocking = false)
+    raw.unpersist(blocking = false)
+    intermediates.foreach(_.unpersist(blocking = false))
     adj
   }
 
@@ -317,10 +331,17 @@ object GraphOps extends OpModule {
       symmetric: DataFrame,
       k: Int = 5,
       sliceK: Int = AdjSliceK,
-      broadcastBudget: Long = BroadcastBudgetBytes): DataFrame = {
-    val adj = hubSafeAdjacency(symmetric, sliceK)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    adj.count()
+      broadcastBudget: Long = BroadcastBudgetBytes,
+      hubDegreeLimit: Long = HubBufferDegreeLimit): DataFrame = {
+    // adaptive build (r6 verdict's directive): the measured max-degree
+    // gate swaps the transient collect_set buffer for the bounded
+    // pre-agg form when a hub would outgrow it. adaptiveAdjacency
+    // returns the relation persisted + materialized. Consumers below
+    // never assume slice 0 exists (hash slicing may skip ids): the
+    // edge list re-derives from exploded slices, and the multi-slice
+    // re-aggregation keys on (src,dst), both slicing-agnostic.
+    val adj = adaptiveAdjacency(symmetric, sliceK, hubDegreeLimit,
+      broadcastBudget)
     val multiSlice =
       adj.agg(coalesce(max(col("slice")), lit(0)).as("m")).head.getInt(0) > 0
     val edges = adj.select(col("src"), explode(col("nbrs")).as("dst"))
@@ -502,13 +523,16 @@ object GraphOps extends OpModule {
     // carried on every slice, so slicing never changes a value. ──
     "graph_pagerank" -> Q(
       (s, d) => {
-        // raw pairs in — the set aggregation dedups, no distinct exchange
-        val adj = hubSafeAdjacency(rawSymPairs(s, d), AdjSliceK)
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        adj.count()
-        // slice 0 exists for every node (sequential slicing) → node list
-        // as a narrow filter over the cache
-        val nodes = adj.filter(col("slice") === 0).select(col("src").as("node"))
+        // adaptive build (r6 verdict's directive): measured max-degree
+        // gate — single-pass set build on this corpus, bounded-buffer
+        // pre-agg past the hub limit. Returns persisted+materialized.
+        // (The build distincts the raw pairs itself; the duplicate pairs
+        // feed straight in either way.)
+        val adj = adaptiveAdjacency(rawSymPairs(s, d), AdjSliceK)
+        // node list via distinct, not `slice === 0` — hash slicing (the
+        // pre-agg regime) may leave slice 0 empty for a node; the
+        // distinct is a narrow pass over the node-sized cache
+        val nodes = adj.select(col("src").as("node")).distinct()
         var ranks = nodes.withColumn("rank_micro", lit(1000000L))
         for (_ <- 1 to 3) {
           val contrib = adj

@@ -1,0 +1,242 @@
+package graft.operators
+
+import graft.{Exprs, OpModule, Pipeline, Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.{Files, Path}
+
+/** The streaming ingest family under the DRIVER'S oracle gate (the r6
+  * verdict's directive): until now the three continuous workers —
+  * [[graft.streaming.DedupIngest]] (exact insert-if-absent),
+  * [[graft.streaming.NearDupIngest]] (banded-LSH near-dup), and
+  * [[graft.streaming.AnnIngest]] (IVF index maintenance) — were gated
+  * only by their kill/resume scalatest suites, invisible to the
+  * per-round CORRECTNESS artifact. Each query here lands a
+  * DETERMINISTIC two-batch split of the fixture (doc/vec id parity;
+  * even ids land first), drains the worker AvailableNow over a fresh
+  * warehouse + checkpoint, and returns the worker's FINAL table state,
+  * which the DuckDB twin replays batch by batch — first-arrival-wins,
+  * within-batch clustering, corpus checks, frozen-quantizer
+  * assignment and all.
+  *
+  * The fixture subset is capped (`id < 1000`) so the gate's cost stays
+  * bounded at every SF: these queries verify the workers' SEMANTICS;
+  * their scale posture (per-batch work, table-resident state) is
+  * argued and measured on the workers themselves.
+  *
+  * The near-dup twin replays min-label propagation with a RECURSIVE
+  * transitive closure (exact fixpoint — the worker's
+  * `survivorsToFixpoint` has no round bound, so a fixed-round replay
+  * would diverge on a deep cluster; the capped corpus keeps the
+  * closure tiny).
+  */
+object StreamingIngestOps extends OpModule {
+
+  /** Land `df` as ONE parquet file in `flat`, with an explicit
+    * modification time — the file source processes the initial listing
+    * oldest-first, so the mtimes ARE the batch order (main-source twin
+    * of the test helper `StreamFiles.landOne`, plus the explicit
+    * clock). */
+  private def land(df: DataFrame, base: Path, flat: String, name: String,
+      mtime: Long): Unit = {
+    val tmp = base.resolve(name + ".tmp").toString
+    df.coalesce(1).write.parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val target = new java.io.File(s"$flat/$name.parquet")
+    Files.move(part.toPath, target.toPath)
+    target.setLastModified(mtime)
+    ()
+  }
+
+  /** Fresh (flat-input, warehouse, checkpoint) dirs for one drain. */
+  private def dirs(tag: String): (Path, String, String, String) = {
+    val base = Files.createTempDirectory(s"graft-gate-$tag")
+    val flat = base.resolve("in").toString
+    new java.io.File(flat).mkdirs()
+    (base, flat, base.resolve("wh").toString, base.resolve("ckpt").toString)
+  }
+
+  /** Capped deterministic corpus: the gate's semantics don't need the
+    * whole table, and the cap bounds the drain at every SF. */
+  private val IdCap = 1000L
+
+  private def docSubset(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(col("doc_id") < IdCap)
+      .select(col("doc_id"), col("text"))
+
+  private val docSubsetSql =
+    s"(SELECT doc_id, text FROM documents WHERE doc_id < $IdCap)"
+
+  /** Land even ids at t0, odd ids at t0+60s, drain the worker. */
+  private def drainTwoBatches(
+      s: SparkSession, tag: String, rows: DataFrame, idCol: String,
+      run: (SparkSession, String, String, String) =>
+        org.apache.spark.sql.streaming.StreamingQuery): String = {
+    val (base, flat, wh, ckpt) = dirs(tag)
+    val t0 = System.currentTimeMillis() - 120000
+    land(rows.filter(col(idCol) % 2 === 0), base, flat, "b0", t0)
+    land(rows.filter(col(idCol) % 2 === 1), base, flat, "b1", t0 + 60000)
+    val q = run(s, flat, wh, ckpt)
+    q.awaitTermination(300000)
+    wh
+  }
+
+  def queries: Map[String, Q] = Map(
+    // ── Exact-dedup worker, end to end under the oracle: batch 0 (even
+    // doc_ids) then batch 1 (odd), insert-if-absent on the content
+    // hash. Final survivors = per content class, the first-arriving
+    // batch's lowest doc_id; batch_id records the admitting batch. The
+    // twin replays the race as one window: rank rows per hash by
+    // (batch, doc_id). ──
+    "dedup_ingest_survivors" -> Q(
+      (s, d) => {
+        val wh = drainTwoBatches(s, "dedup", docSubset(s, d), "doc_id",
+          Pipeline.runDedupIngest(_, _, _, _))
+        s.read.parquet(s"$wh/dedup_survivors")
+          .select(col("doc_id").cast(LongType),
+            col("content_hash").cast(LongType),
+            col("batch_id").cast(LongType))
+      },
+      Some(s"""WITH h AS (
+              |  SELECT doc_id, doc_id % 2 AS b,
+              |    ${Exprs.phashSql("COALESCE(text, '')")} AS content_hash
+              |  FROM documents WHERE doc_id < $IdCap),
+              |ranked AS (
+              |  SELECT doc_id, b, content_hash,
+              |    row_number() OVER (PARTITION BY content_hash
+              |      ORDER BY b, doc_id) AS rn
+              |  FROM h)
+              |SELECT doc_id::BIGINT AS doc_id, content_hash,
+              |  b::BIGINT AS batch_id
+              |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin),
+      doc = "Streaming gate: exact-dedup worker drained over a 2-batch parity split; final survivors vs the replayed first-arrival race",
+      sort = Seq("doc_id")
+    ),
+
+    // ── Near-dup worker under the oracle. Per batch the worker
+    // clusters within the batch (banded LSH candidates → exact-Jaccard
+    // edges → min-label fixpoint, lowest id wins), then drops winners
+    // that near-match an already-admitted survivor via the signature
+    // index. The twin replays both batches: the within-batch fixpoint
+    // as a recursive transitive closure over the verified edge set
+    // (exact — no round bound to disagree with), the corpus check as
+    // the batch-1-winner × batch-0-survivor band collision + Jaccard
+    // verify. ──
+    "neardup_ingest_final_state" -> Q(
+      (s, d) => {
+        val wh = drainTwoBatches(s, "neardup", docSubset(s, d), "doc_id",
+          Pipeline.runNearDupIngest(_, _, _, _))
+        s.read.parquet(s"$wh/neardup_survivors")
+          .select(col("doc_id").cast(LongType),
+            col("batch_id").cast(LongType))
+      },
+      Some {
+        // per-batch within-batch clustering: candidates among parity-p
+        // docs → verified edges → symmetric closure → survivor = no
+        // reachable doc with a lower id
+        def batchCluster(p: Int): String =
+          s"""cand$p AS (
+             |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+             |  FROM bands x JOIN bands y
+             |    ON x.band = y.band AND x.sigstr = y.sigstr
+             |   AND x.doc_id < y.doc_id
+             |  WHERE x.doc_id % 2 = $p AND y.doc_id % 2 = $p),
+             |edge$p AS (
+             |  SELECT a, b FROM (
+             |    SELECT c.a, c.b,
+             |      len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+             |        / len(list_distinct(sa.shingles || sb.shingles)) AS j
+             |    FROM cand$p c JOIN sh sa ON sa.doc_id = c.a
+             |                  JOIN sh sb ON sb.doc_id = c.b)
+             |  WHERE j >= 0.8),
+             |sym$p AS (SELECT a AS s, b AS d FROM edge$p
+             |          UNION ALL SELECT b, a FROM edge$p),
+             |reach$p AS (
+             |  SELECT s AS a, d AS b FROM sym$p
+             |  UNION
+             |  SELECT r.a, e.d FROM reach$p r JOIN sym$p e ON e.s = r.b),
+             |win$p AS (
+             |  SELECT d.doc_id FROM
+             |    (SELECT doc_id FROM documents
+             |     WHERE doc_id < $IdCap AND doc_id % 2 = $p) d
+             |  LEFT JOIN (SELECT a, min(b) AS mb FROM reach$p GROUP BY 1) r
+             |    ON r.a = d.doc_id
+             |  WHERE coalesce(r.mb, d.doc_id) >= d.doc_id)""".stripMargin
+        s"""WITH RECURSIVE sh AS (${DedupOps.shingledSqlFrom(3, docSubsetSql)}),
+           |${DedupOps.bandSigsSql(32, 4)},
+           |${batchCluster(0)},
+           |${batchCluster(1)},
+           |candX AS (
+           |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+           |  FROM bands x JOIN bands y
+           |    ON x.band = y.band AND x.sigstr = y.sigstr
+           |  JOIN win1 w1 ON w1.doc_id = x.doc_id
+           |  JOIN win0 w0 ON w0.doc_id = y.doc_id),
+           |dropX AS (
+           |  SELECT DISTINCT c.a AS doc_id
+           |  FROM candX c JOIN sh sa ON sa.doc_id = c.a
+           |               JOIN sh sb ON sb.doc_id = c.b
+           |  WHERE len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+           |        / len(list_distinct(sa.shingles || sb.shingles)) >= 0.8)
+           |SELECT doc_id::BIGINT AS doc_id, 0::BIGINT AS batch_id FROM win0
+           |UNION ALL
+           |SELECT doc_id::BIGINT, 1::BIGINT FROM win1
+           |WHERE doc_id NOT IN (SELECT doc_id FROM dropX)
+           |ORDER BY doc_id""".stripMargin
+      },
+      doc = "Streaming gate: near-dup worker drained over a 2-batch parity split; final survivors vs a full batch-by-batch replay (recursive-closure clustering + index corpus check)",
+      sort = Seq("doc_id")
+    ),
+
+    // ── ANN-index worker under the oracle. Batch 0 (even vec_ids)
+    // bootstraps the frozen quantizer — one centroid per label via the
+    // engine-exact 1e-7 fixed-point mean (`ann_ivf_centroids`'
+    // formula) — then EVERY vector (both batches) is assigned by
+    // nearest-centroid cosine, ties to the lowest cell. The twin
+    // recomputes the centroids from the even half and replays the
+    // argmax; the dot-product fold is bit-identical on both sides
+    // (AnnOps' convention). ──
+    "ann_ingest_index" -> Q(
+      (s, d) => {
+        val vecs = Tables.embeddings(s, d).filter(col("vec_id") < IdCap)
+        val wh = drainTwoBatches(s, "ann", vecs, "vec_id",
+          Pipeline.runAnnIngest(_, _, _, _))
+        s.read.parquet(s"$wh/ann_index")
+          .select(col("vec_id").cast(LongType),
+            col("cell").cast(LongType),
+            col("batch_id").cast(LongType))
+      },
+      Some(s"""WITH e AS (
+              |  SELECT vec_id, label, v, ${AnnOps.normSql("v")} AS norm
+              |  FROM (SELECT vec_id, label, embedding::DOUBLE[] AS v
+              |        FROM embeddings WHERE vec_id < $IdCap)),
+              |cent AS (
+              |  SELECT label AS cell, i AS dim,
+              |    CAST(SUM(CAST(round(v[i] * 1e7) AS BIGINT)) AS DOUBLE)
+              |      / 1e7 / COUNT(*) AS c
+              |  FROM e, range(1, 65) t(i)
+              |  WHERE vec_id % 2 = 0 GROUP BY 1, 2),
+              |centv AS (SELECT cell, list(c ORDER BY dim) AS cv
+              |          FROM cent GROUP BY 1),
+              |centn AS (SELECT cell, cv, sqrt(${AnnOps.dotSql("cv", "cv")}) AS cn
+              |          FROM centv),
+              |scored AS (
+              |  SELECT e.vec_id, c.cell,
+              |    ${AnnOps.dotSql("e.v", "c.cv")} / (e.norm * c.cn) AS score
+              |  FROM e CROSS JOIN centn c),
+              |assigned AS (
+              |  SELECT vec_id, cell,
+              |    row_number() OVER (PARTITION BY vec_id
+              |      ORDER BY score DESC, cell) AS rn
+              |  FROM scored)
+              |SELECT vec_id::BIGINT AS vec_id, cell::BIGINT AS cell,
+              |  (vec_id % 2)::BIGINT AS batch_id
+              |FROM assigned WHERE rn = 1 ORDER BY vec_id""".stripMargin),
+      doc = "Streaming gate: ANN-index worker drained over a 2-batch parity split; final cell assignments vs the replayed frozen-quantizer argmax",
+      sort = Seq("vec_id")
+    )
+  )
+}

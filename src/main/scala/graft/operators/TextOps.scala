@@ -874,7 +874,10 @@ object TextOps extends OpModule {
     // monotone in 1/df, which is all the ranking consumes), the
     // saturation term tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) is pure
     // IEEE arithmetic written in the same shape on both sides (k1=1.2,
-    // b=0.75), avgdl is an exact integer sum over one division (never
+    // b=0.75 — the DuckDB literals carry explicit ::DOUBLE casts, or
+    // DuckDB would run them as exact DECIMALs and diverge by an ulp
+    // before the final quantization), avgdl is an exact integer sum
+    // over one division (never
     // an incremental double avg — accumulation order differs between
     // engines), and the per-term scores sum through DECIMAL(38,9) so
     // the 3-addend addition is order-free. Shape at scale: the IN-list
@@ -929,9 +932,11 @@ object TextOps extends OpModule {
               |df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
               |scored AS (
               |  SELECT doc_id,
-              |    ((n + 1.0) / (df + 0.5)) *
-              |      ((tf * 2.2) /
-              |        (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))) AS term_score
+              |    ((n + 1.0::DOUBLE) / (df + 0.5::DOUBLE)) *
+              |      ((tf * 2.2::DOUBLE) /
+              |        (tf + 1.2::DOUBLE *
+              |          (0.25::DOUBLE + 0.75::DOUBLE * (dl / avgdl))))
+              |      AS term_score
               |  FROM tf JOIN df USING (term) JOIN dls USING (doc_id)
               |  CROSS JOIN stats)
               |SELECT doc_id, count(*)::BIGINT AS n_terms,

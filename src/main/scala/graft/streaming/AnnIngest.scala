@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.operators.AnnOps
+import graft.operators.{AnnOps, SkewTools}
 import graft.sinks.UpsertWriter
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -113,21 +113,30 @@ object AnnIngest {
               keys = Seq("vec_id"), versionCol = "batch_id")
           }
 
-          // log last; indexed count read from the TABLE (a replayed
-          // batch restates its rows under the same keys)
-          val nIndexed =
-            if (!Files.exists(Paths.get(indexDir, "_SUCCESS"))) 0L
-            else s.read.parquet(indexDir)
-              .filter(col("batch_id") === batchId).count()
-          val nCells =
-            if (!Files.exists(Paths.get(indexDir, "_SUCCESS"))) 0L
-            else s.read.parquet(indexDir)
-              .filter(col("batch_id") === batchId)
-              .select(col("cell")).distinct().count()
+          // log last; batch stats read from the TABLE (a replayed batch
+          // restates its rows under the same keys), in ONE audit pass:
+          // [[SkewTools.audit]] on the batch's cell assignments yields
+          // rows indexed (totalRows), cells touched (nKeys), and the
+          // hottest cell's share of the batch (maxShare) — the DRIFT
+          // signal for the frozen quantizer. A stream whose embedding
+          // distribution has wandered off the training batch
+          // concentrates into ever fewer cells, pushing cell_max_share
+          // from the balanced ~1/k toward 1; the retrain policy reads
+          // this from the log instead of discovering degraded recall
+          // downstream (the quantizer itself stays frozen — a retrain
+          // is a deliberate new table, never a silent re-fit).
+          val cellAudit =
+            if (!Files.exists(Paths.get(indexDir, "_SUCCESS")))
+              SkewTools.SkewAudit("cell", 0L, 0L, 0L)
+            else SkewTools.audit(
+              s.read.parquet(indexDir).filter(col("batch_id") === batchId),
+              "cell")
           import s.implicits._
           UpsertWriter.upsert(s, logDir,
-            Seq((batchId, nIn, nIndexed, nCells))
-              .toDF("batch_id", "n_in", "n_indexed", "n_cells_touched"),
+            Seq((batchId, nIn, cellAudit.totalRows, cellAudit.nKeys,
+                cellAudit.maxShare))
+              .toDF("batch_id", "n_in", "n_indexed", "n_cells_touched",
+                "cell_max_share"),
             keys = Seq("batch_id"), versionCol = "batch_id")
         } finally vecs.unpersist()
         ()
@@ -146,8 +155,18 @@ object AnnIngest {
   def search(
       spark: SparkSession, warehouseDir: String,
       queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
-    val cents = spark.read.parquet(s"$warehouseDir/ann_centroids")
-    val idx = spark.read.parquet(s"$warehouseDir/ann_index")
+    // both reads ride the _SUCCESS guard like the other serving views:
+    // before the first committed batch (or after a crashed partial
+    // write) the index is ABSENT, so search returns an empty result
+    // instead of throwing on a missing path or reading an uncommitted
+    // image the rest of the package treats as nonexistent
+    val cents = tableOrEmpty(spark, s"$warehouseDir/ann_centroids",
+      StructType(Seq(
+        StructField("cell", IntegerType),
+        StructField("centroid", ArrayType(DoubleType)),
+        StructField("cnorm", DoubleType),
+        StructField("batch_id", LongType))))
+    val idx = index(spark, warehouseDir)
     val q = broadcast(queries.select(col("vec_id").as("query_id"),
       col("v").as("qv"), col("norm").as("qn")))
     val wCell = Window.partitionBy(col("query_id"))
@@ -185,10 +204,13 @@ object AnnIngest {
       StructField("v", ArrayType(DoubleType)),
       StructField("norm", DoubleType), StructField("batch_id", LongType))))
 
-  /** Serving view: the per-batch ingest log. */
+  /** Serving view: the per-batch ingest log. `cell_max_share` is the
+    * hottest cell's share of that batch's assignments — the quantizer
+    * drift signal (balanced ≈ 1/k, drifted → 1). */
   def ingestLog(spark: SparkSession, warehouseDir: String): DataFrame =
     tableOrEmpty(spark, s"$warehouseDir/ann_log", StructType(Seq(
       StructField("batch_id", LongType), StructField("n_in", LongType),
       StructField("n_indexed", LongType),
-      StructField("n_cells_touched", LongType))))
+      StructField("n_cells_touched", LongType),
+      StructField("cell_max_share", DoubleType))))
 }

@@ -79,11 +79,30 @@ object NearDupIngest {
         // NULL text → '' (same reasoning as DedupIngest: NULL must be
         // one content class, not an ever-fresh row); word_shingles('')
         // is empty, so null/short docs are singletons that always admit
-        val docs = batch
+        val arrivals = batch
           .withColumn("text", coalesce(col("text"), lit("")))
+          .withColumn("__seq", monotonically_increasing_id())
           .persist()
         try {
-          val nIn = docs.count()
+          val nIn = arrivals.count()
+          // keep-latest per doc_id BEFORE any counting: two rows sharing
+          // a doc_id in one micro-batch (a same-batch re-delivery) would
+          // otherwise both survive clustering — the self-pair is excluded
+          // by doc_a < doc_b — and both count as winners while the keyed
+          // upsert collapses them to one admitted row, misattributing
+          // the collapse as a corpus dupe in the log. The keep rule
+          // matches [[UpsertWriter]]'s within-batch tie-break: highest
+          // arrival order (__seq) wins, so the admitted TEXT is the one
+          // the upsert would have kept anyway. The collapse itself is
+          // counted where it belongs, in n_batch_dupes.
+          val wDoc = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("doc_id")).orderBy(col("__seq").desc)
+          val docs = arrivals
+            .withColumn("__rn", row_number().over(wDoc))
+            .filter(col("__rn") === 1)
+            .drop("__seq", "__rn")
+            .persist()
+          try {
           val sets = docs
             .select(col("doc_id"),
               call_function("word_shingles", col("text"), lit(3)).as("shingles"))
@@ -175,7 +194,8 @@ object NearDupIngest {
               } finally fresh.unpersist()
             } finally winners.unpersist()
           } finally { sigs.unpersist(); sets.unpersist() }
-        } finally docs.unpersist()
+          } finally docs.unpersist()
+        } finally arrivals.unpersist()
         ()
       }
       .option("checkpointLocation", checkpointDir)

@@ -81,4 +81,44 @@ class AnnIngestStreamSpec extends AnyFunSuite {
     q3.awaitTermination(120000)
     assert(indexed() == n, "a drained checkpoint re-run must change nothing")
   }
+
+  test("drifting stream: the log's cell_max_share rises when a batch concentrates into few cells") {
+    val base = Files.createTempDirectory("graft-ann-drift")
+    val flat = base.resolve("vecs").toString
+    val wh = base.resolve("wh").toString
+    val ckpt = base.resolve("ckpt").toString
+    new java.io.File(flat).mkdirs()
+
+    val all = Tables.embeddings(spark, TestSpark.sf0001)
+
+    // batch 0: the full balanced fixture — trains the quantizer, and
+    // its assignments spread across the label cells
+    StreamFiles.landOne(base, flat, "b0", all)
+    val q1 = Pipeline.runAnnIngest(spark, flat, wh, ckpt)
+    q1.awaitTermination(120000)
+
+    // batch 1: a DRIFTED stream — every vector from one label cluster
+    // (fresh vec_ids so the upsert appends instead of restating) —
+    // nearest-centroid assignment concentrates it into ~one cell
+    StreamFiles.landOne(base, flat, "b1",
+      all.filter(col("label") === 0)
+        .withColumn("vec_id", col("vec_id") + lit(1000000L)))
+    val q2 = Pipeline.runAnnIngest(spark, flat, wh, ckpt)
+    q2.awaitTermination(120000)
+
+    val log = AnnIngest.ingestLog(spark, wh)
+      .select(col("batch_id"), col("cell_max_share"), col("n_indexed"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(log.keySet == Set(0L, 1L), s"expected batches 0 and 1, got ${log.keySet}")
+    val (balancedShare, n0) = log(0L)
+    val (driftedShare, n1) = log(1L)
+    assert(n0 > 0 && n1 > 0)
+    // balanced ingest spreads over the 8 label cells (share well under
+    // half); the drifted batch concentrates (share near 1) — the signal
+    // a retrain policy reads from the log
+    assert(balancedShare < 0.5,
+      s"balanced batch unexpectedly concentrated: $balancedShare")
+    assert(driftedShare > balancedShare * 1.5,
+      s"drift signal failed to rise: balanced=$balancedShare drifted=$driftedShare")
+  }
 }

@@ -77,6 +77,23 @@ class HubSafeGraphSpec extends AnyFunSuite {
     assert(default.exists { case (n, _, s, c) => n == 50L && s == 51L && c == 1L })
   }
 
+  test("edge jaccard: the pre-agg (hub) adjacency regime matches the set regime through the public entry point") {
+    // r6 verdict directive: edgeJaccardTopK now routes through
+    // adaptiveAdjacency — forcing the degree gate (limit 1 → every node
+    // is a "hub") must swap in the bounded-buffer hash-slice build with
+    // identical rankings, through the public signature
+    val edges = plantedEdges()
+    def run(limit: Long) =
+      GraphOps.edgeJaccardTopK(edges, k = 5, sliceK = 8, hubDegreeLimit = limit)
+        .select(col("node"), col("rnk"), col("similar_node"), col("common"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    val setRegime = run(Long.MaxValue)
+    assert(setRegime == run(1L),
+      "hash-sliced (pre-agg) adjacency changed jaccard rankings")
+    assert(setRegime.exists { case (n, _, s, c) => n == 50L && s == 51L && c == 1L })
+  }
+
   test("edge jaccard: an empty edge list returns an empty result, not an NPE") {
     val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
     assert(GraphOps.edgeJaccardTopK(empty).count() == 0L)

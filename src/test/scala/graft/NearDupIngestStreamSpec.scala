@@ -97,4 +97,37 @@ class NearDupIngestStreamSpec extends AnyFunSuite {
     q3.awaitTermination(120000)
     assert(admitted() == 4L, "a drained checkpoint re-run must admit nothing")
   }
+
+  test("same-batch doc_id reuse: keep-latest collapse counted as a batch dupe, not a corpus dupe") {
+    val base = Files.createTempDirectory("graft-neardup-iddup")
+    val flat = base.resolve("docs").toString
+    val wh = base.resolve("wh").toString
+    val ckpt = base.resolve("ckpt").toString
+    new java.io.File(flat).mkdirs()
+
+    // ONE batch carrying doc_id 5 twice with UNRELATED texts (zero
+    // shared shingles — no near-dup edge, so the only collapse is the
+    // id dedup) plus an unrelated doc 7. The later arrival's text must
+    // win (UpsertWriter's tie rule) and the collapse must land in
+    // n_batch_dupes — before this fix both rows counted as winners and
+    // the log booked the keyed-upsert collapse as a phantom corpus dupe.
+    addDocFile(flat, base, "f0",
+      Seq((5L, text("a")), (5L, text("b")), (7L, text("c"))))
+    val q = Pipeline.runNearDupIngest(spark, flat, wh, ckpt)
+    q.awaitTermination(120000)
+
+    val surv = NearDupIngest.survivors(spark, wh)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(surv.keySet == Set(5L, 7L), s"survivors: ${surv.keySet}")
+    assert(surv(5L) == text("b"),
+      "doc_id reuse in one batch must keep the LATER row's text")
+
+    val log = NearDupIngest.ingestLog(spark, wh)
+      .select(col("n_in"), col("n_batch_dupes"), col("n_corpus_dupes"),
+        col("n_admitted"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(log.toSeq == Seq((3L, 1L, 0L, 2L)),
+      s"id-collapse misattributed in the log: ${log.toSeq}")
+  }
 }
