@@ -192,6 +192,55 @@ object DedupOps extends OpModule {
     jaccardPairsFromRows(cand, ex, sizes, 0.8)
   }
 
+  /** 128-bit content fingerprint of a (doc_id, text) corpus, as a cache
+    * key string: row count plus two independent seeded-[[phash]] XOR folds
+    * over `doc_id||\u0001||text`. XOR is order- and partitioning-
+    * independent (no shuffle-order nondeterminism) and overflow-free
+    * (ANSI-safe); the count breaks the even-multiplicity blind spot of a
+    * pure XOR fold. One cheap scan — 2 md5 per document.
+    *
+    * Collision posture: keys only gate a CACHE of a deterministic
+    * artifact, and a collision needs two corpora agreeing on both
+    * independent 60-bit folds AND the count — not constructible by the
+    * data this engine ingests, and a miss merely recomputes. */
+  private[graft] def corpusFingerprint(docs: DataFrame): String = {
+    val v = concat_ws("\u0001", col("doc_id"), col("text"))
+    val r = docs
+      .select(v.as("v"))
+      .agg(
+        count(lit(1)).as("n"),
+        call_function("bit_xor", graft.Exprs.phashSeeded(lit(1), col("v"))).as("x1"),
+        call_function("bit_xor", graft.Exprs.phashSeeded(lit(2), col("v"))).as("x2"))
+      .head()
+    if (r.getLong(0) == 0L) "empty"
+    else f"${r.getLong(0)}%x-${r.getLong(1)}%016x-${r.getLong(2)}%016x"
+  }
+
+  /** The lossless J ≥ 0.8 truth set over `docs`, served from a
+    * content-keyed parquet cache ([[graft.Fixtures.cachedParquet]]) —
+    * round-6 directive: repeated benches/audits pay the prefix-filter
+    * join once per corpus IMAGE, not once per run. The key is
+    * [[corpusFingerprint]], so a regenerated fixture at the same path
+    * recomputes (never stale); the family name pins the shingle width
+    * and threshold so a retuned contract can't read an old image.
+    * Returns (doc_a, doc_b, jaccard). */
+  private[graft] def cachedTruth08(s: SparkSession, docs: DataFrame): DataFrame = {
+    // The persist handle outlives the by-name build block: cachedParquet
+    // materializes (writes) the result inside the call, so the unpersist
+    // below runs strictly after the one action that needs `ex` — and not
+    // at all on a cache hit, where the block never evaluates.
+    var ex: DataFrame = null
+    val out = graft.Fixtures.cachedParquet(s, "truth-w4-j08-v1", corpusFingerprint(docs)) {
+      ex = docs
+        .select(col("doc_id"), expr("shingle_explode(text, 4)").as("sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      ex.count()
+      prefixPairs08(ex)
+    }
+    if (ex != null) ex.unpersist()
+    out
+  }
+
   /** Row-form twin of [[jaccardPairs]] for array-free pipelines: `ex` is
     * (doc_id, sh) distinct shingle rows, `sizes` is (doc_id, sz). */
   private def jaccardPairsFromRows(
@@ -470,12 +519,24 @@ object DedupOps extends OpModule {
     // so the recall itself is engine-exact. ──
     "dedup_lsh_recall" -> Q(
       (s, d) => {
-        val ex = Tables.documents(s, d)
+        // Truth set from the content-keyed cache (round-6 directive): the
+        // first run on a corpus image pays the lossless prefix-filter join
+        // and publishes it; every later run — bench run 2, the isolated
+        // child, the next session — reads the committed parquet. The
+        // oracle recomputes from scratch every time, so a hit is proven
+        // identical on every verify. Candidates stay live: they're the
+        // thing under test.
+        val docs = Tables.documents(s, d)
+        val truth = cachedTruth08(s, docs).select(col("doc_a"), col("doc_b"))
+        val ex = docs
           .select(col("doc_id"), expr("shingle_explode(text, 4)").as("sh"))
+        // Persist the BAND SIGNATURES, not the shingle rows: `candidates`
+        // self-joins them, and this is the narrowest relation (16 skinny
+        // rows/doc) that stops the minhash pipeline running twice.
+        val bands = bandSigsFromRows(ex, 16, 4)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        ex.count()
-        val truth = prefixPairs08(ex).select(col("doc_a"), col("doc_b"))
-        val cand = candidates(bandSigsFromRows(ex, 16, 4))
+        bands.count()
+        val cand = candidates(bands)
         val t = truth.agg(count(lit(1)).as("n_truth"))
         val f = truth.join(cand, Seq("doc_a", "doc_b"), "left_semi")
           .agg(count(lit(1)).as("n_found"))
