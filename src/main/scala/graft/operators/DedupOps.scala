@@ -655,8 +655,27 @@ object DedupOps extends OpModule {
         // early-exits at the threshold instead of filling the full
         // matrix. Same predicate semantics as the oracle's plain
         // lev ≤ 2 — the gate is implied, never filtering a match.
-        sel.as("a")
-          .join(sel.as("b"),
+        //
+        // Parallelism, not pair volume, is this query's scale lever: a
+        // dim-sized `part` arrives as 1-2 input splits, and the sf1
+        // rehearsal measured the whole in-block scoring (156M generated
+        // pairs at 10x) serialized on those splits while 30 threads
+        // idled — 12.4x wall at 10x data. The probe side is spread to
+        // the cluster's parallelism ONLY when the scan is
+        // split-starved (same conditional as Tables.documents: at real
+        // scale file splits already parallelize, and the reshuffle of a
+        // skinny dim is noise when it fires). If the BLOCKS themselves
+        // outgrow a task (catalog 100x with the same 25 brands), the
+        // cure is a finer lossless blocking key (PassJoin segment
+        // pigeonhole), not more threads — documented trade.
+        val par = s.sparkContext.defaultParallelism
+        val probe =
+          if (sel.rdd.getNumPartitions < par) sel.repartition(par) else sel
+        // Broadcast the build side: `part` is a catalog dim (266 rows in
+        // the reference; dim-sized by contract), so the join must not
+        // re-collapse the spread probe into a 2-partition shuffle.
+        probe.as("a")
+          .join(broadcast(sel.as("b")),
             col("a.p_brand") === col("b.p_brand") &&
               col("a.szb") === col("b.szb") &&
               col("a.p_partkey") < col("b.p_partkey") &&
