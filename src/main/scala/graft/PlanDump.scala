@@ -71,7 +71,10 @@ object PlanDump {
     "er_fuzzy_blocked" ->
       ("Blocked record linkage: quadratic confined to (brand, size-band) blocks; " +
        "length gate prunes before any edit-distance DP; thresholded levenshtein " +
-       "early-exits. No exchange at all — the dim broadcasts into the self-join."),
+       "early-exits. The probe side spreads to cluster parallelism when the dim " +
+       "scan is split-starved (the sf1 rehearsal caught in-block scoring " +
+       "serialized on 2 splits), and the build side broadcasts — in-block pair " +
+       "scoring parallelizes instead of re-collapsing onto the dim's splits."),
     "sky1_pareto_front" ->
       ("Sort-based skyline: per-price hash agg, strict-prefix max hierarchically " +
        "(bucket windows, then one window over the constant-size bucket maxima) — " +
