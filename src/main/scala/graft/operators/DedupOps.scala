@@ -589,12 +589,18 @@ object DedupOps extends OpModule {
       (s, d) => {
         val sampled = Tables.documents(s, d)
           .where(pmod(phash(col("text")), lit(4L)) === 0L)
+        // Same content-keyed truth cache as the full-corpus recall: the
+        // fingerprint is computed over the SAMPLED (doc_id, text) set, so
+        // the key is automatically distinct from the full corpus image
+        // and from any other sample spec — a changed corpus or sample
+        // recomputes, an unchanged one reads the committed parquet.
+        val truth = cachedTruth08(s, sampled).select(col("doc_a"), col("doc_b"))
         val ex = sampled
           .select(col("doc_id"), expr("shingle_explode(text, 4)").as("sh"))
+        val bands = bandSigsFromRows(ex, 16, 4)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        ex.count()
-        val truth = prefixPairs08(ex).select(col("doc_a"), col("doc_b"))
-        val cand = candidates(bandSigsFromRows(ex, 16, 4))
+        bands.count()
+        val cand = candidates(bands)
         val nd = sampled.agg(count(lit(1)).as("n_docs"))
         val t = truth.agg(count(lit(1)).as("n_truth"))
         val f = truth.join(cand, Seq("doc_a", "doc_b"), "left_semi")
