@@ -237,6 +237,59 @@ object StreamingIngestOps extends OpModule {
               |FROM assigned WHERE rn = 1 ORDER BY vec_id""".stripMargin),
       doc = "Streaming gate: ANN-index worker drained over a 2-batch parity split; final cell assignments vs the replayed frozen-quantizer argmax",
       sort = Seq("vec_id")
+    ),
+
+    // ── The quantizer REFRESH under the oracle: same two-batch drain
+    // (even-half bootstrap, frozen assignment of both halves), then
+    // [[graft.streaming.AnnIngest.refit]] — re-fit the per-label
+    // fixed-point mean over EVERYTHING ingested and reassign the whole
+    // index against the new quantizer. The final cells therefore depend
+    // only on the refit centroids, and the twin replays exactly that:
+    // centroids over ALL vectors (no parity filter — the refresh's
+    // whole point), argmax reassignment, original batch_id preserved
+    // (provenance survives the rewrite). Gates the full refresh path
+    // bit-exactly: fit-over-history, broadcast reassignment, and the
+    // crash-safe keyed rewrite whose update-wins-tie replaces every
+    // row's old image at its unchanged version. ──
+    "ann_ingest_refit_state" -> Q(
+      (s, d) => {
+        val vecs = Tables.embeddings(s, d).filter(col("vec_id") < IdCap)
+        val wh = drainTwoBatches(s, "annrefit", vecs, "vec_id",
+          Pipeline.runAnnIngest(_, _, _, _))
+        graft.streaming.AnnIngest.refit(s, wh)
+        s.read.parquet(s"$wh/ann_index")
+          .select(col("vec_id").cast(LongType),
+            col("cell").cast(LongType),
+            col("batch_id").cast(LongType))
+      },
+      Some(s"""WITH e AS (
+              |  SELECT vec_id, label, v, ${AnnOps.normSql("v")} AS norm
+              |  FROM (SELECT vec_id, label, embedding::DOUBLE[] AS v
+              |        FROM embeddings WHERE vec_id < $IdCap)),
+              |cent AS (
+              |  SELECT label AS cell, i AS dim,
+              |    CAST(SUM(CAST(round(v[i] * 1e7) AS BIGINT)) AS DOUBLE)
+              |      / 1e7 / COUNT(*) AS c
+              |  FROM e, range(1, 65) t(i)
+              |  GROUP BY 1, 2),
+              |centv AS (SELECT cell, list(c ORDER BY dim) AS cv
+              |          FROM cent GROUP BY 1),
+              |centn AS (SELECT cell, cv, sqrt(${AnnOps.dotSql("cv", "cv")}) AS cn
+              |          FROM centv),
+              |scored AS (
+              |  SELECT e.vec_id, c.cell,
+              |    ${AnnOps.dotSql("e.v", "c.cv")} / (e.norm * c.cn) AS score
+              |  FROM e CROSS JOIN centn c),
+              |assigned AS (
+              |  SELECT vec_id, cell,
+              |    row_number() OVER (PARTITION BY vec_id
+              |      ORDER BY score DESC, cell) AS rn
+              |  FROM scored)
+              |SELECT vec_id::BIGINT AS vec_id, cell::BIGINT AS cell,
+              |  (vec_id % 2)::BIGINT AS batch_id
+              |FROM assigned WHERE rn = 1 ORDER BY vec_id""".stripMargin),
+      doc = "Streaming gate: quantizer refresh — refit over everything ingested, full reassignment; final cells vs the replayed re-fit argmax",
+      sort = Seq("vec_id")
     )
   )
 }

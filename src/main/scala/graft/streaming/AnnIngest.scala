@@ -25,10 +25,16 @@ import java.nio.file.{Files, Paths}
   * TRAINING: the first non-empty batch bootstraps the quantizer — one
   * centroid per `label` cell via the engine-exact fixed-point mean
   * (`ann_ivf_centroids`' formula). From then on the centroids are
-  * FROZEN: later vectors are assigned by nearest-centroid cosine, NOT
-  * by their label — the standard IVF contract (training distribution
-  * fixes the cells; drift shows up as unbalanced cells, audited from
-  * the log's per-batch cell spread, and a retrain is a new table).
+  * FROZEN in the ingest loop: later vectors are assigned by
+  * nearest-centroid cosine, NOT by their label — the standard IVF
+  * contract (training distribution fixes the cells; drift shows up as
+  * unbalanced cells, audited from the log's per-batch cell spread).
+  * A refresh is never silent: [[refit]] is a deliberate maintenance
+  * pass that re-fits the same per-label mean over EVERYTHING ingested
+  * and reassigns the whole index against the new quantizer, and
+  * [[refitIfDrifted]] is the policy that triggers it from the measured
+  * cell imbalance of the serving index — frozen by default, refreshed
+  * on evidence, every refresh recorded in `ann_refit_log`.
   *
   * Scale posture: assignment is one broadcast of k centroid rows
   * against the batch (map-only argmax, no shuffle of the corpus);
@@ -74,39 +80,14 @@ object AnnIngest {
             // between the writes replays assignment against the
             // identical centroids)
             if (!Files.exists(Paths.get(centroidsDir, "_SUCCESS"))) {
-              // zip_with fold over the collected vectors is a per-cell
-              // buffer — fine for k small cells; the REGISTERED
-              // ann_ivf_centroids shows the shuffle-free (i,j)-partial
-              // form used at scale. Quantized to 1e-7 like the batch
-              // query, so retraining replays bit-identically.
-              val cents = vecs.groupBy(col("label").as("cell"))
-                .agg(collect_list(col("v")).as("vs"))
-                .select(col("cell"), transform(
-                  aggregate(
-                    col("vs"),
-                    array_repeat(lit(0.0), dim),
-                    (acc, x) => zip_with(acc, x, (a, b) => a + round(b * 1e7))),
-                  x => x / 1e7 / size(col("vs"))).as("centroid"))
-              val withN = cents.withColumn("cnorm",
-                sqrt(AnnOps.dot(col("centroid"), col("centroid"))))
+              val withN = fitCentroids(vecs, dim)
                 .withColumn("batch_id", lit(batchId))
               UpsertWriter.upsert(s, centroidsDir, withN,
                 keys = Seq("cell"), versionCol = "batch_id")
             }
 
-            // nearest-centroid assignment: k centroid rows broadcast,
-            // map-only argmax (cell asc breaks cosine ties — and gives
-            // zero-norm vectors a deterministic home)
-            val cents = broadcast(s.read.parquet(centroidsDir)
-              .select(col("cell"), col("centroid"), col("cnorm")))
-            val w = Window.partitionBy(col("vec_id"))
-              .orderBy(col("score").desc, col("cell").asc)
-            val assigned = vecs.crossJoin(cents)
-              .withColumn("score",
-                AnnOps.dot(col("v"), col("centroid")) /
-                  (col("norm") * col("cnorm")))
-              .withColumn("__rn", row_number().over(w))
-              .filter(col("__rn") === 1)
+            val cents = s.read.parquet(centroidsDir)
+            val assigned = nearestCell(vecs, cents)
               .select(col("cell"), col("vec_id"), col("label"),
                 col("v"), col("norm"), lit(batchId).as("batch_id"))
             UpsertWriter.upsert(s, indexDir, assigned,
@@ -144,6 +125,128 @@ object AnnIngest {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
+  }
+
+  /** Per-label fixed-point mean over prepared (label, v) rows — the
+    * engine-exact quantizer fit (`ann_ivf_centroids`' formula). The
+    * zip_with fold over collected vectors is a per-cell buffer — fine
+    * for k small cells; the REGISTERED ann_ivf_centroids shows the
+    * shuffle-free (i,j)-partial form used at scale. Quantized to 1e-7
+    * like the batch query, so any re-fit replays bit-identically. */
+  private def fitCentroids(vecs: DataFrame, dim: Int): DataFrame =
+    vecs.groupBy(col("label").as("cell"))
+      .agg(collect_list(col("v")).as("vs"))
+      .select(col("cell"), transform(
+        aggregate(
+          col("vs"),
+          array_repeat(lit(0.0), dim),
+          (acc, x) => zip_with(acc, x, (a, b) => a + round(b * 1e7))),
+        x => x / 1e7 / size(col("vs"))).as("centroid"))
+      .withColumn("cnorm",
+        sqrt(AnnOps.dot(col("centroid"), col("centroid"))))
+
+  /** Nearest-centroid cell for prepared (vec_id, v, norm) rows: k
+    * centroid rows broadcast, map-only argmax (cell asc breaks cosine
+    * ties — and gives zero-norm vectors a deterministic home). Keeps
+    * every input column and adds `cell`; the input must not already
+    * carry `cell`/`centroid`/`cnorm`/`score`. */
+  private def nearestCell(vecs: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("score").desc, col("cell").asc)
+    vecs.crossJoin(broadcast(
+        cents.select(col("cell"), col("centroid"), col("cnorm"))))
+      .withColumn("score",
+        AnnOps.dot(col("v"), col("centroid")) /
+          (col("norm") * col("cnorm")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "score", "centroid", "cnorm")
+  }
+
+  /** One [[refit]]'s outcome: `preMaxShare`/`postMaxShare` are the
+    * hottest cell's share of the whole index before/after, `nMoved`
+    * the vectors whose cell changed. */
+  final case class RefitReport(
+      asOfBatch: Long, nVectors: Long, nMoved: Long,
+      preMaxShare: Double, postMaxShare: Double)
+
+  /** Deliberate quantizer refresh — the answer to a drift signal, never
+    * an ingest side effect. Re-fits the per-label fixed-point mean over
+    * EVERYTHING ingested (the bootstrap's formula, now weighted by the
+    * full history), then reassigns every stored vector against the new
+    * quantizer. Both writes ride [[UpsertWriter]]'s crash-safe keyed
+    * merge: reassigned rows keep their original batch_id (provenance —
+    * and the merge's update-wins-tie replaces the old image), centroids
+    * are versioned at the index's high-water batch. Centroids land
+    * FIRST, same as the bootstrap — a crash between the writes leaves
+    * both tables committed and readable, and a re-run reassigns against
+    * the already-new quantizer (refit is idempotent: re-fitting an
+    * already-refit index moves nothing). The outcome is appended to
+    * `ann_refit_log` keyed by the high-water batch, so a refresh is
+    * always visible history, never a silent re-fit. */
+  def refit(
+      spark: SparkSession, warehouseDir: String, dim: Int = 64): RefitReport = {
+    val centroidsDir = s"$warehouseDir/ann_centroids"
+    val indexDir = s"$warehouseDir/ann_index"
+    require(Files.exists(Paths.get(indexDir, "_SUCCESS")) &&
+        Files.exists(Paths.get(centroidsDir, "_SUCCESS")),
+      s"refit needs a committed index and centroids under $warehouseDir")
+
+    val idx = spark.read.parquet(indexDir).persist()
+    val (pre, asOf, nMoved) = try {
+      val pre = SkewTools.audit(idx, "cell")
+      val asOf = idx.agg(max(col("batch_id"))).head().getLong(0)
+
+      UpsertWriter.upsert(spark, centroidsDir,
+        fitCentroids(idx, dim).withColumn("batch_id", lit(asOf)),
+        keys = Seq("cell"), versionCol = "batch_id")
+
+      val reassigned = nearestCell(
+        idx.withColumnRenamed("cell", "__old_cell"),
+        spark.read.parquet(centroidsDir))
+      val nMoved = reassigned
+        .filter(col("cell") =!= col("__old_cell")).count()
+      UpsertWriter.upsert(spark, indexDir, reassigned.drop("__old_cell"),
+        keys = Seq("vec_id"), versionCol = "batch_id")
+      (pre, asOf, nMoved)
+    } finally {
+      // the post audit must NOT see idx: the CacheManager substitutes a
+      // cached plan for any semantically equal read of the same path,
+      // so a still-persisted pre-refit image would alias the fresh read
+      idx.unpersist(blocking = true); ()
+    }
+
+    val post = SkewTools.audit(spark.read.parquet(indexDir), "cell")
+    import spark.implicits._
+    UpsertWriter.upsert(spark, s"$warehouseDir/ann_refit_log",
+      Seq((asOf, pre.totalRows, nMoved, pre.maxShare, post.maxShare))
+        .toDF("as_of_batch", "n_vectors", "n_moved",
+          "pre_max_share", "post_max_share"),
+      keys = Seq("as_of_batch"), versionCol = "as_of_batch")
+    RefitReport(asOf, pre.totalRows, nMoved, pre.maxShare, post.maxShare)
+  }
+
+  /** The refresh policy: [[refit]] exactly when the SERVING index is
+    * measurably imbalanced — the hottest cell holds more than
+    * `threshold` of all postings (balanced ≈ 1/k; a hot cell is the
+    * thing that makes a probe scan half the corpus). Reads the measured
+    * state, not the per-batch log, so one concentrated batch inside a
+    * healthy index doesn't trigger a pointless rewrite — and refuses to
+    * re-run at an index state it has already refit (the refit log's
+    * high-water mark), so genuinely skewed DATA (where a re-fit moves
+    * nothing) costs one recorded no-op, not a rewrite loop. */
+  def refitIfDrifted(
+      spark: SparkSession, warehouseDir: String,
+      threshold: Double = 0.5, dim: Int = 64): Option[RefitReport] = {
+    val idx = index(spark, warehouseDir)
+    val a = SkewTools.audit(idx, "cell")
+    if (a.totalRows == 0L || a.maxShare <= threshold) None
+    else {
+      val asOf = idx.agg(max(col("batch_id"))).head().getLong(0)
+      val alreadyAt = refitLog(spark, warehouseDir)
+        .filter(col("as_of_batch") === asOf).take(1).nonEmpty
+      if (alreadyAt) None else Some(refit(spark, warehouseDir, dim))
+    }
   }
 
   /** IVF search over the streamed index: rank cells by query↔centroid
@@ -213,4 +316,14 @@ object AnnIngest {
       StructField("n_indexed", LongType),
       StructField("n_cells_touched", LongType),
       StructField("cell_max_share", DoubleType))))
+
+  /** Serving view: one row per [[refit]], keyed by the index's
+    * high-water batch at refresh time — the visible history the frozen
+    * quantizer's refresh policy leaves behind. */
+  def refitLog(spark: SparkSession, warehouseDir: String): DataFrame =
+    tableOrEmpty(spark, s"$warehouseDir/ann_refit_log", StructType(Seq(
+      StructField("as_of_batch", LongType),
+      StructField("n_vectors", LongType), StructField("n_moved", LongType),
+      StructField("pre_max_share", DoubleType),
+      StructField("post_max_share", DoubleType))))
 }

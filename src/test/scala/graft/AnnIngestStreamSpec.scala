@@ -121,4 +121,84 @@ class AnnIngestStreamSpec extends AnyFunSuite {
     assert(driftedShare > balancedShare * 1.5,
       s"drift signal failed to rise: balanced=$balancedShare drifted=$driftedShare")
   }
+
+  test("refitIfDrifted: the drifted index rebalances, a 1-cell probe stays exact, and the policy won't loop") {
+    val base = Files.createTempDirectory("graft-ann-refit")
+    val flat = base.resolve("vecs").toString
+    val wh = base.resolve("wh").toString
+    val ckpt = base.resolve("ckpt").toString
+    new java.io.File(flat).mkdirs()
+    import spark.implicits._
+
+    // 8 clusters on axes e0..e7 train the quantizer (batch 0). The
+    // drifted batch carries the SAME labels relocated to axes e8..e15:
+    // near-zero cosine to every frozen centroid, and the shared
+    // +0.01*e0 bias makes cell 0 the deterministic argmax — the whole
+    // batch piles into one cell (the hot-cell drift a probe pays for).
+    // After refit the per-label mean spans both homes ((eL+e(L+8))/2),
+    // and nearest-centroid separates every vector back to its label
+    // cell: balance restored without ever consulting the labels.
+    def vec(axis: Int): Array[Float] = {
+      val v = Array.fill(64)(0.0f)
+      v(axis) = 1.0f
+      v(0) += 0.01f
+      v
+    }
+    val trained = for (l <- 0 until 8; i <- 0 until 20)
+      yield ((l * 20 + i).toLong, vec(l), l)
+    val drifted = for (l <- 0 until 8; i <- 0 until 20)
+      yield ((1000 + l * 20 + i).toLong, vec(l + 8), l)
+    val toDf = (rows: Seq[(Long, Array[Float], Int)]) =>
+      rows.toDF("vec_id", "embedding", "label")
+
+    StreamFiles.landOne(base, flat, "b0", toDf(trained))
+    Pipeline.runAnnIngest(spark, flat, wh, ckpt).awaitTermination(120000)
+    StreamFiles.landOne(base, flat, "b1", toDf(drifted))
+    Pipeline.runAnnIngest(spark, flat, wh, ckpt).awaitTermination(120000)
+
+    // the drifted batch concentrated into one frozen cell
+    val b1Share = AnnIngest.ingestLog(spark, wh)
+      .filter(col("batch_id") === 1L)
+      .select(col("cell_max_share")).head().getDouble(0)
+    assert(b1Share > 0.9, s"drifted batch failed to concentrate: $b1Share")
+
+    // the policy reads the serving index's imbalance and refreshes
+    val rep = AnnIngest.refitIfDrifted(spark, wh, threshold = 0.5)
+    assert(rep.nonEmpty, "imbalanced index did not trigger a refit")
+    val r = rep.get
+    assert(r.nVectors == 320L, s"refit saw ${r.nVectors} vectors")
+    assert(r.preMaxShare > 0.5, s"pre share ${r.preMaxShare}")
+    // exactly the 7 relocated non-label-0 clusters go home
+    assert(r.nMoved == 140L, s"moved ${r.nMoved} vectors")
+    assert(r.postMaxShare < 0.2, s"post share ${r.postMaxShare}")
+
+    // post-refit a SINGLE-cell probe is exact for a drifted query
+    val all = AnnOps.withNorm(toDf(trained ++ drifted))
+    val q = all.filter(col("vec_id") === 1000L)
+    val got = AnnIngest.search(spark, wh, q, k = 5, nprobe = 1)
+      .select(col("rank"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = q.select(col("vec_id").as("query_id"),
+        col("v").as("qv"), col("norm").as("qn"))
+      .crossJoin(all)
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("vec_id").as("neighbor_id"),
+        (AnnOps.dot(col("qv"), col("v")) / (col("qn") * col("norm"))).as("cos"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("cos").desc, col("neighbor_id").asc)).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("rank"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute,
+      s"1-cell probe diverged post-refit: ${got.diff(brute)} vs ${brute.diff(got)}")
+
+    // won't loop: balanced now (threshold path), and even a threshold
+    // below the balanced share hits the already-refit-at-this-state
+    // guard instead of rewriting the index again
+    assert(AnnIngest.refitIfDrifted(spark, wh, threshold = 0.5).isEmpty)
+    assert(AnnIngest.refitIfDrifted(spark, wh, threshold = 0.1).isEmpty,
+      "policy re-ran a refit at an index state it already refit")
+    assert(AnnIngest.refitLog(spark, wh).count() == 1L)
+  }
 }
