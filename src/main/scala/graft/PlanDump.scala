@@ -75,6 +75,13 @@ object PlanDump {
        "scan is split-starved (the sf1 rehearsal caught in-block scoring " +
        "serialized on 2 splits), and the build side broadcasts — in-block pair " +
        "scoring parallelizes instead of re-collapsing onto the dim's splits."),
+    "er_fuzzy_passjoin" ->
+      ("UNBLOCKED lossless fuzzy ER: PassJoin segment pigeonhole — candidates " +
+       "only from the (length, segment-index, segment) equi-join, the shift " +
+       "window |d| + |dl - d| <= tau enforced at generation; starved dim scan " +
+       "spreads before the explode chain; verification joins broadcast the " +
+       "dim slice. The quadratic oracle hash-checks recall 1.0 — the blocking " +
+       "key comes from the name itself, so no cross-brand match can escape."),
     "sky1_pareto_front" ->
       ("Sort-based skyline: per-price hash agg, strict-prefix max hierarchically " +
        "(bucket windows, then one window over the constant-size bucket maxima) — " +

@@ -39,6 +39,71 @@ object DedupOps extends OpModule {
   private[operators] val toksSql =
     "SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents"
 
+  /** PassJoin segment-pigeonhole candidate generation for an edit-distance
+    * similarity self-join (Li, Deng, Feng, Wang — "PASS-JOIN: A
+    * Partition-based Method for Similarity Joins", PVLDB 5(3), 2011):
+    * every string is cut into `tau`+1 contiguous segments by a canonical
+    * split that is a pure function of its LENGTH (base = l div (tau+1),
+    * the l mod (tau+1) longer segments placed last). If lev(a,b) ≤ tau,
+    * the optimal alignment leaves at least one of a's segments edit-free
+    * (pigeonhole over tau edits), i.e. equal to a substring of b — and
+    * that substring's shift δ from the segment's home position obeys
+    * |δ| + |Δl − δ| ≤ tau (the prefix and tail alignments each cost at
+    * least their length gap). So the index side emits (l, j, segment) and
+    * the probe side emits (l_idx, j, substring) only for lengths within
+    * tau and shifts inside that window; candidates are the EQUI-join of
+    * the two — the blocking key is derived from content, never from a
+    * coarse attribute, and losslessness is a theorem, not a hope.
+    *
+    * Returns distinct (key_a < key_b) id pairs; callers verify with the
+    * threshold levenshtein. Work is bounded by segment-bucket collisions
+    * (the LSH-bucket story with an exactness guarantee). Handles any
+    * string length ≥ 0: zero-length segments join vacuously and only
+    * against same-length-window partners. */
+  def passJoinCandidates(
+      rows: DataFrame, idCol: String, strCol: String,
+      tau: Int = 2): DataFrame = {
+    val k = tau + 1
+    val sel = rows.select(col(idCol).as("id"), col(strCol).as("str"))
+      .withColumn("l", length(col("str")))
+    // canonical segment geometry of the j-th segment of a length-l split
+    def segGeom(lc: Column, df: DataFrame): DataFrame = {
+      val base = floor(lc / k).cast(IntegerType)
+      val rem = pmod(lc, lit(k))
+      df.withColumn("slen",
+          base + when(col("j") >= lit(k) - rem, 1).otherwise(0))
+        .withColumn("sstart",
+          col("j") * base + greatest(lit(0), col("j") - (lit(k) - rem)))
+    }
+    val idx = segGeom(col("l"),
+        sel.withColumn("j", explode(sequence(lit(0), lit(tau)))))
+      .withColumn("seg", expr("substring(str, sstart + 1, slen)"))
+      .select(col("id").as("id_i"), col("l").as("l_i"), col("j"), col("seg"))
+    val probe = segGeom(col("l_i"),
+        sel.withColumn("l_i",
+            explode(sequence(greatest(col("l") - tau, lit(0)), col("l") + tau)))
+          .withColumn("j", explode(sequence(lit(0), lit(tau)))))
+      .withColumn("d", explode(sequence(lit(-tau), lit(tau))))
+      .withColumn("dl", col("l") - col("l_i"))
+      .filter(abs(col("d")) + abs(col("dl") - col("d")) <= tau &&
+        col("sstart") + col("d") >= 0 &&
+        col("sstart") + col("d") <= col("l") - col("slen"))
+      .withColumn("seg", expr("substring(str, sstart + d + 1, slen)"))
+      .select(col("id").as("id_p"), col("l_i"), col("j"), col("seg"))
+    idx.join(probe, Seq("l_i", "j", "seg"))
+      .filter(col("id_i") =!= col("id_p"))
+      .select(least(col("id_i"), col("id_p")).as("key_a"),
+        greatest(col("id_i"), col("id_p")).as("key_b"))
+      .distinct()
+  }
+
+  /** Bounds `er_fuzzy_passjoin`'s cost at every SF (the streaming-gate
+    * convention): covers the ENTIRE part fixture at the driver's gate
+    * SFs (200 rows at sf0.001, 2 000 at sf0.01) and a fixed 5 000-row
+    * slice at bench SFs — the semantics gate is complete, the bench cost
+    * bounded. */
+  private val ErPassJoinCap = 5000L
+
   /** Distinct word n-gram shingle set per doc (empty when too short).
     * The native codegen'd [[graft.functions.WordShingles]] — bit-identical
     * to the composed HOF tower it replaced (`WordShinglesSpec`), which is
@@ -708,6 +773,62 @@ object DedupOps extends OpModule {
              |  AND abs(a.p_retailprice - b.p_retailprice) <= 100
              |ORDER BY key_a, key_b""".stripMargin),
       doc = "Extension: blocked fuzzy entity resolution (brand/size-band blocks, levenshtein + price-gap scoring)",
+      sort = Seq("key_a", "key_b")
+    ),
+
+    // ── The LOSSLESS upgrade of `er_fuzzy_blocked`'s documented trade:
+    // that query bounds the quadratic inside (brand, size-band) blocks
+    // and so (a) misses every cross-brand match and (b) dies when a
+    // block outgrows a task. [[passJoinCandidates]] replaces the coarse
+    // attribute block with PassJoin's segment pigeonhole — the blocking
+    // key is derived from the NAME ITSELF, candidates are an equi-join
+    // on (length, segment-index, segment), and zero true matches can
+    // escape (the oracle is the full quadratic join: recall 1.0 is
+    // hash-checked, not sampled). Candidates then verify with the
+    // early-exit threshold levenshtein; names/prices ride a broadcast
+    // join-back against the dim-sized slice. On this fixture's
+    // low-entropy vocabulary the segment buckets stay fat (the corpus IS
+    // near-duplicate-dense — the true match set is itself quadratic in
+    // cluster size); on a real catalog the segments are discriminative
+    // and the bucket bound does the work of LSH with exact recall. ──
+    "er_fuzzy_passjoin" -> Q(
+      (s, d) => {
+        val dimSel = Tables.part(s, d)
+          .filter(col("p_partkey") < ErPassJoinCap)
+          .select(col("p_partkey"), col("p_name"), col("p_retailprice"))
+        // same split-starvation cure as er_fuzzy_blocked: a dim-sized
+        // scan arrives as 1-2 input splits and the candidate explosion
+        // inherits that parallelism; spread ONLY when starved (at real
+        // scale file splits already parallelize)
+        val par = s.sparkContext.defaultParallelism
+        val sel =
+          if (dimSel.rdd.getNumPartitions < par) dimSel.repartition(par)
+          else dimSel
+        val cand = passJoinCandidates(sel, "p_partkey", "p_name", tau = 2)
+        val dim = dimSel.select(col("p_partkey"), col("p_name"),
+          col("p_retailprice"))
+        cand
+          .join(broadcast(dim.toDF("key_a", "name_a", "price_a")), "key_a")
+          .join(broadcast(dim.toDF("key_b", "name_b", "price_b")), "key_b")
+          .withColumn("name_dist",
+            levenshtein(col("name_a"), col("name_b"), 2).cast(LongType))
+          .withColumn("price_gap", abs(col("price_a") - col("price_b")))
+          .where(col("name_dist").between(0, 2) && col("price_gap") <= 100.0)
+          .select(col("key_a"), col("key_b"), col("name_dist"),
+            col("price_gap"))
+      },
+      Some(s"""SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+              |  levenshtein(a.p_name, b.p_name)::BIGINT AS name_dist,
+              |  abs(a.p_retailprice - b.p_retailprice) AS price_gap
+              |FROM part a JOIN part b
+              |  ON a.p_partkey < b.p_partkey
+              | AND abs(len(a.p_name) - len(b.p_name)) <= 2
+              |WHERE a.p_partkey < $ErPassJoinCap
+              |  AND b.p_partkey < $ErPassJoinCap
+              |  AND levenshtein(a.p_name, b.p_name) <= 2
+              |  AND abs(a.p_retailprice - b.p_retailprice) <= 100
+              |ORDER BY key_a, key_b""".stripMargin),
+      doc = "Extension: UNBLOCKED lossless fuzzy ER via PassJoin segment pigeonhole (PVLDB 2011) — content-derived blocking, quadratic oracle proves recall 1.0",
       sort = Seq("key_a", "key_b")
     ),
 

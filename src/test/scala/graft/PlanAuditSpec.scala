@@ -113,6 +113,13 @@ class PlanAuditSpec extends AnyFunSuite {
     // fuzzy ER: quadratic confined to equi-join blocks, no nested loop
     val er = plan("er_fuzzy_blocked")
     assert(er.contains("levenshtein") && !er.contains("BroadcastNestedLoopJoin"))
+    // PassJoin ER: candidates MUST ride the (l_i, j, seg) equi-join —
+    // a nested loop or cartesian would mean the pigeonhole key was lost
+    val pj = plan("er_fuzzy_passjoin")
+    assert(pj.contains("levenshtein") &&
+      !pj.contains("BroadcastNestedLoopJoin") &&
+      !pj.contains("CartesianProduct"),
+      "er_fuzzy_passjoin lost its segment equi-join")
     // star join: date predicate reaches the orders scan
     assert(plan("j11_star_join_volume").contains("PushedFilters: [IsNotNull(o_orderdate)"),
       "j11 date filter not pushed to the orders scan")
