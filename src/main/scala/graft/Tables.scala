@@ -36,7 +36,7 @@ object Tables {
     * corpus into every load. Only when the scan yields fewer splits than
     * the cluster has cores is the narrow reshuffle of a few thousand
     * skinny rows worth it (and then it's noise). */
-  private def spreadIfStarved(s: SparkSession, df: DataFrame): DataFrame = {
+  def spreadIfStarved(s: SparkSession, df: DataFrame): DataFrame = {
     val par = s.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < par) df.repartition(par) else df
   }

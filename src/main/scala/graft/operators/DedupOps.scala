@@ -738,10 +738,8 @@ object DedupOps extends OpModule {
         // skinny dim is noise when it fires). If the BLOCKS themselves
         // outgrow a task (catalog 100x with the same 25 brands), the
         // cure is a finer lossless blocking key (PassJoin segment
-        // pigeonhole), not more threads — documented trade.
-        val par = s.sparkContext.defaultParallelism
-        val probe =
-          if (sel.rdd.getNumPartitions < par) sel.repartition(par) else sel
+        // pigeonhole — `er_fuzzy_passjoin`), not more threads.
+        val probe = Tables.spreadIfStarved(s, sel)
         // Broadcast the build side: `part` is a catalog dim (266 rows in
         // the reference; dim-sized by contract), so the join must not
         // re-collapse the spread probe into a 2-partition shuffle.
@@ -800,16 +798,11 @@ object DedupOps extends OpModule {
         // scan arrives as 1-2 input splits and the candidate explosion
         // inherits that parallelism; spread ONLY when starved (at real
         // scale file splits already parallelize)
-        val par = s.sparkContext.defaultParallelism
-        val sel =
-          if (dimSel.rdd.getNumPartitions < par) dimSel.repartition(par)
-          else dimSel
+        val sel = Tables.spreadIfStarved(s, dimSel)
         val cand = passJoinCandidates(sel, "p_partkey", "p_name", tau = 2)
-        val dim = dimSel.select(col("p_partkey"), col("p_name"),
-          col("p_retailprice"))
         cand
-          .join(broadcast(dim.toDF("key_a", "name_a", "price_a")), "key_a")
-          .join(broadcast(dim.toDF("key_b", "name_b", "price_b")), "key_b")
+          .join(broadcast(dimSel.toDF("key_a", "name_a", "price_a")), "key_a")
+          .join(broadcast(dimSel.toDF("key_b", "name_b", "price_b")), "key_b")
           .withColumn("name_dist",
             levenshtein(col("name_a"), col("name_b"), 2).cast(LongType))
           .withColumn("price_gap", abs(col("price_a") - col("price_b")))

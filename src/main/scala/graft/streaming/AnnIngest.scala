@@ -183,7 +183,15 @@ object AnnIngest {
     * the already-new quantizer (refit is idempotent: re-fitting an
     * already-refit index moves nothing). The outcome is appended to
     * `ann_refit_log` keyed by the high-water batch, so a refresh is
-    * always visible history, never a silent re-fit. */
+    * always visible history, never a silent re-fit.
+    *
+    * SINGLE-WRITER contract: refit is a read-modify-write over the same
+    * tables the ingest worker owns, so it must run in the maintenance
+    * window BETWEEN AvailableNow drains (the package's operating mode —
+    * every drain stops). Run concurrently with a live drain, refit's
+    * merged image could be built from a read that predates the drain's
+    * latest commit and swap that batch away; plain parquet has no
+    * cross-process lock to prevent it (a lakehouse MERGE would). */
   def refit(
       spark: SparkSession, warehouseDir: String, dim: Int = 64): RefitReport = {
     val centroidsDir = s"$warehouseDir/ann_centroids"
@@ -195,28 +203,54 @@ object AnnIngest {
     val idx = spark.read.parquet(indexDir).persist()
     val (pre, asOf, nMoved) = try {
       val pre = SkewTools.audit(idx, "cell")
+      // an empty committed index (e.g. truncated) has no high-water
+      // batch and nothing to re-fit — refuse with a clear error instead
+      // of an NPE on the null max (refitIfDrifted never gets here: its
+      // totalRows == 0 guard returns None first)
+      require(pre.totalRows > 0L, s"refit on an empty index at $indexDir")
       val asOf = idx.agg(max(col("batch_id"))).head().getLong(0)
-
-      UpsertWriter.upsert(spark, centroidsDir,
-        fitCentroids(idx, dim).withColumn("batch_id", lit(asOf)),
-        keys = Seq("cell"), versionCol = "batch_id")
-
-      val reassigned = nearestCell(
-        idx.withColumnRenamed("cell", "__old_cell"),
-        spark.read.parquet(centroidsDir))
-      val nMoved = reassigned
-        .filter(col("cell") =!= col("__old_cell")).count()
-      UpsertWriter.upsert(spark, indexDir, reassigned.drop("__old_cell"),
-        keys = Seq("vec_id"), versionCol = "batch_id")
-      (pre, asOf, nMoved)
+      (pre, asOf, refitWrites(spark, centroidsDir, indexDir, dim, idx, asOf))
     } finally {
       // the post audit must NOT see idx: the CacheManager substitutes a
       // cached plan for any semantically equal read of the same path,
       // so a still-persisted pre-refit image would alias the fresh read
       idx.unpersist(blocking = true); ()
     }
+    logRefit(spark, warehouseDir, pre, asOf, nMoved)
+  }
 
-    val post = SkewTools.audit(spark.read.parquet(indexDir), "cell")
+  /** The two refresh writes (new centroids, full reassignment), shared
+    * by [[refit]] and [[refitIfDrifted]] so the policy path re-uses its
+    * already-persisted index image instead of re-scanning. Returns the
+    * number of vectors whose cell changed. The reassignment is
+    * persisted across its two consumers (the moved-count and the index
+    * rewrite) — on a real index the broadcast argmax is the dominant
+    * refresh cost and must not run twice. */
+  private def refitWrites(
+      spark: SparkSession, centroidsDir: String, indexDir: String,
+      dim: Int, idx: DataFrame, asOf: Long): Long = {
+    UpsertWriter.upsert(spark, centroidsDir,
+      fitCentroids(idx, dim).withColumn("batch_id", lit(asOf)),
+      keys = Seq("cell"), versionCol = "batch_id")
+    val reassigned = nearestCell(
+      idx.withColumnRenamed("cell", "__old_cell"),
+      spark.read.parquet(centroidsDir)).persist()
+    try {
+      val nMoved = reassigned
+        .filter(col("cell") =!= col("__old_cell")).count()
+      UpsertWriter.upsert(spark, indexDir, reassigned.drop("__old_cell"),
+        keys = Seq("vec_id"), versionCol = "batch_id")
+      nMoved
+    } finally { reassigned.unpersist(blocking = true); () }
+  }
+
+  /** Post-audit the rewritten index (fresh read — every pre-image cache
+    * is gone by now), append the refresh to `ann_refit_log`, report. */
+  private def logRefit(
+      spark: SparkSession, warehouseDir: String,
+      pre: SkewTools.SkewAudit, asOf: Long, nMoved: Long): RefitReport = {
+    val post = SkewTools.audit(
+      spark.read.parquet(s"$warehouseDir/ann_index"), "cell")
     import spark.implicits._
     UpsertWriter.upsert(spark, s"$warehouseDir/ann_refit_log",
       Seq((asOf, pre.totalRows, nMoved, pre.maxShare, post.maxShare))
@@ -234,18 +268,35 @@ object AnnIngest {
     * healthy index doesn't trigger a pointless rewrite — and refuses to
     * re-run at an index state it has already refit (the refit log's
     * high-water mark), so genuinely skewed DATA (where a re-fit moves
-    * nothing) costs one recorded no-op, not a rewrite loop. */
+    * nothing) costs one recorded no-op, not a rewrite loop. The audit,
+    * the high-water read and the refresh itself all consume ONE
+    * persisted index image — no scan is repeated and the decision can't
+    * diverge from the state it acts on. Same single-writer contract as
+    * [[refit]]: call it between drains, never beside one. */
   def refitIfDrifted(
       spark: SparkSession, warehouseDir: String,
       threshold: Double = 0.5, dim: Int = 64): Option[RefitReport] = {
-    val idx = index(spark, warehouseDir)
-    val a = SkewTools.audit(idx, "cell")
-    if (a.totalRows == 0L || a.maxShare <= threshold) None
+    val centroidsDir = s"$warehouseDir/ann_centroids"
+    val indexDir = s"$warehouseDir/ann_index"
+    if (!Files.exists(Paths.get(indexDir, "_SUCCESS")) ||
+        !Files.exists(Paths.get(centroidsDir, "_SUCCESS"))) None
     else {
-      val asOf = idx.agg(max(col("batch_id"))).head().getLong(0)
-      val alreadyAt = refitLog(spark, warehouseDir)
-        .filter(col("as_of_batch") === asOf).take(1).nonEmpty
-      if (alreadyAt) None else Some(refit(spark, warehouseDir, dim))
+      val idx = spark.read.parquet(indexDir).persist()
+      val fired = try {
+        val a = SkewTools.audit(idx, "cell")
+        if (a.totalRows == 0L || a.maxShare <= threshold) None
+        else {
+          val asOf = idx.agg(max(col("batch_id"))).head().getLong(0)
+          val alreadyAt = refitLog(spark, warehouseDir)
+            .filter(col("as_of_batch") === asOf).take(1).nonEmpty
+          if (alreadyAt) None
+          else Some((a, asOf,
+            refitWrites(spark, centroidsDir, indexDir, dim, idx, asOf)))
+        }
+      } finally { idx.unpersist(blocking = true); () }
+      fired.map { case (pre, asOf, nMoved) =>
+        logRefit(spark, warehouseDir, pre, asOf, nMoved)
+      }
     }
   }
 
