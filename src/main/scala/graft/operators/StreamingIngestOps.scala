@@ -70,7 +70,16 @@ object StreamingIngestOps extends OpModule {
   private val docSubsetSql =
     s"(SELECT doc_id, text FROM documents WHERE doc_id < $IdCap)"
 
-  /** Land even ids at t0, odd ids at t0+60s, drain the worker. */
+  /** Land even ids at t0, odd ids at t0+60s, drain the worker.
+    *
+    * The drain runs at shuffle.partitions=4 (saved/restored around the
+    * synchronous AvailableNow window): the capped corpus's micro-batch
+    * states are a few hundred rows, AQE cannot coalesce inside a
+    * stream, and at 32 partitions every per-batch upsert schedules 32
+    * tasks and lands 32 near-empty files that the NEXT batch re-reads —
+    * measured as the dominant cost of these gates. Production sizes
+    * shuffle partitions to state size for exactly this reason; the
+    * workers' semantics are partitioning-independent (oracle-gated). */
   private def drainTwoBatches(
       s: SparkSession, tag: String, rows: DataFrame, idCol: String,
       run: (SparkSession, String, String, String) =>
@@ -79,8 +88,12 @@ object StreamingIngestOps extends OpModule {
     val t0 = System.currentTimeMillis() - 120000
     land(rows.filter(col(idCol) % 2 === 0), base, flat, "b0", t0)
     land(rows.filter(col(idCol) % 2 === 1), base, flat, "b1", t0 + 60000)
-    val q = run(s, flat, wh, ckpt)
-    q.awaitTermination(300000)
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = run(s, flat, wh, ckpt)
+      q.awaitTermination(300000)
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     wh
   }
 
