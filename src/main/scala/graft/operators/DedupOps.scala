@@ -104,6 +104,73 @@ object DedupOps extends OpModule {
     * bounded. */
   private val ErPassJoinCap = 5000L
 
+  /** Three fixed rounds of min-label propagation over the minhash
+    * near-dup edges — the cluster labeling `dedup_survivors` and
+    * `ta_split_leakage_safe` share (fixed rounds so the DuckDB twins
+    * replay the exact state; the unbounded production form is
+    * [[survivorsToFixpoint]]).
+    *
+    * Labels iterate over ALL docs. The alternative — propagate only the
+    * edge-touched subgraph and anti-join singletons back — was measured
+    * SLOWER here (interleaved A/B at sf0.01: 1.5 s vs 3.4 s
+    * steady-state): with 3 fixed rounds the extra
+    * distinct/anti-join/union exchanges cost more than the smaller
+    * per-round relations save, at any scale where 3 rounds is the right
+    * depth. The subgraph restriction lives where it pays:
+    * [[survivorsToFixpoint]], whose round count is unbounded.
+    *
+    * localCheckpoint: each round references the previous one TWICE
+    * (union branch + join branch), so an un-truncated lineage replays
+    * round r−1 2× / r−2 4× / r−3 8× — measured ~40% of the survivors
+    * query's wall time in redundant tiny-stage scheduling. The label
+    * relation is skinny (doc, label) rows, so the eager materialization
+    * is cheap at any scale. */
+  private def propagatedLabels3(s: SparkSession, d: String): DataFrame = {
+    val edges = minhashEdges(s, d)
+    var labels = Tables.documents(s, d).select(col("doc_id"))
+      .withColumn("label", col("doc_id"))
+    for (_ <- 1 to 3) {
+      val fromNeighbors = edges
+        .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
+        .select(col("src").as("doc_id"), col("label"))
+      labels = labels.unionByName(fromNeighbors)
+        .groupBy(col("doc_id"))
+        .agg(min(col("label")).as("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
+  /** DuckDB WITH-chain ending in `l3 (doc_id, label)` — the twin of
+    * [[propagatedLabels3]], shared by the same two oracles. */
+  private def labels3Sql: String = {
+    val mh = s"""WITH sh AS (${shingledSql(3)}),
+                |${bandSigsSql(32, 4)},
+                |$candidatesSql,
+                |pairs AS (
+                |  SELECT doc_a, doc_b FROM (
+                |    SELECT doc_a, doc_b,
+                |      len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                |        / len(list_distinct(a.shingles || b.shingles)) AS jaccard
+                |    FROM cand JOIN sh a ON a.doc_id = cand.doc_a
+                |              JOIN sh b ON b.doc_id = cand.doc_b)
+                |  WHERE jaccard >= 0.8),
+                |edges AS (
+                |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+                |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+                |l0 AS (SELECT doc_id, doc_id AS label FROM documents)""".stripMargin
+    val rounds = (1 to 3).map { i =>
+      s"""l$i AS (
+         |  SELECT doc_id, min(label) AS label FROM (
+         |    SELECT doc_id, label FROM l${i - 1}
+         |    UNION ALL
+         |    SELECT e.src AS doc_id, l.label
+         |    FROM edges e JOIN l${i - 1} l ON l.doc_id = e.dst)
+         |  GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"$mh,\n$rounds"
+  }
+
   /** Distinct word n-gram shingle set per doc (empty when too short).
     * The native codegen'd [[graft.functions.WordShingles]] — bit-identical
     * to the composed HOF tower it replaced (`WordShinglesSpec`), which is
@@ -1051,67 +1118,44 @@ object DedupOps extends OpModule {
     // standard iterative-CC shape that scales with the edge list, not
     // the corpus. Survivor = lowest doc_id in the cluster. ──
     "dedup_survivors" -> Q(
-      (s, d) => {
-        val edges = minhashEdges(s, d)
-        val docs = Tables.documents(s, d).select(col("doc_id"))
-        // Labels iterate over ALL docs. The alternative — propagate only
-        // the edge-touched subgraph and anti-join singletons back — was
-        // measured SLOWER here (interleaved A/B at sf0.01: 1.5 s vs
-        // 3.4 s steady-state): with 3 fixed rounds the extra
-        // distinct/anti-join/union exchanges cost more than the smaller
-        // per-round relations save, at any scale where 3 rounds is the
-        // right depth. The subgraph restriction lives where it pays:
-        // [[survivorsToFixpoint]], whose round count is unbounded.
-        var labels = docs.withColumn("label", col("doc_id"))
-        for (_ <- 1 to 3) {
-          val fromNeighbors = edges
-            .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
-            .select(col("src").as("doc_id"), col("label"))
-          // localCheckpoint: each round references the previous one
-          // TWICE (union branch + join branch), so an un-truncated
-          // lineage replays round r−1 2× / r−2 4× / r−3 8× — measured
-          // ~40% of this query's wall time in redundant tiny-stage
-          // scheduling. The label relation is skinny (doc, label) rows,
-          // so the eager materialization is cheap at any scale.
-          labels = labels.unionByName(fromNeighbors)
-            .groupBy(col("doc_id"))
-            .agg(min(col("label")).as("label"))
-            .localCheckpoint()
-        }
-        labels.select(col("doc_id"), col("label").as("cluster_id"),
-          (col("doc_id") === col("label")).as("is_survivor"))
-      },
-      Some {
-        val mh = s"""WITH sh AS (${shingledSql(3)}),
-                    |${bandSigsSql(32, 4)},
-                    |$candidatesSql,
-                    |pairs AS (
-                    |  SELECT doc_a, doc_b FROM (
-                    |    SELECT doc_a, doc_b,
-                    |      len(list_intersect(a.shingles, b.shingles))::DOUBLE
-                    |        / len(list_distinct(a.shingles || b.shingles)) AS jaccard
-                    |    FROM cand JOIN sh a ON a.doc_id = cand.doc_a
-                    |              JOIN sh b ON b.doc_id = cand.doc_b)
-                    |  WHERE jaccard >= 0.8),
-                    |edges AS (
-                    |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-                    |  UNION ALL SELECT doc_b, doc_a FROM pairs),
-                    |l0 AS (SELECT doc_id, doc_id AS label FROM documents)""".stripMargin
-        val rounds = (1 to 3).map { i =>
-          s"""l$i AS (
-             |  SELECT doc_id, min(label) AS label FROM (
-             |    SELECT doc_id, label FROM l${i - 1}
-             |    UNION ALL
-             |    SELECT e.src AS doc_id, l.label
-             |    FROM edges e JOIN l${i - 1} l ON l.doc_id = e.dst)
-             |  GROUP BY 1)""".stripMargin
-        }.mkString(",\n")
-        s"""$mh,
-           |$rounds
-           |SELECT doc_id, label AS cluster_id, doc_id = label AS is_survivor
-           |FROM l3 ORDER BY doc_id""".stripMargin
-      },
+      (s, d) => propagatedLabels3(s, d)
+        .select(col("doc_id"), col("label").as("cluster_id"),
+          (col("doc_id") === col("label")).as("is_survivor")),
+      Some(s"""$labels3Sql
+              |SELECT doc_id, label AS cluster_id, doc_id = label AS is_survivor
+              |FROM l3 ORDER BY doc_id""".stripMargin),
       doc = "LLM-pipeline: connected-component dedup clusters + canonical survivor",
+      sort = Seq("doc_id")
+    ),
+
+    // ── Leakage-safe train/val/test split: the assignment is a pure
+    // function of the NEAR-DUP CLUSTER, never the document — so two
+    // near-duplicates can never straddle train and test (the eval-set
+    // contamination every dedup-then-split pipeline exists to prevent;
+    // splitting by doc_id hash does NOT give this). Cluster labels are
+    // the same 3-round propagation as `dedup_survivors`; the 80/10/10
+    // bucket is the portable content-hash family over the cluster id,
+    // so both engines (and every rerun) place every cluster
+    // identically. Scale: one hash per row on top of the cluster
+    // labeling — the split itself is map-only. ──
+    "ta_split_leakage_safe" -> Q(
+      (s, d) => {
+        val bucket = pmod(phash(col("label").cast(StringType)), lit(10L))
+        propagatedLabels3(s, d)
+          .select(col("doc_id"), col("label").as("cluster_id"),
+            when(bucket < 8, lit("train"))
+              .when(bucket === 8, lit("val"))
+              .otherwise(lit("test")).as("split"))
+      },
+      Some(s"""$labels3Sql
+              |SELECT doc_id, label AS cluster_id,
+              |  CASE WHEN h < 8 THEN 'train' WHEN h = 8 THEN 'val'
+              |       ELSE 'test' END AS split
+              |FROM (SELECT doc_id, label,
+              |        ${phashSql("label::VARCHAR")} % 10 AS h
+              |      FROM l3)
+              |ORDER BY doc_id""".stripMargin),
+      doc = "LLM-pipeline: leakage-safe split — assignment is a content-hash of the near-dup cluster, so no near-duplicate pair straddles train/test",
       sort = Seq("doc_id")
     ),
 

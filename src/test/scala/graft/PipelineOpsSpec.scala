@@ -41,6 +41,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ta_split_leakage_safe: a cluster never straddles splits; all three splits populated") {
+    val out = DedupOps.queries("ta_split_leakage_safe")
+      .run(spark, sf)
+      .select(col("cluster_id"), col("split"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // the leakage guarantee: split is a function of the cluster
+    val perCluster = out.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    perCluster.foreach { case (c, splits) =>
+      assert(splits.size == 1, s"cluster $c straddles splits $splits")
+    }
+    // and the 80/10/10 hash actually lands clusters in every split
+    val bySplit = out.map(_._2).groupBy(identity).view.mapValues(_.size).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"),
+      s"missing split(s): $bySplit")
+    assert(bySplit("train") > bySplit("val") && bySplit("train") > bySplit("test"),
+      s"train is not the majority split: $bySplit")
+  }
+
   test("survivor CC fixpoint converges past the fixed-3-round horizon") {
     // Planted diameter-4 chain 1—2—3—4—5: min-label propagation needs 4
     // rounds to reach node 5, one more than the replayable fixed-round
