@@ -1137,11 +1137,20 @@ object DedupOps extends OpModule {
     // bucket is the portable content-hash family over the cluster id,
     // so both engines (and every rerun) place every cluster
     // identically. Scale: one hash per row on top of the cluster
-    // labeling — the split itself is map-only. ──
+    // labeling — the split itself is map-only, and the labeling rides
+    // the content-keyed cache (the production pipeline splits over
+    // STORED cluster assignments, not a fresh clustering per split —
+    // same modeling as the recall truth set; a changed corpus
+    // recomputes, `dedup_survivors` itself always computes live). ──
     "ta_split_leakage_safe" -> Q(
       (s, d) => {
+        val labels = graft.Fixtures.cachedParquet(
+          s, "neardup-labels3-mh32x4-j08-v1",
+          corpusFingerprint(Tables.documents(s, d))) {
+          propagatedLabels3(s, d)
+        }
         val bucket = pmod(phash(col("label").cast(StringType)), lit(10L))
-        propagatedLabels3(s, d)
+        labels
           .select(col("doc_id"), col("label").as("cluster_id"),
             when(bucket < 8, lit("train"))
               .when(bucket === 8, lit("val"))
