@@ -191,7 +191,11 @@ object AnnIngest {
     * every drain stops). Run concurrently with a live drain, refit's
     * merged image could be built from a read that predates the drain's
     * latest commit and swap that batch away; plain parquet has no
-    * cross-process lock to prevent it (a lakehouse MERGE would). */
+    * cross-process lock to prevent it (a lakehouse MERGE would).
+    *
+    * @param dim embedding width — must match the width [[start]] ran
+    *            with (the re-fit folds into a `dim`-long zero vector;
+    *            a mismatch zips stored vectors into NULL components) */
   def refit(
       spark: SparkSession, warehouseDir: String, dim: Int = 64): RefitReport = {
     val centroidsDir = s"$warehouseDir/ann_centroids"
