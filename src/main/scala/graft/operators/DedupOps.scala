@@ -1198,6 +1198,51 @@ object DedupOps extends OpModule {
               |ORDER BY vec_a, vec_b""".stripMargin),
       doc = "LLM-pipeline: embedding cosine near-dup within IVF (label) cells",
       sort = Seq("vec_a", "vec_b")
+    ),
+
+    // ── Semantic decontamination: the embedding-level sibling of
+    // `ta_decontaminate`'s shared-13-gram test — n-grams catch verbatim
+    // leakage, cosine catches paraphrased leakage. Benchmark = a
+    // held-out deterministic slice (vec_id % 20 = 0, replayed
+    // identically by both engines); every remaining corpus vector
+    // scores its MAX cosine against the whole benchmark. Plan shape is
+    // `ann_topk_bruteforce`'s: the benchmark BROADCASTS (an eval set is
+    // bounded by construction) and the corpus streams map-side into a
+    // per-vector max — no shuffle of the corpus, no pairwise
+    // materialization past the aggregate. `contaminated` fires at the
+    // near-dup family's cosine bar (0.4): a training vector whose
+    // nearest benchmark member would count as a near-dup leaks eval
+    // signal. Cosines are 1e-6-quantized BEFORE the max (identically in
+    // both engines) so float summation order can never flip the flag. ──
+    "ta_decontaminate_semantic" -> Q(
+      (s, d) => {
+        val e = AnnOps.withNorm(Tables.embeddings(s, d))
+        val bench = e.filter(pmod(col("vec_id"), lit(20L)) === 0)
+          .select(col("v").as("bv"), col("norm").as("bn"))
+        val corpus = e.filter(pmod(col("vec_id"), lit(20L)) =!= 0)
+        val raw = AnnOps.dot(col("v"), col("bv")) / (col("norm") * col("bn"))
+        corpus.crossJoin(broadcast(bench))
+          .select(col("vec_id"),
+            (round(raw * 1e6).cast(LongType).cast(DoubleType) / 1e6)
+              .as("cos"))
+          .groupBy(col("vec_id"))
+          .agg(max(col("cos")).as("max_benchmark_cos"))
+          .select(col("vec_id"), col("max_benchmark_cos"),
+            (col("max_benchmark_cos") >= 0.4).as("contaminated"))
+      },
+      Some(s"""WITH e AS (${AnnOps.withNormSql}),
+              |b AS (SELECT v, norm FROM e WHERE vec_id % 20 = 0),
+              |c AS (SELECT vec_id, v, norm FROM e WHERE vec_id % 20 <> 0),
+              |s AS (
+              |  SELECT c.vec_id,
+              |    CAST(round(${AnnOps.dotSql("c.v", "b.v")} / (c.norm * b.norm)
+              |               * 1e6) AS BIGINT) / 1e6 AS cos
+              |  FROM c CROSS JOIN b)
+              |SELECT vec_id, max(cos) AS max_benchmark_cos,
+              |  max(cos) >= 0.4 AS contaminated
+              |FROM s GROUP BY 1 ORDER BY vec_id""".stripMargin),
+      doc = "LLM-pipeline: semantic decontamination — per-vector max cosine vs a held-out benchmark slice (broadcast), near-dup-threshold flag",
+      sort = Seq("vec_id")
     )
   )
 }
