@@ -157,6 +157,39 @@ object Pipeline {
       spark, vecsDir, warehouseDir, checkpointDir, filesPerTrigger)
   }
 
+  /** ONE scheduled ANN-maintenance cycle — the cadence a deployment
+    * actually runs (round-7 directive: the drift-triggered refit existed
+    * and was gated, but nothing called it outside tests): drain every
+    * pending file AvailableNow, then — inside the maintenance window the
+    * finished drain IS (the worker's single-writer contract) — check the
+    * serving index's measured cell imbalance and refresh the quantizer
+    * only if the hottest cell exceeds `driftThreshold` of all postings
+    * ([[streaming.AnnIngest.refitIfDrifted]]; a healthy or already-refit
+    * index costs one audit scan, never a rewrite). Returns the refit
+    * report iff the policy fired, so the orchestrator's run log shows
+    * exactly which cycles paid a rewrite. A drain that does not finish
+    * within `drainTimeoutMs` is stopped and the cycle fails loudly —
+    * maintenance must never run beside a live drain.
+    * `AnnIngestStreamSpec` drives a drifted and a healthy cycle. */
+  def runAnnIngestCycle(
+      spark: SparkSession,
+      vecsDir: String,
+      warehouseDir: String,
+      checkpointDir: String,
+      filesPerTrigger: Int = 1,
+      driftThreshold: Double = 0.5,
+      drainTimeoutMs: Long = 300000L): Option[streaming.AnnIngest.RefitReport] = {
+    val q = runAnnIngest(
+      spark, vecsDir, warehouseDir, checkpointDir, filesPerTrigger)
+    if (!q.awaitTermination(drainTimeoutMs)) {
+      q.stop()
+      throw new IllegalStateException(
+        s"ANN drain did not finish within ${drainTimeoutMs}ms; " +
+          "skipping maintenance (refit must never run beside a live drain)")
+    }
+    streaming.AnnIngest.refitIfDrifted(spark, warehouseDir, driftThreshold)
+  }
+
   /** Continuous near-dup ingest (banded-LSH + exact-Jaccard verify,
     * batch-scaled work, table-held state) — see
     * [[streaming.NearDupIngest]]. */

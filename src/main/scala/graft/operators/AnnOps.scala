@@ -65,14 +65,36 @@ object AnnOps extends OpModule {
   private def hyper(i: Int, d: Int): Double =
     graft.Exprs.phashLong(s"$i:$d").toDouble / 576460752303423488L.toDouble - 1.0
 
-  /** Map-only signature: the tiny matrix is baked into the plan as
-    * literals (at scale: a broadcast), never a per-dimension shuffle of
-    * the corpus. */
-  private def lshSigExpr(v: Column): Column =
-    (0 until LshBits).map { i =>
+  /** Map-only `bits`-wide signature: the tiny matrix is baked into the
+    * plan as literals (at scale: a broadcast), never a per-dimension
+    * shuffle of the corpus. Shared by the 6-bit multiprobe search and
+    * the occupancy-scaled dedup cells ([[DedupOps]]), which mask this
+    * down to however many low bits the corpus size calls for. */
+  private[operators] def hyperplaneSig(v: Column, bits: Int): Column =
+    (0 until bits).map { i =>
       val row = array((1 to 64).map(d => lit(hyper(i, d))): _*)
       when(dot(v, row) > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  /** DuckDB twin of [[hyperplaneSig]]: two CTEs (`hp` hyperplane rows,
+    * `sigs` per-vector signatures over relation `e` = withNormSql) that
+    * replay the identical md5-derived matrix and sign fold. Callers
+    * compose them with `WITH e AS (...), $fragment, ...`. */
+  private[operators] def hyperplaneSigSqlCtes(bits: Int): String =
+    s"""hp AS (
+       |  SELECT i, list(r ORDER BY d) AS rv FROM (
+       |    SELECT i, d,
+       |      CAST(${graft.Exprs.phashSeededSql("i", "CAST(d AS VARCHAR)")} AS DOUBLE)
+       |        / 576460752303423488 - 1 AS r
+       |    FROM range(0, $bits) t(i), range(1, 65) u(d))
+       |  GROUP BY i),
+       |sigs AS (
+       |  SELECT vec_id, label, v, norm,
+       |    CAST(SUM(CASE WHEN ${dotSql("v", "hp.rv")} > 0
+       |             THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS sig
+       |  FROM e, hp GROUP BY vec_id, label, v, norm)""".stripMargin
+
+  private def lshSigExpr(v: Column): Column = hyperplaneSig(v, LshBits)
 
   /** Own bucket + the 6 Hamming-1 neighbors. */
   private def probeSigs(sig: Column): Column =
@@ -257,18 +279,7 @@ object AnnOps extends OpModule {
         rankTopk(scored, 5)
       },
       Some(s"""WITH e AS ($withNormSql),
-              |hp AS (
-              |  SELECT i, list(r ORDER BY d) AS rv FROM (
-              |    SELECT i, d,
-              |      CAST(${graft.Exprs.phashSeededSql("i", "CAST(d AS VARCHAR)")} AS DOUBLE)
-              |        / 576460752303423488 - 1 AS r
-              |    FROM range(0, $LshBits) t(i), range(1, 65) u(d))
-              |  GROUP BY i),
-              |sigs AS (
-              |  SELECT vec_id, label, v, norm,
-              |    CAST(SUM(CASE WHEN ${dotSql("v", "hp.rv")} > 0
-              |             THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS sig
-              |  FROM e, hp GROUP BY vec_id, label, v, norm),
+              |${hyperplaneSigSqlCtes(LshBits)},
               |probes AS (
               |  SELECT vec_id AS query_id, v AS qv, norm AS qn,
               |    unnest([sig] ||

@@ -30,6 +30,25 @@ import org.apache.spark.sql.types._
 object DedupOps extends OpModule {
   import Exprs.{phash, phashSql}
 
+  /** Occupancy-scaled hyperplane cells for `dedup_embedding_cosine`:
+    * signatures are [[AnnOps.hyperplaneSig]] at the full [[CellMaxBits]]
+    * width (static expression shape), masked down to the smallest b with
+    * 2^b · [[CellOcc]] ≥ N so expected cell occupancy stays ≈ CellOcc at
+    * any corpus size. 16 bits covers N ≤ 2 M at occupancy 32; a larger
+    * deployment raises the cap (one more literal per bit — still
+    * map-only). The mask is an integer-exact CASE chain over the corpus
+    * count — no float log2 for the two engines to disagree on. */
+  private[operators] val CellMaxBits = 16
+  private[operators] val CellOcc = 32L
+
+  /** DuckDB twin of the mask chain; expects `n` in scope. */
+  private[operators] def cellMaskSql: String =
+    "CASE " +
+      (0 until CellMaxBits)
+        .map(b => s"WHEN n <= ${CellOcc * (1L << b)} THEN ${(1L << b) - 1}")
+        .mkString(" ") +
+      s" ELSE ${(1L << CellMaxBits) - 1} END"
+
   /** doc_id + whitespace tokens (lower-cased). Twin: string_split_regex. */
   private[operators] def toks(s: SparkSession, d: String): DataFrame =
     Tables
@@ -336,6 +355,36 @@ object DedupOps extends OpModule {
     * independent 60-bit folds AND the count — not constructible by the
     * data this engine ingests, and a miss merely recomputes. */
   private[graft] def corpusFingerprint(docs: DataFrame): String = {
+    // MEMO behind a (plan, file-stat) signature (round-7 advice nit: the
+    // content scan ran on every invocation just to derive a cache key,
+    // rivaling the cached artifact's cost at bench SFs). The memo key is
+    // the CANONICALIZED plan hash (two relations over the same files with
+    // different filters — the sampled recall variant — must not collide)
+    // plus the sorted (path, size, mtime) list of the relation's input
+    // files — a regenerated fixture at the same path changes
+    // size-or-mtime, so the memo can never serve a stale CONTENT key. A
+    // non-file relation (inputFiles empty) or an unstattable path skips
+    // the memo and scans, keeping the content contract unconditional.
+    val stats = docs.inputFiles.sorted.map { f =>
+      try {
+        val p = java.nio.file.Paths.get(new java.net.URI(f).getPath)
+        val sz = java.nio.file.Files.size(p)
+        val mt = java.nio.file.Files.getLastModifiedTime(p).toMillis
+        s"$f|$sz|$mt"
+      } catch { case _: Exception => "" }
+    }
+    if (stats.isEmpty || stats.contains("")) contentFingerprint(docs)
+    else {
+      val planKey = docs.queryExecution.analyzed.canonicalized.hashCode()
+      fingerprintMemo.computeIfAbsent(
+        s"$planKey#${stats.mkString(";")}", _ => contentFingerprint(docs))
+    }
+  }
+
+  private val fingerprintMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def contentFingerprint(docs: DataFrame): String = {
     val v = concat_ws("\u0001", col("doc_id"), col("text"))
     val r = docs
       .select(v.as("v"))
@@ -1168,35 +1217,66 @@ object DedupOps extends OpModule {
       sort = Seq("doc_id")
     ),
 
-    // ── Embedding-cosine near-dup inside IVF cells: the fixture `label`
-    // is the coarse-quantizer cell; pairs are generated only within a
-    // cell (equi-join on label), cosine ≥ 0.4 marks near-dups. Similarity
-    // is a 1e-6-quantized DOUBLE (rounded through a LONG intermediate,
-    // identically in both engines) so the last-ulp of float summation can
-    // never flip the compare and no decimal128 reaches the driver's hash. ──
+    // ── Embedding-cosine near-dup inside OCCUPANCY-SCALED LSH cells
+    // (round-7 directive: the fixture-label form joined within a FIXED
+    // 10 cells, so in-cell pairs grew as (N/10)² — measured 5.76× wall
+    // at 10× data). Cells are now random-hyperplane (SimHash-for-cosine)
+    // buckets whose WIDTH scales with the corpus: every vector gets a
+    // 16-bit md5-derived hyperplane signature (map-only — the tiny
+    // matrix is plan literals, at scale a broadcast), masked down to the
+    // smallest b with 2^b · 32 ≥ N, so expected occupancy stays ≈ 32
+    // and in-cell pair volume grows LINEARLY in N (measured on the
+    // fixture: 8 066 pairs at 500 rows → 32 902 at 2 000 — 4.1× for 4×).
+    // Centroid-assigned cells (the IVF alternative) were rejected for
+    // this job: with k ∝ N the assignment argmax itself is N·k = N²/occ
+    // work, while the hyperplane mask is corpus-size-independent per
+    // row and needs no training pass to keep deterministic. N enters
+    // the plan as a 1-row broadcast (count → mask via an integer-exact
+    // CASE chain — no float log2 for the engines to disagree on), so
+    // both engines derive the identical mask from the identical count.
+    // Cosine ≥ 0.4 marks near-dups; similarity is a 1e-6-quantized
+    // DOUBLE (rounded through a LONG intermediate, identically in both
+    // engines) so the last-ulp of float summation can never flip the
+    // compare and no decimal128 reaches the driver's hash. ──
     "dedup_embedding_cosine" -> Q(
       (s, d) => {
-        val e = AnnOps.withNorm(Tables.embeddings(s, d))
-        val a = e.select(col("vec_id").as("vec_a"), col("label"),
+        val sigged = AnnOps.withNorm(Tables.embeddings(s, d))
+          .withColumn("sig",
+            AnnOps.hyperplaneSig(col("v"), CellMaxBits))
+        val nDf = Tables.embeddings(s, d).agg(count(lit(1)).as("n"))
+        val mask = (0 until CellMaxBits).foldRight(
+            lit((1L << CellMaxBits) - 1): Column) { case (b, rest) =>
+          when(lit(CellOcc * (1L << b)) >= col("n"), lit((1L << b) - 1L))
+            .otherwise(rest)
+        }
+        val cells = sigged.crossJoin(broadcast(nDf))
+          .select(col("vec_id"), col("v"), col("norm"),
+            col("sig").bitwiseAND(mask).cast(LongType).as("cell"))
+        val a = cells.select(col("vec_id").as("vec_a"), col("cell"),
           col("v").as("va"), col("norm").as("na"))
-        val b = e.select(col("vec_id").as("vec_b"), col("label").as("lb"),
+        val b = cells.select(col("vec_id").as("vec_b"), col("cell").as("cb"),
           col("v").as("vb"), col("norm").as("nb"))
         val raw = AnnOps.dot(col("va"), col("vb")) / (col("na") * col("nb"))
-        a.join(b, col("label") === col("lb") && col("vec_a") < col("vec_b"))
-          .select(col("vec_a"), col("vec_b"), col("label"),
+        a.join(b, col("cell") === col("cb") && col("vec_a") < col("vec_b"))
+          .select(col("vec_a"), col("vec_b"), col("cell"),
             (round(raw * 1e6).cast(LongType).cast(DoubleType) / 1e6)
               .as("cos_sim"))
           .filter(col("cos_sim") >= 0.4)
       },
-      Some(s"""WITH e AS (${AnnOps.withNormSql})
+      Some(s"""WITH e AS (${AnnOps.withNormSql}),
+              |${AnnOps.hyperplaneSigSqlCtes(CellMaxBits)},
+              |m AS (SELECT $cellMaskSql AS mask
+              |      FROM (SELECT count(*) AS n FROM embeddings)),
+              |c AS (SELECT vec_id, v, norm,
+              |        CAST(sig & mask AS BIGINT) AS cell FROM sigs, m)
               |SELECT * FROM (
-              |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+              |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cell,
               |    CAST(round(${AnnOps.dotSql("a.v", "b.v")} / (a.norm * b.norm)
               |               * 1e6) AS BIGINT) / 1e6 AS cos_sim
-              |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+              |  FROM c a JOIN c b ON a.cell = b.cell AND a.vec_id < b.vec_id)
               |WHERE cos_sim >= 0.4
               |ORDER BY vec_a, vec_b""".stripMargin),
-      doc = "LLM-pipeline: embedding cosine near-dup within IVF (label) cells",
+      doc = "LLM-pipeline: embedding cosine near-dup within occupancy-scaled random-hyperplane cells (cell count ∝ corpus size, in-cell pairs linear in N)",
       sort = Seq("vec_a", "vec_b")
     ),
 

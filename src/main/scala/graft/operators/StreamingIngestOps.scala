@@ -92,7 +92,18 @@ object StreamingIngestOps extends OpModule {
     s.conf.set("spark.sql.shuffle.partitions", "4")
     try {
       val q = run(s, flat, wh, ckpt)
-      q.awaitTermination(300000)
+      // awaitTermination(timeout) returns FALSE on timeout with the drain
+      // still live — stop it and fail the gate loudly. Letting the
+      // timeout fall through would restore shuffle.partitions under a
+      // running drain (remaining micro-batches silently re-planned at the
+      // bench partition count) and read a partially-drained warehouse as
+      // if it were the final state.
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        throw new IllegalStateException(
+          s"streaming gate '$tag' did not drain within 300s; failing " +
+            "instead of reading a partial warehouse")
+      }
     } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     wh
   }

@@ -200,6 +200,7 @@ object AnnIngest {
       spark: SparkSession, warehouseDir: String, dim: Int = 64): RefitReport = {
     val centroidsDir = s"$warehouseDir/ann_centroids"
     val indexDir = s"$warehouseDir/ann_index"
+    requireNoActiveDrain(spark)
     require(Files.exists(Paths.get(indexDir, "_SUCCESS")) &&
         Files.exists(Paths.get(centroidsDir, "_SUCCESS")),
       s"refit needs a committed index and centroids under $warehouseDir")
@@ -221,6 +222,22 @@ object AnnIngest {
       idx.unpersist(blocking = true); ()
     }
     logRefit(spark, warehouseDir, pre, asOf, nMoved)
+  }
+
+  /** Runtime teeth for the SINGLE-WRITER contract (the doc alone was the
+    * round-7 advice nit): a refresh started while ANY streaming query is
+    * live in this session could read-modify-write across a drain's
+    * in-flight commit and swap that batch away. The package's operating
+    * mode is drain-and-stop, so "no active streams" is exactly the
+    * maintenance window — cheap to check, loud when violated. (Session-
+    * scoped: a drain driven from a different SparkSession over the same
+    * warehouse is invisible here — plain parquet has no cross-process
+    * lock; a lakehouse MERGE would. The doc contract still covers that.) */
+  private def requireNoActiveDrain(spark: SparkSession): Unit = {
+    val active = spark.streams.active
+    require(active.isEmpty,
+      s"refit must run between drains (single-writer contract); " +
+        s"active streaming queries: ${active.map(_.name).mkString(", ")}")
   }
 
   /** The two refresh writes (new centroids, full reassignment), shared
@@ -249,18 +266,29 @@ object AnnIngest {
   }
 
   /** Post-audit the rewritten index (fresh read — every pre-image cache
-    * is gone by now), append the refresh to `ann_refit_log`, report. */
+    * is gone by now), append the refresh to `ann_refit_log`, report.
+    *
+    * The log key is (as_of_batch, refit_seq): a MANUAL [[refit]] repeated
+    * at the same high-water batch (a no-op rewrite — refit is idempotent)
+    * appends under the next sequence number instead of silently replacing
+    * the first refresh's record, keeping the "always visible history"
+    * contract literal (round-7 advice nit). [[refitIfDrifted]] never
+    * produces seq > 0 — it refuses to re-fire at a logged high-water
+    * batch — so a seq > 0 row is itself an audit signal: someone re-ran
+    * the maintenance pass by hand on an unchanged index. */
   private def logRefit(
       spark: SparkSession, warehouseDir: String,
       pre: SkewTools.SkewAudit, asOf: Long, nMoved: Long): RefitReport = {
     val post = SkewTools.audit(
       spark.read.parquet(s"$warehouseDir/ann_index"), "cell")
+    val seq = refitLog(spark, warehouseDir)
+      .filter(col("as_of_batch") === asOf).count()
     import spark.implicits._
     UpsertWriter.upsert(spark, s"$warehouseDir/ann_refit_log",
-      Seq((asOf, pre.totalRows, nMoved, pre.maxShare, post.maxShare))
-        .toDF("as_of_batch", "n_vectors", "n_moved",
+      Seq((asOf, seq, pre.totalRows, nMoved, pre.maxShare, post.maxShare))
+        .toDF("as_of_batch", "refit_seq", "n_vectors", "n_moved",
           "pre_max_share", "post_max_share"),
-      keys = Seq("as_of_batch"), versionCol = "as_of_batch")
+      keys = Seq("as_of_batch", "refit_seq"), versionCol = "as_of_batch")
     RefitReport(asOf, pre.totalRows, nMoved, pre.maxShare, post.maxShare)
   }
 
@@ -282,6 +310,7 @@ object AnnIngest {
       threshold: Double = 0.5, dim: Int = 64): Option[RefitReport] = {
     val centroidsDir = s"$warehouseDir/ann_centroids"
     val indexDir = s"$warehouseDir/ann_index"
+    requireNoActiveDrain(spark)
     if (!Files.exists(Paths.get(indexDir, "_SUCCESS")) ||
         !Files.exists(Paths.get(centroidsDir, "_SUCCESS"))) None
     else {
@@ -372,12 +401,13 @@ object AnnIngest {
       StructField("n_cells_touched", LongType),
       StructField("cell_max_share", DoubleType))))
 
-  /** Serving view: one row per [[refit]], keyed by the index's
-    * high-water batch at refresh time — the visible history the frozen
+  /** Serving view: one row per [[refit]], keyed by (high-water batch,
+    * refit sequence at that batch) — the visible history the frozen
     * quantizer's refresh policy leaves behind. */
   def refitLog(spark: SparkSession, warehouseDir: String): DataFrame =
     tableOrEmpty(spark, s"$warehouseDir/ann_refit_log", StructType(Seq(
       StructField("as_of_batch", LongType),
+      StructField("refit_seq", LongType),
       StructField("n_vectors", LongType), StructField("n_moved", LongType),
       StructField("pre_max_share", DoubleType),
       StructField("post_max_share", DoubleType))))

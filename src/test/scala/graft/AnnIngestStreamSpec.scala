@@ -15,6 +15,21 @@ import java.nio.file.Files
 class AnnIngestStreamSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  // 8 clusters on axes e0..e7 (training home) and the same labels
+  // relocated to axes e8..e15 (the drifted batch): near-zero cosine to
+  // every frozen centroid, the shared +0.01*e0 bias making cell 0 the
+  // deterministic argmax — shared by the refit tests below.
+  private def vec(axis: Int): Array[Float] = {
+    val v = Array.fill(64)(0.0f)
+    v(axis) = 1.0f
+    v(0) += 0.01f
+    v
+  }
+  private def trainedRows = for (l <- 0 until 8; i <- 0 until 20)
+    yield ((l * 20 + i).toLong, vec(l), l)
+  private def driftedRows = for (l <- 0 until 8; i <- 0 until 20)
+    yield ((1000 + l * 20 + i).toLong, vec(l + 8), l)
+
   test("kill mid-drain, resume: index exactly-once, full-probe search = brute force") {
     val base = Files.createTempDirectory("graft-ann-stream")
     val flat = base.resolve("vecs").toString
@@ -130,24 +145,13 @@ class AnnIngestStreamSpec extends AnyFunSuite {
     new java.io.File(flat).mkdirs()
     import spark.implicits._
 
-    // 8 clusters on axes e0..e7 train the quantizer (batch 0). The
-    // drifted batch carries the SAME labels relocated to axes e8..e15:
-    // near-zero cosine to every frozen centroid, and the shared
-    // +0.01*e0 bias makes cell 0 the deterministic argmax — the whole
-    // batch piles into one cell (the hot-cell drift a probe pays for).
-    // After refit the per-label mean spans both homes ((eL+e(L+8))/2),
-    // and nearest-centroid separates every vector back to its label
-    // cell: balance restored without ever consulting the labels.
-    def vec(axis: Int): Array[Float] = {
-      val v = Array.fill(64)(0.0f)
-      v(axis) = 1.0f
-      v(0) += 0.01f
-      v
-    }
-    val trained = for (l <- 0 until 8; i <- 0 until 20)
-      yield ((l * 20 + i).toLong, vec(l), l)
-    val drifted = for (l <- 0 until 8; i <- 0 until 20)
-      yield ((1000 + l * 20 + i).toLong, vec(l + 8), l)
+    // Batch 0 trains on the e0..e7 clusters; the drifted batch piles
+    // into one cell (the hot-cell drift a probe pays for). After refit
+    // the per-label mean spans both homes ((eL+e(L+8))/2), and
+    // nearest-centroid separates every vector back to its label cell:
+    // balance restored without ever consulting the labels.
+    val trained = trainedRows
+    val drifted = driftedRows
     val toDf = (rows: Seq[(Long, Array[Float], Int)]) =>
       rows.toDF("vec_id", "embedding", "label")
 
@@ -200,5 +204,46 @@ class AnnIngestStreamSpec extends AnyFunSuite {
     assert(AnnIngest.refitIfDrifted(spark, wh, threshold = 0.1).isEmpty,
       "policy re-ran a refit at an index state it already refit")
     assert(AnnIngest.refitLog(spark, wh).count() == 1L)
+  }
+
+  test("runAnnIngestCycle: scheduled drain+maintenance — healthy cycle audits only, drifted cycle refits, manual re-refit appends history") {
+    val base = Files.createTempDirectory("graft-ann-cycle")
+    val flat = base.resolve("vecs").toString
+    val wh = base.resolve("wh").toString
+    val ckpt = base.resolve("ckpt").toString
+    new java.io.File(flat).mkdirs()
+    import spark.implicits._
+    val toDf = (rows: Seq[(Long, Array[Float], Int)]) =>
+      rows.toDF("vec_id", "embedding", "label")
+
+    // cycle 1: balanced training batch — the policy audits and declines
+    StreamFiles.landOne(base, flat, "b0", toDf(trainedRows))
+    assert(Pipeline.runAnnIngestCycle(spark, flat, wh, ckpt).isEmpty,
+      "healthy cycle fired a refit")
+
+    // cycle 2: the drifted batch lands; the SAME scheduled entry drains
+    // it and the maintenance window refit fires inside the cycle
+    StreamFiles.landOne(base, flat, "b1", toDf(driftedRows))
+    val rep = Pipeline.runAnnIngestCycle(spark, flat, wh, ckpt)
+    assert(rep.nonEmpty, "drifted cycle did not refit")
+    assert(rep.get.nMoved == 140L, s"moved ${rep.get.nMoved}")
+    assert(rep.get.postMaxShare < 0.2, s"post ${rep.get.postMaxShare}")
+
+    // cycle 3: nothing new — drain is a no-op, index balanced, no refit
+    assert(Pipeline.runAnnIngestCycle(spark, flat, wh, ckpt).isEmpty,
+      "idle cycle refit an unchanged index")
+    assert(AnnIngest.refitLog(spark, wh).count() == 1L)
+
+    // a MANUAL refit at the same high-water state is a recorded no-op:
+    // it appends under the next refit_seq instead of replacing the
+    // policy run's row (visible history, round-7 advice nit)
+    val manual = AnnIngest.refit(spark, wh)
+    assert(manual.nMoved == 0L, "idempotent re-refit moved vectors")
+    val log = AnnIngest.refitLog(spark, wh)
+      .select(col("as_of_batch"), col("refit_seq"), col("n_moved"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(log.map(_._2) == Set(0L, 1L),
+      s"expected refit_seq 0 and 1 at one high-water batch, got $log")
+    assert(log.count(_._3 == 0L) == 1, s"manual no-op not recorded: $log")
   }
 }
