@@ -11,7 +11,8 @@ row-by-row (columns sorted by name, rows in result order).
 import sys, json, glob, os
 import duckdb
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, json_out=None):
+    results = {}
     con = duckdb.connect()
     for t in ("region nation customer supplier part orders lineitem "
               "events documents embeddings").split():
@@ -25,6 +26,7 @@ def main(sf_dir, out_dir):
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output")
+            results[name] = {"ok": False, "err": "no spark output"}
             n_fail += 1
             continue
         got = con.execute(
@@ -33,15 +35,19 @@ def main(sf_dir, out_dir):
             exp = con.execute(oracles[name]).fetch_arrow_table()
         except Exception as e:
             print(f"FAIL {name}: oracle error {e}")
+            results[name] = {"ok": False, "err": f"oracle error {e}"}
             n_fail += 1
             continue
         gcols, ecols = sorted(got.column_names), sorted(exp.column_names)
         if gcols != ecols:
             print(f"FAIL {name}: columns {gcols} vs {ecols}")
+            results[name] = {"ok": False, "err": f"columns {gcols} vs {ecols}"}
             n_fail += 1
             continue
         if got.num_rows != exp.num_rows:
             print(f"FAIL {name}: rows {got.num_rows} vs {exp.num_rows}")
+            results[name] = {"ok": False,
+                             "err": f"rows {got.num_rows} vs {exp.num_rows}"}
             n_fail += 1
             continue
         g = [tuple(r[c] for c in gcols) for r in got.to_pylist()]
@@ -51,6 +57,8 @@ def main(sf_dir, out_dir):
             i, a, b = bad[0]
             print(f"FAIL {name}: {len(bad)}/{len(g)} rows differ; "
                   f"first at {i}:\n  spark={a}\n  duck ={b}")
+            results[name] = {"ok": False,
+                             "err": f"{len(bad)}/{len(g)} rows differ"}
             n_fail += 1
             continue
         # The driver's hash gate is stricter than python-value equality:
@@ -64,12 +72,19 @@ def main(sf_dir, out_dir):
                 if pt.is_decimal(f.type)]
         if decs:
             print(f"FAIL {name}: decimal128 in output (driver hash-red): {decs}")
+            results[name] = {"ok": False, "err": f"decimal128: {decs}"}
             n_fail += 1
         else:
             print(f"PASS {name} ({got.num_rows} rows)")
+            results[name] = {"ok": True, "rows": got.num_rows}
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail")
+    if json_out:
+        json.dump({"sf_dir": sf_dir, "n_pass": n_pass, "n_fail": n_fail,
+                   "queries": results},
+                  open(json_out, "w"), indent=1, sort_keys=True)
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else None))

@@ -498,18 +498,26 @@ object DedupOps extends OpModule {
     var round = 0
     while (!converged && round < maxRounds) {
       round += 1
+      // The round's aggregation carries the PREVIOUS label along (every
+      // doc appears exactly once in `labels`, so max(prev) recovers it;
+      // neighbor rows contribute null), making the convergence test a
+      // filter over the just-checkpointed relation — one job per round
+      // instead of checkpoint + a join-shaped compare (measured ~2 jobs
+      // of tiny-stage scheduling saved per round at fixpoint depth).
       val fromNeighbors = edges
         .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
-        .select(col("src").as("doc_id"), col("label"))
-      val next = labels.unionByName(fromNeighbors)
+        .select(col("src").as("doc_id"), col("label"),
+          lit(null).cast(LongType).as("prev"))
+      val next = labels
+        .select(col("doc_id"), col("label"), col("label").as("prev"))
+        .unionByName(fromNeighbors)
         .groupBy(col("doc_id"))
-        .agg(min(col("label")).as("label"))
+        .agg(min(col("label")).as("label"), max(col("prev")).as("prev"))
         .localCheckpoint(eager = true)
-      converged = next.as("n")
-        .join(labels.as("o"), "doc_id")
-        .filter(col("n.label") =!= col("o.label"))
+      converged = next
+        .filter(col("label") =!= col("prev"))
         .limit(1).count() == 0
-      labels = next
+      labels = next.select(col("doc_id"), col("label"))
     }
     val singletons = docs.select(col("doc_id"))
       .join(labels.select(col("doc_id")), Seq("doc_id"), "left_anti")

@@ -6,6 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import java.nio.file.{Files, Paths}
 
 /** Continuous exact-dedup ingest — the K2 insert-if-absent contract
@@ -142,11 +143,35 @@ object DedupIngest {
       .start()
   }
 
-  /** Serving view: every admitted (first-arrival) document. */
+  /** Serving view: every admitted (first-arrival) document. Empty — not
+    * an error — before the first committed batch, and a crashed partial
+    * write stays invisible until its upsert commits (`_SUCCESS` guard,
+    * uniform across this package's serving reads; this worker was the
+    * one exception until round 8). The declared schema covers the
+    * contract columns; extra input columns ride along once committed. */
   def survivors(spark: SparkSession, warehouseDir: String): DataFrame =
-    spark.read.parquet(s"$warehouseDir/dedup_survivors")
+    tableOrEmpty(spark, s"$warehouseDir/dedup_survivors",
+      StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("text", StringType),
+        StructField("content_hash", LongType),
+        StructField("batch_id", LongType))))
 
   /** Serving view: the per-batch admission log. */
   def ingestLog(spark: SparkSession, warehouseDir: String): DataFrame =
-    spark.read.parquet(s"$warehouseDir/dedup_log")
+    tableOrEmpty(spark, s"$warehouseDir/dedup_log",
+      StructType(Seq(
+        StructField("batch_id", LongType),
+        StructField("n_in", LongType),
+        StructField("n_batch_dupes", LongType),
+        StructField("n_seen_before", LongType),
+        StructField("n_admitted", LongType))))
+
+  private def tableOrEmpty(
+      spark: SparkSession, dir: String,
+      schema: StructType): DataFrame =
+    if (!Files.exists(Paths.get(dir, "_SUCCESS")))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.parquet(dir)
 }
