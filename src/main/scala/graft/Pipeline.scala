@@ -203,4 +203,18 @@ object Pipeline {
     streaming.NearDupIngest.start(
       spark, docsDir, warehouseDir, checkpointDir, filesPerTrigger)
   }
+
+  /** Continuous embedding-cosine near-dup ingest (occupancy-scaled
+    * hyperplane cells re-masked per batch — maintenance-free index,
+    * no quantizer to refit) — see [[streaming.EmbedIngest]]. */
+  def runEmbedIngest(
+      spark: SparkSession,
+      vecsDir: String,
+      warehouseDir: String,
+      checkpointDir: String,
+      filesPerTrigger: Int = 1): StreamingQuery = {
+    Sessions.tune(spark)
+    streaming.EmbedIngest.start(
+      spark, vecsDir, warehouseDir, checkpointDir, filesPerTrigger)
+  }
 }

@@ -314,6 +314,89 @@ object StreamingIngestOps extends OpModule {
               |FROM assigned WHERE rn = 1 ORDER BY vec_id""".stripMargin),
       doc = "Streaming gate: quantizer refresh — refit over everything ingested, full reassignment; final cells vs the replayed re-fit argmax",
       sort = Seq("vec_id")
+    ),
+
+    // ── Embedding-cosine near-dup worker under the oracle — the
+    // semantic sibling of `neardup_ingest_final_state`, with one extra
+    // semantics under test: the occupancy MASK WIDENS between the two
+    // batches (batch 0 sizes it to the even half, batch 1 to
+    // survivors + the odd half — at every SF the count crosses a
+    // power-of-two·occupancy boundary), and stored survivors re-mask
+    // their FULL signatures at read time, the maintenance-free-index
+    // contract. The twin replays batch by batch: per-batch mask from
+    // the replayed corpus count, cell-collision edges verified by the
+    // quantized cosine, recursive-closure clustering (exact fixpoint),
+    // then the batch-1-winner × batch-0-survivor re-masked cell
+    // collision + cosine verify. Returned `sig` pins the 16-bit
+    // hyperplane signature computation cross-engine. ──
+    "embed_ingest_final_state" -> Q(
+      (s, d) => {
+        val vecs = Tables.embeddings(s, d).filter(col("vec_id") < IdCap)
+        val wh = drainTwoBatches(s, "embed", vecs, "vec_id",
+          Pipeline.runEmbedIngest(_, _, _, _))
+        s.read.parquet(s"$wh/embed_survivors")
+          .select(col("vec_id").cast(LongType),
+            col("sig").cast(LongType),
+            col("batch_id").cast(LongType))
+      },
+      Some {
+        // per-batch clustering under that batch's mask: cell-collision
+        // edges at quantized cos ≥ 0.4 → symmetric closure → survivor =
+        // no reachable vec with a lower id
+        def batchCluster(p: Int, maskRel: String): String =
+          s"""c$p AS (
+             |  SELECT vec_id, v, norm, sig,
+             |    CAST(sig & mask AS BIGINT) AS cell
+             |  FROM b$p, $maskRel),
+             |edge$p AS (
+             |  SELECT a.vec_id AS s, b.vec_id AS d
+             |  FROM c$p a JOIN c$p b
+             |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+             |  WHERE CAST(round(${AnnOps.dotSql("a.v", "b.v")}
+             |          / (a.norm * b.norm) * 1e6) AS BIGINT) / 1e6 >= 0.4),
+             |sym$p AS (SELECT s, d FROM edge$p
+             |          UNION ALL SELECT d, s FROM edge$p),
+             |reach$p AS (
+             |  SELECT s AS a, d AS b FROM sym$p
+             |  UNION
+             |  SELECT r.a, e2.d FROM reach$p r JOIN sym$p e2 ON e2.s = r.b),
+             |win$p AS (
+             |  SELECT c.vec_id, c.v, c.norm, c.sig, c.cell FROM c$p c
+             |  LEFT JOIN (SELECT a, min(b) AS mb FROM reach$p GROUP BY 1) r
+             |    ON r.a = c.vec_id
+             |  WHERE coalesce(r.mb, c.vec_id) >= c.vec_id)""".stripMargin
+        s"""WITH RECURSIVE e AS (
+           |  SELECT vec_id, label, v, ${AnnOps.normSql("v")} AS norm
+           |  FROM (SELECT vec_id, label, embedding::DOUBLE[] AS v
+           |        FROM embeddings WHERE vec_id < $IdCap)),
+           |${AnnOps.hyperplaneSigSqlCtes(DedupOps.CellMaxBits)},
+           |b0 AS (SELECT vec_id, v, norm, sig FROM sigs WHERE vec_id % 2 = 0),
+           |m0 AS (SELECT ${DedupOps.cellMaskSql} AS mask
+           |       FROM (SELECT count(*) AS n FROM b0)),
+           |${batchCluster(0, "m0")},
+           |b1 AS (SELECT vec_id, v, norm, sig FROM sigs WHERE vec_id % 2 = 1),
+           |m1 AS (SELECT ${DedupOps.cellMaskSql} AS mask FROM (
+           |  SELECT (SELECT count(*) FROM win0)
+           |       + (SELECT count(*) FROM b1) AS n)),
+           |${batchCluster(1, "m1")},
+           |dropX AS (
+           |  SELECT DISTINCT w.vec_id
+           |  FROM win1 w JOIN
+           |    (SELECT s.vec_id, s.v, s.norm,
+           |       CAST(s.sig & m1.mask AS BIGINT) AS cell
+           |     FROM win0 s, m1) p
+           |    ON w.cell = p.cell AND w.vec_id <> p.vec_id
+           |  WHERE CAST(round(${AnnOps.dotSql("w.v", "p.v")}
+           |          / (w.norm * p.norm) * 1e6) AS BIGINT) / 1e6 >= 0.4)
+           |SELECT vec_id::BIGINT AS vec_id, sig::BIGINT AS sig,
+           |  0::BIGINT AS batch_id FROM win0
+           |UNION ALL
+           |SELECT vec_id::BIGINT, sig::BIGINT, 1::BIGINT FROM win1
+           |WHERE vec_id NOT IN (SELECT vec_id FROM dropX)
+           |ORDER BY vec_id""".stripMargin
+      },
+      doc = "Streaming gate: embedding near-dup worker drained over a 2-batch parity split; final survivors vs a batch-by-batch replay with per-batch occupancy masks (the mask widens between batches)",
+      sort = Seq("vec_id")
     )
   )
 }

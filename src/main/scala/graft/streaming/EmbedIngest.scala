@@ -1,0 +1,232 @@
+package graft.streaming
+
+import graft.operators.DedupOps
+import graft.sinks.UpsertWriter
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+import java.nio.file.{Files, Paths}
+
+/** Continuous EMBEDDING-cosine near-dup ingest — the streaming form of
+  * `dedup_embedding_cosine`, completing the dedup worker family
+  * ([[DedupIngest]] exact, [[NearDupIngest]] lexical MinHash-LSH, this
+  * one semantic). State lives in TABLES ([[DedupIngest]]'s discipline):
+  * restarts restate instead of duplicating, state compacts like any
+  * table.
+  *
+  * Candidates come from the batch family's OCCUPANCY-SCALED
+  * random-hyperplane cells: every vector stores its FULL
+  * `CellMaxBits`-wide signature, and each batch masks signatures — its
+  * own and the stored corpus's — down to the smallest width whose
+  * expected cell occupancy stays at the target for the corpus size
+  * *as of that batch*. Storing full signatures is what makes the index
+  * maintenance-free: when the corpus outgrows a mask width, the next
+  * batch simply masks one bit wider at read time — there is NOTHING to
+  * re-fit or rewrite, in deliberate contrast to [[AnnIngest]]'s frozen
+  * coarse quantizer (data-dependent centroids age and need
+  * [[AnnIngest.refit]]; data-independent hyperplanes never do — the
+  * standard LSH-vs-IVF maintenance trade).
+  *
+  * Per micro-batch:
+  *
+  *  1. WITHIN-BATCH clustering: cell-collision pairs verified by the
+  *     family's 1e-6-quantized cosine ≥ `thresh`, min-label
+  *     propagation ([[DedupOps.survivorsToFixpoint]]) picks one
+  *     representative per cluster (lowest vec_id — total order, so a
+  *     replayed batch picks the same winners).
+  *  2. VS-CORPUS check: winners' cells equi-join the stored survivors'
+  *     re-masked signatures; collisions verify by the same quantized
+  *     cosine. A winner matching an admitted survivor drops, and the
+  *     cluster members it represented fall with it (the representative
+  *     carries the cluster — the family's streaming contract).
+  *  3. ADMIT: fresh winners upsert into the survivors table keyed by
+  *     vec_id (idempotent under replay); the admission log is keyed by
+  *     batch_id, written LAST, with the admitted count read back from
+  *     the TABLE (attempt-invariant — [[DedupIngest]]'s crash
+  *     argument).
+  *
+  * Replay determinism of the MASK: the corpus count that picks the
+  * width is (survivors admitted by PRIOR batches) + (this batch's
+  * id-deduped arrivals). A crashed attempt's own admissions carry
+  * `batch_id == batchId` and are excluded from both the count and the
+  * corpus check, so a replay sees the identical mask, identical
+  * candidates, and restates the identical admissions.
+  *
+  * NULL/empty embeddings have no geometry: their cosine is NULL, so
+  * they form no edges and admit as singletons (one row per vec_id via
+  * the keyed upsert) — the semantic analogue of [[DedupIngest]]'s
+  * NULL-text-is-one-content-class rule, except classes here need a
+  * vector to exist.
+  *
+  * Scale posture: per-batch work is batch×batch and batch×corpus CELL
+  * COLLISIONS only — in-cell occupancy is held ≈ [[DedupOps.CellOcc]]
+  * by construction, so both joins are linear in the batch at any
+  * corpus size; the survivors table is bucketable by `cell` derived
+  * columns downstream, and signatures are one LONG per vector.
+  */
+object EmbedIngest {
+
+  /** Start the worker draining parquet embedding files from `inputDir`
+    * (schema must carry `vec_id` and `embedding: array<float>`; extra
+    * columns ride into the survivors table). AvailableNow
+    * drain-and-stop + checkpoint, like every worker in this package. */
+  def start(
+      spark: SparkSession,
+      inputDir: String,
+      warehouseDir: String,
+      checkpointDir: String,
+      filesPerTrigger: Int = 1,
+      thresh: Double = 0.4): StreamingQuery = {
+
+    val survivorsDir = s"$warehouseDir/embed_survivors"
+    val logDir = s"$warehouseDir/embed_log"
+    val schema = spark.read.parquet(inputDir).schema
+
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", filesPerTrigger)
+      .parquet(inputDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val arrivals = batch
+          .withColumn("__seq", monotonically_increasing_id())
+          .persist()
+        try {
+          val nIn = arrivals.count()
+          // keep-latest per vec_id BEFORE any counting ([[NearDupIngest]]'s
+          // same-batch re-delivery rule): the keyed upsert would collapse
+          // the rows anyway, and counting both as winners would book the
+          // collapse as a phantom corpus dupe. Highest arrival order wins,
+          // matching UpsertWriter's within-batch tie-break.
+          val wVec = Window.partitionBy(col("vec_id")).orderBy(col("__seq").desc)
+          val sigged = DedupOps.embeddingSigged(
+            arrivals
+              .withColumn("__rn", row_number().over(wVec))
+              .filter(col("__rn") === 1)
+              .drop("__seq", "__rn"))
+            .persist()
+          try {
+            val nBatch = sigged.count()
+            // prior corpus = admissions of EARLIER batches only; a crashed
+            // attempt's own rows (batch_id == batchId) are invisible, so
+            // the mask and the corpus check are attempt-invariant
+            val prior =
+              if (!Files.exists(Paths.get(survivorsDir, "_SUCCESS"))) None
+              else Some(s.read.parquet(survivorsDir)
+                .filter(col("batch_id") < batchId).persist())
+            try {
+              val nPrior = prior.map(_.count()).getOrElse(0L)
+              val mask = DedupOps.cellMaskFor(nPrior + nBatch)
+              val cells = sigged
+                .withColumn("cell", col("sig").bitwiseAND(lit(mask)))
+
+              // 1. within-batch clusters → one winner per cluster
+              val a = cells.select(col("vec_id").as("va_id"), col("cell"),
+                col("v").as("va"), col("norm").as("na"))
+              val b = cells.select(col("vec_id").as("vb_id"),
+                col("cell").as("cb"), col("v").as("vb"), col("norm").as("nb"))
+              val pairsIn = a
+                .join(b, col("cell") === col("cb") && col("va_id") < col("vb_id"))
+                .filter(DedupOps.quantCos(
+                  col("va"), col("na"), col("vb"), col("nb")) >= thresh)
+                .select(col("va_id").as("src"), col("vb_id").as("dst"))
+              val edges = pairsIn.unionByName(
+                pairsIn.select(col("dst").as("src"), col("src").as("dst")))
+              // materialize once: edges feeds the fixpoint once per round
+              // and references the verify join twice (NearDupIngest's
+              // measured fix); the fixpoint checkpoints eagerly, so the
+              // persist releases as soon as it returns
+              val edgesP = edges.persist()
+              val labels =
+                try
+                  DedupOps.survivorsToFixpoint(
+                    sigged.select(col("vec_id").as("doc_id")), edgesP)
+                finally edgesP.unpersist()
+              val winners = cells.join(
+                labels.filter(col("is_survivor"))
+                  .select(col("doc_id").as("vec_id")),
+                Seq("vec_id"), "left_semi")
+                .persist()
+              try {
+                val nWinners = winners.count()
+
+                // 2. winners vs the stored corpus under the SAME mask —
+                // stored rows re-mask their full signatures at read time
+                val dupVsCorpus = prior match {
+                  case None => winners.limit(0).select(col("vec_id"))
+                  case Some(corp) =>
+                    val corpusCells = DedupOps.withVNorm(
+                        corp.select(col("vec_id"), col("embedding"), col("sig")))
+                      .select(col("vec_id").as("vb_id"), col("v").as("vb"),
+                        col("norm").as("nb"),
+                        col("sig").bitwiseAND(lit(mask)).as("cb"))
+                    winners
+                      .join(corpusCells,
+                        col("cell") === col("cb") && col("vec_id") =!= col("vb_id"))
+                      .filter(DedupOps.quantCos(
+                        col("v"), col("norm"), col("vb"), col("nb")) >= thresh)
+                      .select(col("vec_id")).distinct()
+                }
+
+                // 3. admit fresh winners (full arrival row + signature)
+                val fresh = winners.drop("v", "norm", "cell")
+                  .join(dupVsCorpus, Seq("vec_id"), "left_anti")
+                  .withColumn("batch_id", lit(batchId))
+                  .persist()
+                try {
+                  val nFresh = fresh.count()
+                  if (nFresh > 0)
+                    UpsertWriter.upsert(s, survivorsDir, fresh,
+                      keys = Seq("vec_id"), versionCol = "batch_id")
+
+                  // log LAST, admissions counted from the table
+                  val nAdmitted =
+                    if (!Files.exists(Paths.get(survivorsDir, "_SUCCESS"))) 0L
+                    else s.read.parquet(survivorsDir)
+                      .filter(col("batch_id") === batchId).count()
+                  import s.implicits._
+                  UpsertWriter.upsert(s, logDir,
+                    Seq((batchId, nIn, nIn - nWinners, nWinners - nAdmitted,
+                      nAdmitted))
+                      .toDF("batch_id", "n_in", "n_batch_dupes",
+                        "n_corpus_dupes", "n_admitted"),
+                    keys = Seq("batch_id"), versionCol = "batch_id")
+                } finally fresh.unpersist()
+              } finally winners.unpersist()
+            } finally prior.foreach(_.unpersist())
+          } finally sigged.unpersist()
+        } finally arrivals.unpersist()
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  private def tableOrEmpty(
+      spark: SparkSession, dir: String, schema: StructType): DataFrame =
+    if (!Files.exists(Paths.get(dir, "_SUCCESS")))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.parquet(dir)
+
+  /** Serving view: every admitted (semantically-unique) vector with its
+    * full-width signature. Empty — not an error — before the first
+    * admitting batch. */
+  def survivors(spark: SparkSession, warehouseDir: String): DataFrame =
+    tableOrEmpty(spark, s"$warehouseDir/embed_survivors", StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("sig", LongType), StructField("batch_id", LongType))))
+
+  /** Serving view: the per-batch admission log. */
+  def ingestLog(spark: SparkSession, warehouseDir: String): DataFrame =
+    tableOrEmpty(spark, s"$warehouseDir/embed_log", StructType(Seq(
+      StructField("batch_id", LongType), StructField("n_in", LongType),
+      StructField("n_batch_dupes", LongType),
+      StructField("n_corpus_dupes", LongType),
+      StructField("n_admitted", LongType))))
+}
