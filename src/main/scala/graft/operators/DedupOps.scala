@@ -573,8 +573,15 @@ object DedupOps extends OpModule {
     // anti-join. Same restriction as the registered query — at fixpoint
     // depth it matters even more, since every round saved is a round not
     // run on the full corpus.
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id"))
+    // 1-HOP-MIN init: each node starts at min(self, direct neighbors) —
+    // one propagation round folded into the init aggregation for the
+    // same single shuffle the old `distinct` paid. Clique-shaped
+    // clusters (near-identical docs all pairwise-verified — the common
+    // near-dup case) converge in ONE round (the observe round) instead
+    // of two; chains save exactly one round. Labels are unchanged.
+    var labels = edges.groupBy(col("src"))
+      .agg(least(min(col("dst")), col("src")).as("label"))
+      .select(col("src").as("doc_id"), col("label"))
       .localCheckpoint(eager = true)
     var converged = false
     var round = 0

@@ -128,23 +128,24 @@ object EmbedIngest {
                 col("v").as("va"), col("norm").as("na"))
               val b = cells.select(col("vec_id").as("vb_id"),
                 col("cell").as("cb"), col("v").as("vb"), col("norm").as("nb"))
-              val pairsIn = a
+              // persist the DIRECTED pairs, not the symmetric union —
+              // the union's branches would each re-run the cell join +
+              // cosine verify (NearDupIngest's measured fix); the
+              // fixpoint checkpoints eagerly, so the persist releases
+              // as soon as it returns
+              val pairsP = a
                 .join(b, col("cell") === col("cb") && col("va_id") < col("vb_id"))
                 .filter(DedupOps.quantCos(
                   col("va"), col("na"), col("vb"), col("nb")) >= thresh)
                 .select(col("va_id").as("src"), col("vb_id").as("dst"))
-              val edges = pairsIn.unionByName(
-                pairsIn.select(col("dst").as("src"), col("src").as("dst")))
-              // materialize once: edges feeds the fixpoint once per round
-              // and references the verify join twice (NearDupIngest's
-              // measured fix); the fixpoint checkpoints eagerly, so the
-              // persist releases as soon as it returns
-              val edgesP = edges.persist()
+                .persist()
+              val edges = pairsP.unionByName(
+                pairsP.select(col("dst").as("src"), col("src").as("dst")))
               val labels =
                 try
                   DedupOps.survivorsToFixpoint(
-                    sigged.select(col("vec_id").as("doc_id")), edgesP)
-                finally edgesP.unpersist()
+                    sigged.select(col("vec_id").as("doc_id")), edges)
+                finally pairsP.unpersist()
               val winners = cells.join(
                 labels.filter(col("is_survivor"))
                   .select(col("doc_id").as("vec_id")),

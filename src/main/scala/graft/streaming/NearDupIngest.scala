@@ -50,6 +50,21 @@ import java.nio.file.{Files, Paths}
   */
 object NearDupIngest {
 
+  /** Stage timer for drain profiling (`GRAFT_STAGE_TIMING=1`): lazy
+    * stages bill to the ACTION that triggers them, which is exactly the
+    * attribution a trim decision needs. Off (the default) it is a plain
+    * call-through. */
+  private val stageTiming = sys.env.contains("GRAFT_STAGE_TIMING")
+  private def timed[A](batchId: Long, tag: String)(f: => A): A =
+    if (!stageTiming) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      Console.err.println(
+        f"[neardup-stage] b$batchId $tag%-14s ${(System.nanoTime() - t0) / 1e9}%.3fs")
+      r
+    }
+
   /** Start the near-dup worker draining parquet document files from
     * `inputDir` (schema must carry `doc_id` and `text`; extra columns
     * ride into the survivors table). AvailableNow drain-and-stop +
@@ -84,7 +99,7 @@ object NearDupIngest {
           .withColumn("__seq", monotonically_increasing_id())
           .persist()
         try {
-          val nIn = arrivals.count()
+          val nIn = timed(batchId, "in-count")(arrivals.count())
           // keep-latest per doc_id BEFORE any counting: two rows sharing
           // a doc_id in one micro-batch (a same-batch re-delivery) would
           // otherwise both survive clustering — the self-pair is excluded
@@ -117,28 +132,30 @@ object NearDupIngest {
                   col("x.doc_id") < col("y.doc_id"))
               .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
               .distinct()
-            val pairsIn = DedupOps.jaccardPairs(candIn, sets, thresh)
-            val edges = pairsIn
+            // persist the DIRECTED pairs, not the symmetric union: the
+            // union's two branches would each re-run the candidate
+            // self-join + Jaccard verify (measured ~0.5 s/batch of pure
+            // recompute at the gate), while a persisted pairs relation
+            // makes the union two cache scans. The fixpoint joins the
+            // union once per round — still two cache scans + concat,
+            // batch-edge-sized. It runs EAGERLY (per-round
+            // localCheckpoints), so the persist releases as soon as it
+            // returns — the survivor labels are already checkpointed.
+            val pairsP = DedupOps.jaccardPairs(candIn, sets, thresh)
               .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-              .union(pairsIn.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-            // edges references pairsIn TWICE (symmetric union) and the
-            // fixpoint joins it once per round: un-persisted, the whole
-            // candidate self-join + Jaccard verify would re-execute
-            // 2+rounds times per batch (measured ~1.2 s of the gate's
-            // cost). Materialize once; the relation is batch-edge-sized,
-            // and the fixpoint runs EAGERLY (per-round localCheckpoints),
-            // so the persist can be released as soon as it returns — the
-            // survivor labels are already checkpointed.
-            val edgesP = edges.persist()
-            val labels = try
-              DedupOps.survivorsToFixpoint(docs.select(col("doc_id")), edgesP)
-            finally edgesP.unpersist()
+              .persist()
+            if (stageTiming) timed(batchId, "pairs-mat")(pairsP.count())
+            val edges = pairsP.unionByName(
+              pairsP.select(col("dst").as("src"), col("src").as("dst")))
+            val labels = timed(batchId, "cluster-fixpt")(try
+              DedupOps.survivorsToFixpoint(docs.select(col("doc_id")), edges)
+            finally pairsP.unpersist())
             val winners = docs.join(
               labels.filter(col("is_survivor")).select(col("doc_id")),
               Seq("doc_id"), "left_semi")
               .persist()
             try {
-              val nWinners = winners.count()
+              val nWinners = timed(batchId, "winners")(winners.count())
 
               // 2. winners vs the stored corpus, candidates from the
               // index table only; self-matches (a crashed attempt's own
@@ -178,8 +195,8 @@ object NearDupIngest {
                 .withColumn("batch_id", lit(batchId))
                 .persist()
               try {
-                val nFresh = fresh.count()
-                if (nFresh > 0) {
+                val nFresh = timed(batchId, "corpus-check")(fresh.count())
+                if (nFresh > 0) timed(batchId, "admit-upserts") {
                   UpsertWriter.upsert(s, survivorsDir, fresh,
                     keys = Seq("doc_id"), versionCol = "batch_id")
                   UpsertWriter.upsert(s, indexDir,

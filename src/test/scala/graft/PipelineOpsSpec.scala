@@ -72,8 +72,9 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(byDoc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L, 6L -> 6L))
     assert(out.count(_.getAs[Boolean]("is_survivor")) == 2) // doc 1 and doc 6
     val rounds = out.head.getAs[Int]("rounds")
-    // 4 rounds to converge + 1 to observe no change
-    assert(rounds == 5, s"expected 5 rounds, got $rounds")
+    // 1-hop-min init folds the first propagation round into the init
+    // aggregation: 3 more rounds to converge + 1 to observe no change
+    assert(rounds == 4, s"expected 4 rounds, got $rounds")
   }
 
   test("multimodal decode: batched WAV decode matches the oracle-gated query") {
