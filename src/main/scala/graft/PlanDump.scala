@@ -119,7 +119,17 @@ object PlanDump {
     "ts5_interval_overlap" ->
       ("Interval x interval overlap via 1 h cell banding: candidates from a " +
        "cell equi-join with the exact overlap predicate inside the join — " +
-       "never a nested loop; distinct collapses multi-cell hits."))
+       "never a nested loop; distinct collapses multi-cell hits."),
+    "dedup_embedding_cosine" ->
+      ("Occupancy-scaled cells: map-only 16-bit hyperplane signatures (matrix " +
+       "baked in as literals), masked to the width the corpus size calls for " +
+       "(1-row broadcast count) — pair volume stays linear in N; candidates " +
+       "only from the cell equi-join, cosine verified in the join filter."),
+    "dedup_embedding_cosine_mp" ->
+      ("Hamming-1 multiprobe widening of the cell join: the ordered side " +
+       "explodes own cell + b single-bit flips; a Hamming<=1 pair matches on " +
+       "exactly one probe, so no distinct and no double-score — (bits+1)x " +
+       "candidate volume, still linear, recall 0.07 -> 0.30 measured."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
