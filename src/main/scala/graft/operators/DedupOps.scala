@@ -1467,6 +1467,81 @@ object DedupOps extends OpModule {
       sort = Nil
     ),
 
+    // ── MULTI-SIGNAL dedup: one survivor set over the UNION of the
+    // lexical (MinHash-LSH, J ≥ 0.8 — verbatim/near-verbatim copies)
+    // and semantic (occupancy-scaled cells, cos ≥ 0.4 — paraphrases)
+    // edge sets, connected-component closed. This is the production
+    // training-data policy the two families exist to serve: a doc that
+    // is a verbatim copy of A and a paraphrase of B collapses all
+    // three into ONE cluster — running the families separately and
+    // intersecting survivor sets does NOT give this (chains through
+    // mixed edges survive both single-signal passes). Labels run to
+    // the exact fixpoint ([[survivorsToFixpoint]]) and the twin replays
+    // a recursive transitive closure, so no round bound can diverge.
+    // The fixture's embeddings share the documents' id space
+    // (vec_id = doc_id — TESTDATA's contract); both generators are the
+    // registered queries' own pipelines, LSH/cell-bounded at scale,
+    // and the union is free (no extra shuffle: CC re-keys anyway). ──
+    "dedup_multi_signal" -> Q(
+      (s, d) => {
+        val lex = minhashEdges(s, d)
+        val cells = embeddingCells(s, d)
+        val aS = cells.select(col("vec_id").as("va_id"), col("cell"),
+          col("v").as("va"), col("norm").as("na"))
+        val bS = cells.select(col("vec_id").as("vb_id"),
+          col("cell").as("cb"), col("v").as("vb"), col("norm").as("nb"))
+        val sem = aS
+          .join(bS, col("cell") === col("cb") && col("va_id") < col("vb_id"))
+          .filter(quantCos(col("va"), col("na"), col("vb"), col("nb")) >= 0.4)
+          .select(col("va_id").as("src"), col("vb_id").as("dst"))
+          .persist() // directed pairs once; union = two cache scans
+        val edges = lex
+          .unionByName(sem)
+          .unionByName(sem.select(col("dst").as("src"), col("src").as("dst")))
+        val labels =
+          try
+            survivorsToFixpoint(
+              Tables.documents(s, d).select(col("doc_id")), edges)
+          finally sem.unpersist()
+        labels.select(col("doc_id"), col("cluster_id"), col("is_survivor"))
+      },
+      Some(s"""WITH RECURSIVE sh AS (${shingledSql(3)}),
+              |${bandSigsSql(32, 4)},
+              |$candidatesSql,
+              |lpairs AS (
+              |  SELECT doc_a, doc_b FROM (
+              |    SELECT doc_a, doc_b,
+              |      len(list_intersect(a.shingles, b.shingles))::DOUBLE
+              |        / len(list_distinct(a.shingles || b.shingles)) AS jaccard
+              |    FROM cand JOIN sh a ON a.doc_id = cand.doc_a
+              |              JOIN sh b ON b.doc_id = cand.doc_b)
+              |  WHERE jaccard >= 0.8),
+              |$embeddingCellsSqlCtes,
+              |spairs AS (
+              |  SELECT a.vec_id AS src, b.vec_id AS dst
+              |  FROM c a JOIN c b ON a.cell = b.cell AND a.vec_id < b.vec_id
+              |  WHERE CAST(round(${AnnOps.dotSql("a.v", "b.v")}
+              |          / (a.norm * b.norm) * 1e6) AS BIGINT) / 1e6 >= 0.4),
+              |sym AS (
+              |  SELECT doc_a AS s, doc_b AS d FROM lpairs
+              |  UNION ALL SELECT doc_b, doc_a FROM lpairs
+              |  UNION ALL SELECT src, dst FROM spairs
+              |  UNION ALL SELECT dst, src FROM spairs),
+              |reach AS (
+              |  SELECT s AS a, d AS b FROM sym
+              |  UNION
+              |  SELECT r.a, e2.d FROM reach r JOIN sym e2 ON e2.s = r.b)
+              |SELECT doc_id,
+              |  LEAST(doc_id, coalesce(r.mb, doc_id)) AS cluster_id,
+              |  coalesce(r.mb, doc_id) >= doc_id AS is_survivor
+              |FROM documents
+              |LEFT JOIN (SELECT a, min(b) AS mb FROM reach GROUP BY 1) r
+              |  ON r.a = doc_id
+              |ORDER BY doc_id""".stripMargin),
+      doc = "LLM-pipeline: multi-signal dedup — one exact-fixpoint survivor set over the union of lexical (MinHash J>=0.8) and semantic (cell cosine >= 0.4) edges; mixed-edge chains collapse into one cluster",
+      sort = Seq("doc_id")
+    ),
+
     // ── Semantic decontamination: the embedding-level sibling of
     // `ta_decontaminate`'s shared-13-gram test — n-grams catch verbatim
     // leakage, cosine catches paraphrased leakage. Benchmark = a
