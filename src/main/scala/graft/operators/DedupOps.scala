@@ -116,7 +116,7 @@ object DedupOps extends OpModule {
     * values no stored cell carries (cells live under the mask), so they
     * match nothing — probing all [[CellMaxBits]] flips unconditionally is
     * correct with no width plumbing, at (17/occupancy)-bounded waste. */
-  private def cellProbes(cell: Column): Column =
+  private[graft] def cellProbes(cell: Column): Column =
     array(cell +: (0 until CellMaxBits).map(j =>
       cell.bitwiseXOR(lit(1L << j))): _*)
 

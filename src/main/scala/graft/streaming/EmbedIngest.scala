@@ -207,6 +207,50 @@ object EmbedIngest {
       .start()
   }
 
+  /** Serving-side near-duplicate lookup against the stored corpus: for
+    * each query row (`query_id`, `embedding`) return every admitted
+    * survivor within `thresh` quantized cosine. Candidates come from
+    * the same occupancy-scaled cells the ingest admits through — the
+    * mask is derived from the CURRENT corpus size, stored full-width
+    * signatures re-mask at read time — widened to the Hamming-1
+    * multiprobe ring by default (`dedup_embedding_cosine_mp`'s measured
+    * recall trade: a probe ring costs (bits+1)× candidates, still
+    * occupancy-bounded per probe). The query side is the small side:
+    * at scale it broadcasts into a map-side join against the bucketed
+    * survivors table; the corpus never shuffles.
+    *
+    * Returns (query_id, vec_id, cos_sim), empty before the first
+    * admitting batch. */
+  def nearDuplicates(
+      spark: SparkSession,
+      warehouseDir: String,
+      queries: DataFrame,
+      thresh: Double = 0.4,
+      multiprobe: Boolean = true): DataFrame = {
+    val surv = survivors(spark, warehouseDir)
+    val mask = DedupOps.cellMaskFor(surv.count())
+    val corpus = DedupOps.withVNorm(
+        surv.select(col("vec_id"), col("embedding"), col("sig")))
+      .select(col("vec_id"), col("v").as("vb"), col("norm").as("nb"),
+        col("sig").bitwiseAND(lit(mask)).as("cell"))
+    val q = DedupOps.embeddingSigged(
+        queries.select(col("query_id"), col("embedding")))
+      .withColumn("qcell", col("sig").bitwiseAND(lit(mask)))
+    val probed =
+      if (multiprobe)
+        q.select(col("query_id"), col("v"), col("norm"),
+          explode(DedupOps.cellProbes(col("qcell"))).as("probe"))
+      else
+        q.select(col("query_id"), col("v"), col("norm"),
+          col("qcell").as("probe"))
+    corpus
+      .join(broadcast(probed), col("probe") === col("cell"))
+      .select(col("query_id"), col("vec_id"),
+        DedupOps.quantCos(col("v"), col("norm"), col("vb"), col("nb"))
+          .as("cos_sim"))
+      .filter(col("cos_sim") >= thresh)
+  }
+
   private def tableOrEmpty(
       spark: SparkSession, dir: String, schema: StructType): DataFrame =
     if (!Files.exists(Paths.get(dir, "_SUCCESS")))

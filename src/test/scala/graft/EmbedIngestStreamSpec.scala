@@ -135,6 +135,37 @@ class EmbedIngestStreamSpec extends AnyFunSuite {
       s"id-collapse misattributed in the log: ${log.toSeq}")
   }
 
+  test("serving lookup: nearDuplicates finds stored near-dups, misses orthogonals, and is empty pre-commit") {
+    val base = Files.createTempDirectory("graft-embed-lookup")
+    val flat = base.resolve("vecs").toString
+    val wh = base.resolve("wh").toString
+    new java.io.File(flat).mkdirs()
+    addVecFile(flat, base, "f0",
+      Seq((1L, vec(0)), (2L, vec(1)), (3L, vec(2))))
+    val qs = Seq((100L, vec(0, 5, 0.1f)), (200L, vec(9)))
+      .toDF("query_id", "embedding")
+
+    // pre-commit: an empty warehouse answers empty, not an error
+    assert(EmbedIngest.nearDuplicates(spark, wh, qs).isEmpty,
+      "lookup against an un-committed warehouse must be empty")
+
+    val q = Pipeline.runEmbedIngest(spark, flat, wh,
+      base.resolve("ckpt").toString)
+    q.awaitTermination(120000)
+
+    val hits = EmbedIngest.nearDuplicates(spark, wh, qs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(hits.map(h => (h._1, h._2)).toSet == Set((100L, 1L)),
+      s"expected exactly the perturbed copy's source, got ${hits.toSeq}")
+    assert(hits.head._3 >= 0.4 && hits.head._3 <= 1.0)
+
+    // single-probe results are a subset of the multiprobe ring
+    val single = EmbedIngest
+      .nearDuplicates(spark, wh, qs, multiprobe = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(single.subsetOf(hits.map(h => (h._1, h._2)).toSet))
+  }
+
   test("occupancy mask boundaries: the value form follows the 2^b·occ >= n rule exactly") {
     import graft.operators.DedupOps.cellMaskFor
     assert(cellMaskFor(0) == 0L)
