@@ -617,6 +617,102 @@ object DedupOps extends OpModule {
         lit(round).as("rounds"))
   }
 
+  /** (doc_id, cluster_id, is_survivor, rounds): exact-fixpoint labels
+    * over the UNION of the lexical (MinHash-LSH J ≥ 0.8) and semantic
+    * (occupancy-scaled cell cosine ≥ 0.4) edge sets — the shared
+    * front-end of `dedup_multi_signal` and `ta_split_multi_signal`.
+    * The fixture's embeddings share the documents' id space
+    * (vec_id = doc_id — TESTDATA's contract); both generators are the
+    * registered queries' own pipelines, LSH/cell-bounded at scale, and
+    * the union adds no shuffle (CC re-keys anyway). */
+  /** Multi-signal labels run CC on the COLLAPSED graph, not the raw
+    * edge union: every lexical cluster contracts to its representative
+    * (the stored 3-round assignment — the same content-key-cached
+    * artifact `ta_split_leakage_safe` reads, so the three consumers
+    * share ONE stored clustering, exactly how a production pipeline
+    * stores assignments once and derives from them), semantic pairs map
+    * endpoints to representatives, and the exact fixpoint closes over
+    * reps only. The collapsed graph is |clusters| nodes and
+    * |semantic pairs| edges — orders of magnitude below the raw union
+    * (the first-cut fixpoint over raw lexical edges measured 13 s at
+    * sf0.1; this shape is ~2 s warm) — and mixed-edge chains still
+    * collapse: a chain doc→lexdup→paraphrase walks rep-to-rep.
+    * Final label = rep-closure label of the doc's lexical label; the
+    * union component's min doc_id is itself some lexical label, so
+    * labels equal the raw-union CC's (lexical part at the family's
+    * registered 3-round horizon). */
+  private[graft] def multiSignalLabels(s: SparkSession, d: String): DataFrame = {
+    val lex = graft.Fixtures.cachedParquet(
+      s, "neardup-labels3-mh32x4-j08-v1",
+      corpusFingerprint(Tables.documents(s, d))) {
+      propagatedLabels3(s, d)
+    }
+    val cells = embeddingCells(s, d)
+    val aS = cells.select(col("vec_id").as("va_id"), col("cell"),
+      col("v").as("va"), col("norm").as("na"))
+    val bS = cells.select(col("vec_id").as("vb_id"),
+      col("cell").as("cb"), col("v").as("vb"), col("norm").as("nb"))
+    val sem = aS
+      .join(bS, col("cell") === col("cb") && col("va_id") < col("vb_id"))
+      .filter(quantCos(col("va"), col("na"), col("vb"), col("nb")) >= 0.4)
+      .select(col("va_id").as("src"), col("vb_id").as("dst"))
+    // contract endpoints to lexical representatives; same-rep pairs die
+    val semRep = sem
+      .join(lex.select(col("doc_id").as("src"), col("label").as("rs")), "src")
+      .join(lex.select(col("doc_id").as("dst"), col("label").as("rd")), "dst")
+      .filter(col("rs") =!= col("rd"))
+      .select(col("rs").as("src"), col("rd").as("dst"))
+      .persist() // directed pairs once; union = two cache scans
+    val repEdges = semRep.unionByName(
+      semRep.select(col("dst").as("src"), col("src").as("dst")))
+    val repLabels =
+      try
+        survivorsToFixpoint(
+          lex.select(col("label").as("doc_id")).distinct(), repEdges)
+      finally semRep.unpersist()
+    lex.join(
+        repLabels.select(col("doc_id").as("label"), col("cluster_id"),
+          col("rounds")),
+        "label")
+      .select(col("doc_id"), col("cluster_id"),
+        (col("doc_id") === col("cluster_id")).as("is_survivor"),
+        col("rounds"))
+  }
+
+  /** Twin of [[multiSignalLabels]]: `WITH RECURSIVE` chain ending in
+    * `mslabels (doc_id, cluster_id)` — the 3-round lexical labels
+    * (`labels3Sql`, the registered family's horizon), semantic cell
+    * pairs contracted to lexical representatives, symmetric union,
+    * recursive transitive closure over reps (exact — no round bound to
+    * diverge from the fixpoint), then doc → rep-cluster. */
+  private def multiSignalSqlCtes: String =
+    s"""WITH RECURSIVE ${labels3Sql.stripPrefix("WITH ")},
+       |$embeddingCellsSqlCtes,
+       |spairs AS (
+       |  SELECT a.vec_id AS src, b.vec_id AS dst
+       |  FROM c a JOIN c b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE CAST(round(${AnnOps.dotSql("a.v", "b.v")}
+       |          / (a.norm * b.norm) * 1e6) AS BIGINT) / 1e6 >= 0.4),
+       |srep AS (
+       |  SELECT la.label AS s, lb.label AS d
+       |  FROM spairs p JOIN l3 la ON la.doc_id = p.src
+       |               JOIN l3 lb ON lb.doc_id = p.dst
+       |  WHERE la.label <> lb.label),
+       |sym AS (SELECT s, d FROM srep UNION ALL SELECT d, s FROM srep),
+       |reach AS (
+       |  SELECT s AS a, d AS b FROM sym
+       |  UNION
+       |  SELECT r.a, e2.d FROM reach r JOIN sym e2 ON e2.s = r.b),
+       |replab AS (
+       |  SELECT u.label AS rep,
+       |    LEAST(u.label, coalesce(r.mb, u.label)) AS cluster
+       |  FROM (SELECT DISTINCT label FROM l3) u
+       |  LEFT JOIN (SELECT a, min(b) AS mb FROM reach GROUP BY 1) r
+       |    ON r.a = u.label),
+       |mslabels AS (
+       |  SELECT l3.doc_id, replab.cluster AS cluster_id
+       |  FROM l3 JOIN replab ON replab.rep = l3.label)""".stripMargin
+
   /** Shared oracle twin for the composed minhash query and its custom-
     * operator equivalent. */
   private val minhashOracleSql: String =
@@ -1467,78 +1563,58 @@ object DedupOps extends OpModule {
       sort = Nil
     ),
 
-    // ── MULTI-SIGNAL dedup: one survivor set over the UNION of the
+    // ── MULTI-SIGNAL dedup: one survivor set over the union of the
     // lexical (MinHash-LSH, J ≥ 0.8 — verbatim/near-verbatim copies)
     // and semantic (occupancy-scaled cells, cos ≥ 0.4 — paraphrases)
-    // edge sets, connected-component closed. This is the production
-    // training-data policy the two families exist to serve: a doc that
-    // is a verbatim copy of A and a paraphrase of B collapses all
-    // three into ONE cluster — running the families separately and
-    // intersecting survivor sets does NOT give this (chains through
-    // mixed edges survive both single-signal passes). Labels run to
-    // the exact fixpoint ([[survivorsToFixpoint]]) and the twin replays
-    // a recursive transitive closure, so no round bound can diverge.
+    // signals. This is the production training-data policy the two
+    // families exist to serve: a doc that is a verbatim copy of A and
+    // a paraphrase of B collapses all three into ONE cluster — running
+    // the families separately and intersecting survivor sets does NOT
+    // give this (chains through mixed edges survive both single-signal
+    // passes). Computed on the COLLAPSED graph (see
+    // [[multiSignalLabels]]): stored 3-round lexical clusters contract
+    // to representatives, semantic edges walk rep-to-rep, and the
+    // EXACT fixpoint closes over reps — the twin replays the identical
+    // 3 lexical rounds plus a recursive closure, so nothing diverges.
     // The fixture's embeddings share the documents' id space
-    // (vec_id = doc_id — TESTDATA's contract); both generators are the
-    // registered queries' own pipelines, LSH/cell-bounded at scale,
-    // and the union is free (no extra shuffle: CC re-keys anyway). ──
+    // (vec_id = doc_id — TESTDATA's contract). ──
     "dedup_multi_signal" -> Q(
+      (s, d) => multiSignalLabels(s, d)
+        .select(col("doc_id"), col("cluster_id"), col("is_survivor")),
+      Some(s"""$multiSignalSqlCtes
+              |SELECT doc_id, cluster_id,
+              |  cluster_id = doc_id AS is_survivor
+              |FROM mslabels ORDER BY doc_id""".stripMargin),
+      doc = "LLM-pipeline: multi-signal dedup — one survivor set over lexical (MinHash J>=0.8) clusters + semantic (cell cosine >= 0.4) edges, exact-closure-merged on the collapsed representative graph; mixed-edge chains collapse into one cluster",
+      sort = Seq("doc_id")
+    ),
+
+    // ── The leakage-safe split closed over BOTH signals:
+    // `ta_split_leakage_safe` keys the assignment on the LEXICAL
+    // near-dup cluster, so a PARAPHRASE of a training document can
+    // still land in test (embedding-level leakage — exactly what
+    // decontamination papers flag). Here the bucket is a content hash
+    // of the MULTI-SIGNAL cluster id, so no verbatim-OR-paraphrase
+    // pair — nor any chain through mixed edges — straddles splits.
+    // Same 80/10/10 portable-hash bucketing as the lexical split. ──
+    "ta_split_multi_signal" -> Q(
       (s, d) => {
-        val lex = minhashEdges(s, d)
-        val cells = embeddingCells(s, d)
-        val aS = cells.select(col("vec_id").as("va_id"), col("cell"),
-          col("v").as("va"), col("norm").as("na"))
-        val bS = cells.select(col("vec_id").as("vb_id"),
-          col("cell").as("cb"), col("v").as("vb"), col("norm").as("nb"))
-        val sem = aS
-          .join(bS, col("cell") === col("cb") && col("va_id") < col("vb_id"))
-          .filter(quantCos(col("va"), col("na"), col("vb"), col("nb")) >= 0.4)
-          .select(col("va_id").as("src"), col("vb_id").as("dst"))
-          .persist() // directed pairs once; union = two cache scans
-        val edges = lex
-          .unionByName(sem)
-          .unionByName(sem.select(col("dst").as("src"), col("src").as("dst")))
-        val labels =
-          try
-            survivorsToFixpoint(
-              Tables.documents(s, d).select(col("doc_id")), edges)
-          finally sem.unpersist()
-        labels.select(col("doc_id"), col("cluster_id"), col("is_survivor"))
+        val bucket = pmod(phash(col("cluster_id").cast(StringType)), lit(10L))
+        multiSignalLabels(s, d)
+          .select(col("doc_id"), col("cluster_id"),
+            when(bucket < 8, lit("train"))
+              .when(bucket === 8, lit("val"))
+              .otherwise(lit("test")).as("split"))
       },
-      Some(s"""WITH RECURSIVE sh AS (${shingledSql(3)}),
-              |${bandSigsSql(32, 4)},
-              |$candidatesSql,
-              |lpairs AS (
-              |  SELECT doc_a, doc_b FROM (
-              |    SELECT doc_a, doc_b,
-              |      len(list_intersect(a.shingles, b.shingles))::DOUBLE
-              |        / len(list_distinct(a.shingles || b.shingles)) AS jaccard
-              |    FROM cand JOIN sh a ON a.doc_id = cand.doc_a
-              |              JOIN sh b ON b.doc_id = cand.doc_b)
-              |  WHERE jaccard >= 0.8),
-              |$embeddingCellsSqlCtes,
-              |spairs AS (
-              |  SELECT a.vec_id AS src, b.vec_id AS dst
-              |  FROM c a JOIN c b ON a.cell = b.cell AND a.vec_id < b.vec_id
-              |  WHERE CAST(round(${AnnOps.dotSql("a.v", "b.v")}
-              |          / (a.norm * b.norm) * 1e6) AS BIGINT) / 1e6 >= 0.4),
-              |sym AS (
-              |  SELECT doc_a AS s, doc_b AS d FROM lpairs
-              |  UNION ALL SELECT doc_b, doc_a FROM lpairs
-              |  UNION ALL SELECT src, dst FROM spairs
-              |  UNION ALL SELECT dst, src FROM spairs),
-              |reach AS (
-              |  SELECT s AS a, d AS b FROM sym
-              |  UNION
-              |  SELECT r.a, e2.d FROM reach r JOIN sym e2 ON e2.s = r.b)
-              |SELECT doc_id,
-              |  LEAST(doc_id, coalesce(r.mb, doc_id)) AS cluster_id,
-              |  coalesce(r.mb, doc_id) >= doc_id AS is_survivor
-              |FROM documents
-              |LEFT JOIN (SELECT a, min(b) AS mb FROM reach GROUP BY 1) r
-              |  ON r.a = doc_id
+      Some(s"""$multiSignalSqlCtes
+              |SELECT doc_id, cluster_id,
+              |  CASE WHEN h < 8 THEN 'train' WHEN h = 8 THEN 'val'
+              |       ELSE 'test' END AS split
+              |FROM (SELECT doc_id, cluster_id,
+              |        ${phashSql("cluster_id::VARCHAR")} % 10 AS h
+              |      FROM mslabels)
               |ORDER BY doc_id""".stripMargin),
-      doc = "LLM-pipeline: multi-signal dedup — one exact-fixpoint survivor set over the union of lexical (MinHash J>=0.8) and semantic (cell cosine >= 0.4) edges; mixed-edge chains collapse into one cluster",
+      doc = "LLM-pipeline: leakage-safe split over MULTI-SIGNAL clusters — no verbatim or paraphrase near-dup pair straddles train/test",
       sort = Seq("doc_id")
     ),
 
