@@ -176,4 +176,22 @@ class EmbedIngestStreamSpec extends AnyFunSuite {
     assert(cellMaskFor(Long.MaxValue) == (1L << 16) - 1,
       "width is capped at CellMaxBits")
   }
+
+  test("occupancy mask property: coverage and minimality at every corpus size") {
+    import graft.operators.DedupOps.cellMaskFor
+    // 2^b · 32 ≥ n (expected occupancy ≤ target) and b is the SMALLEST
+    // such width (halving the cells would overshoot the target) — for
+    // every n below the 16-bit cap, exhaustively around every
+    // power-of-two boundary and sampled between
+    val cap = 32L * (1L << 16)
+    val boundary = (0 to 16).flatMap(b =>
+      Seq(32L * (1L << b) - 1, 32L * (1L << b), 32L * (1L << b) + 1))
+    val sampled = 1L to cap by 4099L
+    for (n <- (boundary ++ sampled).filter(x => x >= 1 && x <= cap)) {
+      val cells = cellMaskFor(n) + 1 // 2^b
+      assert(cells * 32 >= n, s"occupancy overshoot at n=$n: $cells cells")
+      assert(cells == 1 || (cells / 2) * 32 < n,
+        s"mask not minimal at n=$n: ${cells / 2} cells would have sufficed")
+    }
+  }
 }
