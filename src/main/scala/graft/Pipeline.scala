@@ -204,6 +204,21 @@ object Pipeline {
       spark, docsDir, warehouseDir, checkpointDir, filesPerTrigger)
   }
 
+  /** Continuous MULTI-SIGNAL dedup ingest (admit only if neither a
+    * lexical nor a semantic near-dup of anything admitted; mixed-edge
+    * chains collapse within a batch) — see
+    * [[streaming.MultiSignalIngest]]. */
+  def runMultiSignalIngest(
+      spark: SparkSession,
+      inputDir: String,
+      warehouseDir: String,
+      checkpointDir: String,
+      filesPerTrigger: Int = 1): StreamingQuery = {
+    Sessions.tune(spark)
+    streaming.MultiSignalIngest.start(
+      spark, inputDir, warehouseDir, checkpointDir, filesPerTrigger)
+  }
+
   /** Continuous embedding-cosine near-dup ingest (occupancy-scaled
     * hyperplane cells re-masked per batch — maintenance-free index,
     * no quantizer to refit) — see [[streaming.EmbedIngest]]. */

@@ -397,6 +397,131 @@ object StreamingIngestOps extends OpModule {
       },
       doc = "Streaming gate: embedding near-dup worker drained over a 2-batch parity split; final survivors vs a batch-by-batch replay with per-batch occupancy masks (the mask widens between batches)",
       sort = Seq("vec_id")
+    ),
+
+    // ── MULTI-SIGNAL worker under the oracle — the capstone gate: one
+    // drain whose within-batch clusters close over the UNION of the
+    // lexical (banded-LSH + exact Jaccard ≥ 0.8) and semantic
+    // (occupancy-masked cells + quantized cosine ≥ 0.4) edge sets, and
+    // whose corpus check drops a winner that matches an admitted
+    // survivor through EITHER signal. The twin replays both batches
+    // over the documents⋈embeddings subset: per-parity lexical bands
+    // and Jaccard edges, per-parity masked cells and cosine edges
+    // (batch-1 mask sized to batch-0 survivors + arrivals — the
+    // widening contract), one recursive closure per batch over the
+    // union, then the two corpus drops.
+    //
+    // This gate drains BOTH signal pipelines per micro-batch — it is
+    // two workers' work in one drain (measured ~2× the single-signal
+    // gates) — and every semantic it pins is id-count-independent, so
+    // it runs at HALF the family's cap (the bounded-gate convention,
+    // one step further). The mask still widens between batches
+    // (250 → ~480 crosses the 2^3·32 boundary at every SF). ──
+    "ms_ingest_final_state" -> Q(
+      (s, d) => {
+        val rows = Tables.documents(s, d)
+          .join(Tables.embeddings(s, d).withColumnRenamed("vec_id", "doc_id"),
+            "doc_id")
+          .filter(col("doc_id") < IdCap / 2)
+          .select(col("doc_id"), col("text"), col("embedding"))
+        val wh = drainTwoBatches(s, "msig", rows, "doc_id",
+          Pipeline.runMultiSignalIngest(_, _, _, _))
+        s.read.parquet(s"$wh/ms_survivors")
+          .select(col("doc_id").cast(LongType),
+            col("batch_id").cast(LongType))
+      },
+      Some {
+        val baseDocs =
+          s"""(SELECT d.doc_id, d.text FROM documents d
+             | JOIN embeddings em ON em.vec_id = d.doc_id
+             | WHERE d.doc_id < ${IdCap / 2})""".stripMargin
+        val jac =
+          """len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+            |        / len(list_distinct(sa.shingles || sb.shingles))""".stripMargin
+        def cos(a: String, b: String, na: String, nb: String) =
+          s"""CAST(round(${AnnOps.dotSql(a, b)}
+             |        / ($na * $nb) * 1e6) AS BIGINT) / 1e6""".stripMargin
+        // per-parity: lexical + semantic edges → union closure → winners
+        def batchCluster(p: Int, maskRel: String): String =
+          s"""candL$p AS (
+             |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+             |  FROM bands x JOIN bands y
+             |    ON x.band = y.band AND x.sigstr = y.sigstr
+             |   AND x.doc_id < y.doc_id
+             |  WHERE x.doc_id % 2 = $p AND y.doc_id % 2 = $p),
+             |ledge$p AS (
+             |  SELECT a, b FROM (
+             |    SELECT c.a, c.b, $jac AS j
+             |    FROM candL$p c JOIN sh sa ON sa.doc_id = c.a
+             |                   JOIN sh sb ON sb.doc_id = c.b)
+             |  WHERE j >= 0.8),
+             |c$p AS (
+             |  SELECT vec_id, v, norm, sig, CAST(sig & mask AS BIGINT) AS cell
+             |  FROM sigs, $maskRel WHERE vec_id % 2 = $p),
+             |sedge$p AS (
+             |  SELECT a.vec_id AS a, b.vec_id AS b
+             |  FROM c$p a JOIN c$p b
+             |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+             |  WHERE ${cos("a.v", "b.v", "a.norm", "b.norm")} >= 0.4),
+             |sym$p AS (
+             |  SELECT a AS s, b AS d FROM ledge$p
+             |  UNION ALL SELECT b, a FROM ledge$p
+             |  UNION ALL SELECT a, b FROM sedge$p
+             |  UNION ALL SELECT b, a FROM sedge$p),
+             |reach$p AS (
+             |  SELECT s AS a, d AS b FROM sym$p
+             |  UNION
+             |  SELECT r.a, e2.d FROM reach$p r JOIN sym$p e2 ON e2.s = r.b),
+             |win$p AS (
+             |  SELECT c.vec_id AS doc_id, c.v, c.norm, c.sig, c.cell
+             |  FROM c$p c
+             |  LEFT JOIN (SELECT a, min(b) AS mb FROM reach$p GROUP BY 1) r
+             |    ON r.a = c.vec_id
+             |  WHERE coalesce(r.mb, c.vec_id) >= c.vec_id)""".stripMargin
+        s"""WITH RECURSIVE sh AS (${DedupOps.shingledSqlFrom(3, baseDocs)}),
+           |${DedupOps.bandSigsSql(32, 4)},
+           |e AS (
+           |  SELECT d.doc_id AS vec_id, em.label, v, ${AnnOps.normSql("v")} AS norm
+           |  FROM (SELECT vec_id, label, embedding::DOUBLE[] AS v
+           |        FROM embeddings) em
+           |  JOIN documents d ON d.doc_id = em.vec_id
+           |  WHERE d.doc_id < ${IdCap / 2}),
+           |${AnnOps.hyperplaneSigSqlCtes(DedupOps.CellMaxBits)},
+           |m0 AS (SELECT ${DedupOps.cellMaskSql} AS mask
+           |       FROM (SELECT count(*) AS n FROM sigs WHERE vec_id % 2 = 0)),
+           |${batchCluster(0, "m0")},
+           |m1 AS (SELECT ${DedupOps.cellMaskSql} AS mask FROM (
+           |  SELECT (SELECT count(*) FROM win0)
+           |       + (SELECT count(*) FROM sigs WHERE vec_id % 2 = 1) AS n)),
+           |${batchCluster(1, "m1")},
+           |candXL AS (
+           |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+           |  FROM bands x JOIN bands y
+           |    ON x.band = y.band AND x.sigstr = y.sigstr
+           |  JOIN win1 w1 ON w1.doc_id = x.doc_id
+           |  JOIN win0 w0 ON w0.doc_id = y.doc_id),
+           |dropL AS (
+           |  SELECT DISTINCT c.a AS doc_id
+           |  FROM candXL c JOIN sh sa ON sa.doc_id = c.a
+           |               JOIN sh sb ON sb.doc_id = c.b
+           |  WHERE $jac >= 0.8),
+           |dropS AS (
+           |  SELECT DISTINCT w.doc_id
+           |  FROM win1 w JOIN
+           |    (SELECT s0.doc_id, s0.v, s0.norm,
+           |       CAST(s0.sig & m1.mask AS BIGINT) AS cell
+           |     FROM win0 s0, m1) p
+           |    ON w.cell = p.cell AND w.doc_id <> p.doc_id
+           |  WHERE ${cos("w.v", "p.v", "w.norm", "p.norm")} >= 0.4)
+           |SELECT doc_id::BIGINT AS doc_id, 0::BIGINT AS batch_id FROM win0
+           |UNION ALL
+           |SELECT doc_id::BIGINT, 1::BIGINT FROM win1
+           |WHERE doc_id NOT IN (SELECT doc_id FROM dropL
+           |                     UNION SELECT doc_id FROM dropS)
+           |ORDER BY doc_id""".stripMargin
+      },
+      doc = "Streaming gate: multi-signal worker drained over a 2-batch parity split; final survivors vs a batch-by-batch replay closing the lexical + semantic edge union per batch, corpus drops through either signal",
+      sort = Seq("doc_id")
     )
   )
 }

@@ -1,0 +1,278 @@
+package graft.streaming
+
+import graft.operators.DedupOps
+import graft.sinks.UpsertWriter
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+import java.nio.file.{Files, Paths}
+
+/** Continuous MULTI-SIGNAL dedup ingest — the streaming form of
+  * `dedup_multi_signal`, and the capstone of the worker family: one
+  * drain admits a document only if it is neither a LEXICAL near-dup
+  * (MinHash-LSH banded candidates, exact 3-gram Jaccard ≥ 0.8) nor a
+  * SEMANTIC near-dup (occupancy-scaled hyperplane cells, quantized
+  * cosine ≥ 0.4) of anything admitted before it — and within a batch,
+  * clusters close over the UNION of both edge sets, so a mixed chain
+  * (A lexically copies B, B paraphrases C) collapses to ONE winner,
+  * which neither single-signal worker can do.
+  *
+  * Input rows carry `doc_id`, `text`, AND `embedding` (the combined
+  * corpus+vector stream a production pipeline lands after the
+  * embedding service). State: `ms_survivors` (full row + 16-bit
+  * hyperplane signature), `ms_index` (the lexical (band, sig, doc_id)
+  * rows — [[NearDupIngest]]'s index discipline), `ms_log`. The
+  * semantic side needs NO separate index: survivors re-mask their
+  * stored full-width signatures at the width the corpus size calls
+  * for as of each batch ([[EmbedIngest]]'s maintenance-free-index
+  * contract; count = prior-batch admissions + the batch, so replays
+  * see the identical mask).
+  *
+  * Everything else follows the family's invariants verbatim:
+  * keep-latest per doc_id before counting, winners checked against
+  * the corpus through index/cell collisions only (batch-proportional
+  * work), keyed idempotent upserts, log written LAST with the
+  * admitted count read back from the table.
+  */
+object MultiSignalIngest {
+
+  /** Stage timer for drain profiling (`GRAFT_STAGE_TIMING=1`) — the
+    * family's attribution tool ([[NearDupIngest]]); lazy stages bill to
+    * the ACTION that triggers them. */
+  private val stageTiming = sys.env.contains("GRAFT_STAGE_TIMING")
+  private def timed[A](batchId: Long, tag: String)(f: => A): A =
+    if (!stageTiming) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      Console.err.println(
+        f"[ms-stage] b$batchId $tag%-14s ${(System.nanoTime() - t0) / 1e9}%.3fs")
+      r
+    }
+
+  def start(
+      spark: SparkSession,
+      inputDir: String,
+      warehouseDir: String,
+      checkpointDir: String,
+      filesPerTrigger: Int = 1,
+      numHashes: Int = 32,
+      bandRows: Int = 4,
+      jaccardThresh: Double = 0.8,
+      cosThresh: Double = 0.4): StreamingQuery = {
+
+    val survivorsDir = s"$warehouseDir/ms_survivors"
+    val indexDir = s"$warehouseDir/ms_index"
+    val logDir = s"$warehouseDir/ms_log"
+    val schema = spark.read.parquet(inputDir).schema
+
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", filesPerTrigger)
+      .parquet(inputDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val arrivals = batch
+          .withColumn("text", coalesce(col("text"), lit("")))
+          .withColumn("__seq", monotonically_increasing_id())
+          .persist()
+        try {
+          val nIn = timed(batchId, "in-count")(arrivals.count())
+          val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("__seq").desc)
+          val docs = DedupOps.embeddingSigged(
+            arrivals
+              .withColumn("__rn", row_number().over(wDoc))
+              .filter(col("__rn") === 1)
+              .drop("__seq", "__rn"))
+            .persist()
+          try {
+            val nBatch = timed(batchId, "sig-batch")(docs.count())
+            val prior =
+              if (!Files.exists(Paths.get(survivorsDir, "_SUCCESS"))) None
+              else Some(s.read.parquet(survivorsDir)
+                .filter(col("batch_id") < batchId).persist())
+            try {
+              val nPrior = prior.map(_.count()).getOrElse(0L)
+              val mask = DedupOps.cellMaskFor(nPrior + nBatch)
+
+              // lexical machinery over the batch
+              val sets = docs
+                .select(col("doc_id"),
+                  call_function("word_shingles", col("text"), lit(3))
+                    .as("shingles"))
+                .persist()
+              val sigs = DedupOps.bandSigs(sets, numHashes, bandRows).persist()
+              val cells = docs
+                .withColumn("cell", col("sig").bitwiseAND(lit(mask)))
+              try {
+                // 1. within-batch clusters over the UNION edge set
+                val candL = sigs.as("x").hint("shuffle_hash")
+                  .join(sigs.as("y").hint("shuffle_hash"),
+                    col("x.band") === col("y.band") &&
+                      col("x.sig") === col("y.sig") &&
+                      col("x.doc_id") < col("y.doc_id"))
+                  .select(col("x.doc_id").as("doc_a"),
+                    col("y.doc_id").as("doc_b"))
+                  .distinct()
+                val lexPairs = DedupOps
+                  .jaccardPairs(candL, sets, jaccardThresh)
+                  .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+                val aS = cells.select(col("doc_id").as("va_id"), col("cell"),
+                  col("v").as("va"), col("norm").as("na"))
+                val bS = cells.select(col("doc_id").as("vb_id"),
+                  col("cell").as("cb"), col("v").as("vb"), col("norm").as("nb"))
+                val semPairs = aS
+                  .join(bS,
+                    col("cell") === col("cb") && col("va_id") < col("vb_id"))
+                  .filter(DedupOps.quantCos(
+                    col("va"), col("na"), col("vb"), col("nb")) >= cosThresh)
+                  .select(col("va_id").as("src"), col("vb_id").as("dst"))
+                // persist the DIRECTED pair union; symmetric union = two
+                // cache scans (the family's measured fix)
+                val pairsP = lexPairs.unionByName(semPairs).persist()
+                if (stageTiming) timed(batchId, "pairs-mat")(pairsP.count())
+                val edges = pairsP.unionByName(
+                  pairsP.select(col("dst").as("src"), col("src").as("dst")))
+                val labels = timed(batchId, "cluster-fixpt")(
+                  try
+                    DedupOps.survivorsToFixpoint(
+                      docs.select(col("doc_id")), edges)
+                  finally pairsP.unpersist())
+                val winners = cells.join(
+                  labels.filter(col("is_survivor")).select(col("doc_id")),
+                  Seq("doc_id"), "left_semi")
+                  .persist()
+                try {
+                  val nWinners = timed(batchId, "winners")(winners.count())
+
+                  // 2. winners vs the corpus: EITHER signal drops.
+                  // Lexical — via the stored band index, verified by
+                  // exact Jaccard against colliding survivors' texts;
+                  // semantic — via the survivors' re-masked signatures.
+                  // EACH side guards its OWN table's `_SUCCESS`: the two
+                  // admit upserts commit at different instants, so a
+                  // kill between them leaves survivors committed with
+                  // the index not yet born — the replay must read the
+                  // index as empty, not crash (caught by the kill/resume
+                  // spec on the first run).
+                  val none = winners.limit(0).select(col("doc_id"))
+                  val lexDrop = prior match {
+                    case Some(corp)
+                        if Files.exists(Paths.get(indexDir, "_SUCCESS")) =>
+                      val idx = s.read.parquet(indexDir)
+                        .select(col("band"), col("sig"),
+                          col("doc_id").as("doc_b"))
+                      val candX = sigs
+                        .join(winners.select(col("doc_id")),
+                          Seq("doc_id"), "left_semi")
+                        .join(idx, Seq("band", "sig"))
+                        .filter(col("doc_id") =!= col("doc_b"))
+                        .select(col("doc_id").as("doc_a"), col("doc_b"))
+                        .distinct()
+                      val oldSets = corp
+                        .join(candX.select(col("doc_b").as("doc_id")).distinct(),
+                          Seq("doc_id"), "left_semi")
+                        .join(sets.select(col("doc_id")), Seq("doc_id"), "left_anti")
+                        .select(col("doc_id"),
+                          call_function("word_shingles", col("text"), lit(3))
+                            .as("shingles"))
+                      DedupOps
+                        .jaccardPairs(candX, sets.unionByName(oldSets),
+                          jaccardThresh)
+                        .select(col("doc_a").as("doc_id"))
+                    case _ => none
+                  }
+                  val semDrop = prior match {
+                    case Some(corp) =>
+                      val corpusCells = DedupOps.withVNorm(
+                          corp.select(col("doc_id").as("vb_id"),
+                            col("embedding"), col("sig")))
+                        .select(col("vb_id"), col("v").as("vb"),
+                          col("norm").as("nb"),
+                          col("sig").bitwiseAND(lit(mask)).as("cb"))
+                      winners
+                        .join(corpusCells,
+                          col("cell") === col("cb") &&
+                            col("doc_id") =!= col("vb_id"))
+                        .filter(DedupOps.quantCos(
+                          col("v"), col("norm"), col("vb"), col("nb"))
+                          >= cosThresh)
+                        .select(col("doc_id"))
+                    case None => none
+                  }
+                  val dupVsCorpus = lexDrop.unionByName(semDrop).distinct()
+
+                  // 3. admit fresh winners: full row + signature into the
+                  // survivors table, band rows into the lexical index
+                  val fresh = winners.drop("v", "norm", "cell")
+                    .join(dupVsCorpus, Seq("doc_id"), "left_anti")
+                    .withColumn("batch_id", lit(batchId))
+                    .persist()
+                  try {
+                    val nFresh = timed(batchId, "corpus-check")(fresh.count())
+                    if (nFresh > 0) timed(batchId, "admit-upserts") {
+                      UpsertWriter.upsert(s, survivorsDir, fresh,
+                        keys = Seq("doc_id"), versionCol = "batch_id")
+                      UpsertWriter.upsert(s, indexDir,
+                        sigs.join(fresh.select(col("doc_id")),
+                          Seq("doc_id"), "left_semi")
+                          .withColumn("batch_id", lit(batchId)),
+                        keys = Seq("band", "sig", "doc_id"),
+                        versionCol = "batch_id")
+                    }
+                    val nAdmitted =
+                      if (!Files.exists(Paths.get(survivorsDir, "_SUCCESS"))) 0L
+                      else s.read.parquet(survivorsDir)
+                        .filter(col("batch_id") === batchId).count()
+                    import s.implicits._
+                    UpsertWriter.upsert(s, logDir,
+                      Seq((batchId, nIn, nIn - nWinners,
+                        nWinners - nAdmitted, nAdmitted))
+                        .toDF("batch_id", "n_in", "n_batch_dupes",
+                          "n_corpus_dupes", "n_admitted"),
+                      keys = Seq("batch_id"), versionCol = "batch_id")
+                  } finally fresh.unpersist()
+                } finally winners.unpersist()
+              } finally { sigs.unpersist(); sets.unpersist() }
+            } finally prior.foreach(_.unpersist())
+          } finally docs.unpersist()
+        } finally arrivals.unpersist()
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  private def tableOrEmpty(
+      spark: SparkSession, dir: String, schema: StructType): DataFrame =
+    if (!Files.exists(Paths.get(dir, "_SUCCESS")))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.parquet(dir)
+
+  /** Serving view: every admitted (multi-signal-unique) document with
+    * its stored hyperplane signature. */
+  def survivors(spark: SparkSession, warehouseDir: String): DataFrame =
+    tableOrEmpty(spark, s"$warehouseDir/ms_survivors", StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("sig", LongType), StructField("batch_id", LongType))))
+
+  /** Serving view: the lexical band-signature index. */
+  def index(spark: SparkSession, warehouseDir: String): DataFrame =
+    tableOrEmpty(spark, s"$warehouseDir/ms_index", StructType(Seq(
+      StructField("doc_id", LongType), StructField("band", IntegerType),
+      StructField("sig", StringType), StructField("batch_id", LongType))))
+
+  /** Serving view: the per-batch admission log. */
+  def ingestLog(spark: SparkSession, warehouseDir: String): DataFrame =
+    tableOrEmpty(spark, s"$warehouseDir/ms_log", StructType(Seq(
+      StructField("batch_id", LongType), StructField("n_in", LongType),
+      StructField("n_batch_dupes", LongType),
+      StructField("n_corpus_dupes", LongType),
+      StructField("n_admitted", LongType))))
+}
