@@ -110,5 +110,27 @@ class MultiSignalIngestStreamSpec extends AnyFunSuite {
     val q3 = Pipeline.runMultiSignalIngest(spark, flat, wh, ckpt)
     q3.awaitTermination(120000)
     assert(admitted() == 3L, "a drained checkpoint re-run must admit nothing")
+
+    // serving pre-check over the drained corpus {11, 20, 40}: a lexical
+    // copy of 11 is rejected with 11 as the lexical match, a paraphrase
+    // vector of 11 is rejected semantically, a doc new on both signals
+    // admits — and a query_id that COLLIDES with a survivor id (20)
+    // must not cross-contaminate the shingle lookup
+    val pre = MultiSignalIngest.wouldAdmit(spark, wh,
+      Seq(
+        (100L, text("a", "xx"), vec(8)),        // lexical dup of 11
+        (200L, text("f"), vec(0, 9, 0.1f)),     // semantic dup of 11
+        (20L, text("g"), vec(10)))              // new, id collides with survivor 20
+        .toDF("query_id", "text", "embedding"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    assert(pre(100L) == ((false, 11L, -1L)),
+      s"lexical pre-check diverged: ${pre(100L)}")
+    assert(pre(200L) == ((false, -1L, 11L)),
+      s"semantic pre-check diverged: ${pre(200L)}")
+    assert(pre(20L) == ((true, -1L, -1L)),
+      s"id-colliding new candidate must still admit: ${pre(20L)}")
   }
 }
