@@ -268,7 +268,6 @@ object MultiSignalIngest {
       bandRows: Int = 4,
       jaccardThresh: Double = 0.8,
       cosThresh: Double = 0.4): DataFrame = {
-    import org.apache.spark.sql.functions.broadcast
     val surv = survivors(spark, warehouseDir).persist()
     try {
       val mask = DedupOps.cellMaskFor(surv.count())
