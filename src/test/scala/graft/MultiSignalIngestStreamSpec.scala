@@ -65,6 +65,14 @@ class MultiSignalIngestStreamSpec extends AnyFunSuite {
       (30L, text("d"), vec(0, 6, 0.1f)),
       (40L, text("e"), vec(7))))
 
+    // pre-commit: an empty warehouse admits everything (mask width 0,
+    // no index on disk — both probe paths must answer empty, not throw)
+    val cold = MultiSignalIngest.wouldAdmit(spark, wh,
+      Seq((9L, text("a"), vec(0))).toDF("query_id", "text", "embedding"))
+      .collect()
+    assert(cold.length == 1 && cold.head.getBoolean(1),
+      "an un-committed warehouse must admit every candidate")
+
     // run 1: kill as soon as at least one batch admitted rows
     val q1 = Pipeline.runMultiSignalIngest(spark, flat, wh, ckpt)
     val survivorsDir = s"$wh/ms_survivors"
