@@ -120,7 +120,7 @@ object DedupOps extends OpModule {
     array(cell +: (0 until CellMaxBits).map(j =>
       cell.bitwiseXOR(lit(1L << j))): _*)
 
-  private val cellProbesSql: String =
+  private[graft] val cellProbesSql: String =
     s"[cell] || [xor(cell, CAST(1 AS BIGINT) << j) FOR j IN range(0, $CellMaxBits)]"
 
   /** Bounds `dedup_embedding_recall`'s brute-force truth slice at every
@@ -457,7 +457,13 @@ object DedupOps extends OpModule {
     }
     if (stats.isEmpty || stats.contains("")) contentFingerprint(docs)
     else {
-      val planKey = docs.queryExecution.analyzed.canonicalized.hashCode()
+      // FULL canonicalized plan string, not its 32-bit hashCode: two
+      // distinct plans over the same files (different filters) colliding
+      // on the hash would silently serve the wrong content fingerprint —
+      // and that key gates Fixtures.cachedParquet, so the failure mode is
+      // wrong cached results with no error. The string is driver-memory
+      // cheap (plans here are a scan + a filter) and collision-free.
+      val planKey = docs.queryExecution.analyzed.canonicalized.toString
       fingerprintMemo.computeIfAbsent(
         s"$planKey#${stats.mkString(";")}", _ => contentFingerprint(docs))
     }
