@@ -48,11 +48,22 @@ import java.nio.file.{Files, Paths}
   *     argument).
   *
   * Replay determinism of the MASK: the corpus count that picks the
-  * width is (survivors admitted by PRIOR batches) + (this batch's
-  * id-deduped arrivals). A crashed attempt's own admissions carry
-  * `batch_id == batchId` and are excluded from both the count and the
-  * corpus check, so a replay sees the identical mask, identical
-  * candidates, and restates the identical admissions.
+  * width is (survivors FIRST admitted by prior batches) + (this
+  * batch's id-deduped arrivals). Both the count and the corpus check
+  * filter the stored table on the IMMUTABLE `first_admitted_batch`
+  * column — set once at a key's first admission and never bumped by
+  * the keyed upsert. `batch_id` alone would NOT be replay-safe: a
+  * later batch re-delivering an already-admitted key updates that
+  * row's content and bumps its `batch_id` (last-write-wins), so a
+  * crash after the upsert but before the checkpoint commit would make
+  * the replay's `batch_id < batchId` filter lose the survivor —
+  * shrinking the corpus count, potentially shifting the whole batch's
+  * mask width, and silently admitting winners the first attempt
+  * dropped. With `first_admitted_batch` the replay sees the identical
+  * corpus, mask, and candidates, and restates the identical
+  * admissions; the re-delivered key's update books under
+  * `n_corpus_dupes` (it is not a NEW admission), and `n_admitted`
+  * counts rows FIRST admitted by this batch — both attempt-invariant.
   *
   * NULL/empty embeddings have no geometry: their cosine is NULL, so
   * they form no edges and admit as singletons (one row per vec_id via
@@ -68,6 +79,158 @@ import java.nio.file.{Files, Paths}
   */
 object EmbedIngest {
 
+  /** One micro-batch of the drain, exactly as [[start]]'s foreachBatch
+    * runs it — exposed (package-private) so the crash-replay specs can
+    * drive a batch twice with the SAME `batchId`, the contract a
+    * foreachBatch body must survive: the checkpoint commits AFTER this
+    * returns, so a crash in between re-delivers the whole batch. */
+  private[graft] def processBatch(
+      batch: DataFrame,
+      batchId: Long,
+      warehouseDir: String,
+      thresh: Double = 0.4): Unit = {
+    val s = batch.sparkSession
+    val survivorsDir = s"$warehouseDir/embed_survivors"
+    val logDir = s"$warehouseDir/embed_log"
+    val arrivals = batch
+      .withColumn("__seq", monotonically_increasing_id())
+      .persist()
+    try {
+      val nIn = arrivals.count()
+      // keep-latest per vec_id BEFORE any counting ([[NearDupIngest]]'s
+      // same-batch re-delivery rule): the keyed upsert would collapse
+      // the rows anyway, and counting both as winners would book the
+      // collapse as a phantom corpus dupe. Highest arrival order wins,
+      // matching UpsertWriter's within-batch tie-break.
+      val wVec = Window.partitionBy(col("vec_id")).orderBy(col("__seq").desc)
+      val sigged = DedupOps.embeddingSigged(
+        arrivals
+          .withColumn("__rn", row_number().over(wVec))
+          .filter(col("__rn") === 1)
+          .drop("__seq", "__rn"))
+        .persist()
+      try {
+        val nBatch = sigged.count()
+        // the committed table, read ONCE per batch: the prior corpus
+        // (first_admitted_batch < batchId — rows first admitted by
+        // EARLIER batches; a crashed attempt's own admissions carry
+        // first_admitted_batch == batchId and are invisible) and the
+        // first_admitted_batch lookup for the admit upsert both derive
+        // from it
+        val committed =
+          if (!Files.exists(Paths.get(survivorsDir, "_SUCCESS"))) None
+          else Some(s.read.parquet(survivorsDir).persist())
+        try {
+          val prior = committed.map(
+            _.filter(col("first_admitted_batch") < batchId))
+          val nPrior = prior.map(_.count()).getOrElse(0L)
+          val mask = DedupOps.cellMaskFor(nPrior + nBatch)
+          val cells = sigged
+            .withColumn("cell", col("sig").bitwiseAND(lit(mask)))
+
+          // 1. within-batch clusters → one winner per cluster
+          val a = cells.select(col("vec_id").as("va_id"), col("cell"),
+            col("v").as("va"), col("norm").as("na"))
+          val b = cells.select(col("vec_id").as("vb_id"),
+            col("cell").as("cb"), col("v").as("vb"), col("norm").as("nb"))
+          // persist the DIRECTED pairs, not the symmetric union —
+          // the union's branches would each re-run the cell join +
+          // cosine verify (NearDupIngest's measured fix); the
+          // fixpoint checkpoints eagerly, so the persist releases
+          // as soon as it returns
+          val pairsP = a
+            .join(b, col("cell") === col("cb") && col("va_id") < col("vb_id"))
+            .filter(DedupOps.quantCos(
+              col("va"), col("na"), col("vb"), col("nb")) >= thresh)
+            .select(col("va_id").as("src"), col("vb_id").as("dst"))
+            .persist()
+          val edges = pairsP.unionByName(
+            pairsP.select(col("dst").as("src"), col("src").as("dst")))
+          val labels =
+            try
+              DedupOps.survivorsToFixpoint(
+                sigged.select(col("vec_id").as("doc_id")), edges)
+            finally pairsP.unpersist()
+          val winners = cells.join(
+            labels.filter(col("is_survivor"))
+              .select(col("doc_id").as("vec_id")),
+            Seq("vec_id"), "left_semi")
+            .persist()
+          try {
+            val nWinners = winners.count()
+
+            // 2. winners vs the stored corpus under the SAME mask —
+            // stored rows re-mask their full signatures at read time
+            val dupVsCorpus = prior match {
+              case None => winners.limit(0).select(col("vec_id"))
+              case Some(corp) =>
+                val corpusCells = DedupOps.withVNorm(
+                    corp.select(col("vec_id"), col("embedding"), col("sig")))
+                  .select(col("vec_id").as("vb_id"), col("v").as("vb"),
+                    col("norm").as("nb"),
+                    col("sig").bitwiseAND(lit(mask)).as("cb"))
+                winners
+                  .join(corpusCells,
+                    col("cell") === col("cb") && col("vec_id") =!= col("vb_id"))
+                  .filter(DedupOps.quantCos(
+                    col("v"), col("norm"), col("vb"), col("nb")) >= thresh)
+                  .select(col("vec_id")).distinct()
+            }
+
+            // 3. admit fresh winners (full arrival row + signature).
+            // first_admitted_batch: this batch for keys the table has
+            // never seen, the stored row's value for a re-delivered
+            // already-admitted key — set once, NEVER bumped (the
+            // replay-determinism anchor documented above)
+            val freshBase = winners.drop("v", "norm", "cell")
+              .join(dupVsCorpus, Seq("vec_id"), "left_anti")
+              .withColumn("batch_id", lit(batchId))
+            val fresh = (committed match {
+              case None =>
+                freshBase.withColumn("first_admitted_batch", lit(batchId))
+              case Some(corp) =>
+                freshBase
+                  .join(corp.select(col("vec_id"),
+                    col("first_admitted_batch").as("__fab")),
+                    Seq("vec_id"), "left")
+                  .withColumn("first_admitted_batch",
+                    coalesce(col("__fab"), lit(batchId)))
+                  .drop("__fab")
+            }).persist()
+            try {
+              val nFresh = fresh.count()
+              // `committed` caches the BARE table scan; release it BEFORE
+              // the upsert and the admitted-count read-back — Spark's
+              // cache manager substitutes a cached plan fragment by
+              // equality, so a later read of the same path would silently
+              // serve the PRE-upsert image and count zero admissions
+              committed.foreach(_.unpersist())
+              if (nFresh > 0)
+                UpsertWriter.upsert(s, survivorsDir, fresh,
+                  keys = Seq("vec_id"), versionCol = "batch_id")
+
+              // log LAST, admissions counted from the table: rows FIRST
+              // admitted by this batch (attempt-invariant — a replay
+              // re-reads the identical count)
+              val nAdmitted =
+                if (!Files.exists(Paths.get(survivorsDir, "_SUCCESS"))) 0L
+                else s.read.parquet(survivorsDir)
+                  .filter(col("first_admitted_batch") === batchId).count()
+              import s.implicits._
+              UpsertWriter.upsert(s, logDir,
+                Seq((batchId, nIn, nIn - nWinners, nWinners - nAdmitted,
+                  nAdmitted))
+                  .toDF("batch_id", "n_in", "n_batch_dupes",
+                    "n_corpus_dupes", "n_admitted"),
+                keys = Seq("batch_id"), versionCol = "batch_id")
+            } finally fresh.unpersist()
+          } finally winners.unpersist()
+        } finally committed.foreach(_.unpersist())
+      } finally sigged.unpersist()
+    } finally arrivals.unpersist()
+    ()
+  }
+
   /** Start the worker draining parquet embedding files from `inputDir`
     * (schema must carry `vec_id` and `embedding: array<float>`; extra
     * columns ride into the survivors table). AvailableNow
@@ -80,8 +243,6 @@ object EmbedIngest {
       filesPerTrigger: Int = 1,
       thresh: Double = 0.4): StreamingQuery = {
 
-    val survivorsDir = s"$warehouseDir/embed_survivors"
-    val logDir = s"$warehouseDir/embed_log"
     val schema = spark.read.parquet(inputDir).schema
 
     spark.readStream
@@ -90,117 +251,7 @@ object EmbedIngest {
       .parquet(inputDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val s = batch.sparkSession
-        val arrivals = batch
-          .withColumn("__seq", monotonically_increasing_id())
-          .persist()
-        try {
-          val nIn = arrivals.count()
-          // keep-latest per vec_id BEFORE any counting ([[NearDupIngest]]'s
-          // same-batch re-delivery rule): the keyed upsert would collapse
-          // the rows anyway, and counting both as winners would book the
-          // collapse as a phantom corpus dupe. Highest arrival order wins,
-          // matching UpsertWriter's within-batch tie-break.
-          val wVec = Window.partitionBy(col("vec_id")).orderBy(col("__seq").desc)
-          val sigged = DedupOps.embeddingSigged(
-            arrivals
-              .withColumn("__rn", row_number().over(wVec))
-              .filter(col("__rn") === 1)
-              .drop("__seq", "__rn"))
-            .persist()
-          try {
-            val nBatch = sigged.count()
-            // prior corpus = admissions of EARLIER batches only; a crashed
-            // attempt's own rows (batch_id == batchId) are invisible, so
-            // the mask and the corpus check are attempt-invariant
-            val prior =
-              if (!Files.exists(Paths.get(survivorsDir, "_SUCCESS"))) None
-              else Some(s.read.parquet(survivorsDir)
-                .filter(col("batch_id") < batchId).persist())
-            try {
-              val nPrior = prior.map(_.count()).getOrElse(0L)
-              val mask = DedupOps.cellMaskFor(nPrior + nBatch)
-              val cells = sigged
-                .withColumn("cell", col("sig").bitwiseAND(lit(mask)))
-
-              // 1. within-batch clusters → one winner per cluster
-              val a = cells.select(col("vec_id").as("va_id"), col("cell"),
-                col("v").as("va"), col("norm").as("na"))
-              val b = cells.select(col("vec_id").as("vb_id"),
-                col("cell").as("cb"), col("v").as("vb"), col("norm").as("nb"))
-              // persist the DIRECTED pairs, not the symmetric union —
-              // the union's branches would each re-run the cell join +
-              // cosine verify (NearDupIngest's measured fix); the
-              // fixpoint checkpoints eagerly, so the persist releases
-              // as soon as it returns
-              val pairsP = a
-                .join(b, col("cell") === col("cb") && col("va_id") < col("vb_id"))
-                .filter(DedupOps.quantCos(
-                  col("va"), col("na"), col("vb"), col("nb")) >= thresh)
-                .select(col("va_id").as("src"), col("vb_id").as("dst"))
-                .persist()
-              val edges = pairsP.unionByName(
-                pairsP.select(col("dst").as("src"), col("src").as("dst")))
-              val labels =
-                try
-                  DedupOps.survivorsToFixpoint(
-                    sigged.select(col("vec_id").as("doc_id")), edges)
-                finally pairsP.unpersist()
-              val winners = cells.join(
-                labels.filter(col("is_survivor"))
-                  .select(col("doc_id").as("vec_id")),
-                Seq("vec_id"), "left_semi")
-                .persist()
-              try {
-                val nWinners = winners.count()
-
-                // 2. winners vs the stored corpus under the SAME mask —
-                // stored rows re-mask their full signatures at read time
-                val dupVsCorpus = prior match {
-                  case None => winners.limit(0).select(col("vec_id"))
-                  case Some(corp) =>
-                    val corpusCells = DedupOps.withVNorm(
-                        corp.select(col("vec_id"), col("embedding"), col("sig")))
-                      .select(col("vec_id").as("vb_id"), col("v").as("vb"),
-                        col("norm").as("nb"),
-                        col("sig").bitwiseAND(lit(mask)).as("cb"))
-                    winners
-                      .join(corpusCells,
-                        col("cell") === col("cb") && col("vec_id") =!= col("vb_id"))
-                      .filter(DedupOps.quantCos(
-                        col("v"), col("norm"), col("vb"), col("nb")) >= thresh)
-                      .select(col("vec_id")).distinct()
-                }
-
-                // 3. admit fresh winners (full arrival row + signature)
-                val fresh = winners.drop("v", "norm", "cell")
-                  .join(dupVsCorpus, Seq("vec_id"), "left_anti")
-                  .withColumn("batch_id", lit(batchId))
-                  .persist()
-                try {
-                  val nFresh = fresh.count()
-                  if (nFresh > 0)
-                    UpsertWriter.upsert(s, survivorsDir, fresh,
-                      keys = Seq("vec_id"), versionCol = "batch_id")
-
-                  // log LAST, admissions counted from the table
-                  val nAdmitted =
-                    if (!Files.exists(Paths.get(survivorsDir, "_SUCCESS"))) 0L
-                    else s.read.parquet(survivorsDir)
-                      .filter(col("batch_id") === batchId).count()
-                  import s.implicits._
-                  UpsertWriter.upsert(s, logDir,
-                    Seq((batchId, nIn, nIn - nWinners, nWinners - nAdmitted,
-                      nAdmitted))
-                      .toDF("batch_id", "n_in", "n_batch_dupes",
-                        "n_corpus_dupes", "n_admitted"),
-                    keys = Seq("batch_id"), versionCol = "batch_id")
-                } finally fresh.unpersist()
-              } finally winners.unpersist()
-            } finally prior.foreach(_.unpersist())
-          } finally sigged.unpersist()
-        } finally arrivals.unpersist()
-        ()
+        processBatch(batch, batchId, warehouseDir, thresh)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -259,13 +310,16 @@ object EmbedIngest {
     else spark.read.parquet(dir)
 
   /** Serving view: every admitted (semantically-unique) vector with its
-    * full-width signature. Empty — not an error — before the first
-    * admitting batch. */
+    * full-width signature. `batch_id` is the LAST batch that wrote the
+    * row (content version); `first_admitted_batch` the batch that first
+    * admitted the key (immutable — the replay-determinism anchor).
+    * Empty — not an error — before the first admitting batch. */
   def survivors(spark: SparkSession, warehouseDir: String): DataFrame =
     tableOrEmpty(spark, s"$warehouseDir/embed_survivors", StructType(Seq(
       StructField("vec_id", LongType),
       StructField("embedding", ArrayType(FloatType)),
-      StructField("sig", LongType), StructField("batch_id", LongType))))
+      StructField("sig", LongType), StructField("batch_id", LongType),
+      StructField("first_admitted_batch", LongType))))
 
   /** Serving view: the per-batch admission log. */
   def ingestLog(spark: SparkSession, warehouseDir: String): DataFrame =

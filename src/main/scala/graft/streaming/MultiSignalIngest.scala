@@ -52,33 +52,36 @@ object MultiSignalIngest {
       r
     }
 
-  def start(
-      spark: SparkSession,
-      inputDir: String,
+  /** One micro-batch of the drain, exactly as [[start]]'s foreachBatch
+    * runs it — exposed (package-private) so the crash-replay specs can
+    * drive a batch twice with the SAME `batchId`, the contract a
+    * foreachBatch body must survive: the checkpoint commits AFTER this
+    * returns, so a crash in between re-delivers the whole batch.
+    *
+    * Replay determinism follows [[EmbedIngest]]'s contract verbatim:
+    * the prior corpus (and so the occupancy mask) filters the stored
+    * survivors on the IMMUTABLE `first_admitted_batch` — set at a
+    * key's first admission, never bumped by the keyed upsert — because
+    * `batch_id` is a content version that a cross-batch re-delivery
+    * rewrites, and a crash between the upsert and the checkpoint
+    * commit would otherwise shrink the replay's corpus count and shift
+    * the whole batch's mask. */
+  private[graft] def processBatch(
+      batch: DataFrame,
+      batchId: Long,
       warehouseDir: String,
-      checkpointDir: String,
-      filesPerTrigger: Int = 1,
       numHashes: Int = 32,
       bandRows: Int = 4,
       jaccardThresh: Double = 0.8,
-      cosThresh: Double = 0.4): StreamingQuery = {
-
+      cosThresh: Double = 0.4): Unit = {
+    val s = batch.sparkSession
     val survivorsDir = s"$warehouseDir/ms_survivors"
     val indexDir = s"$warehouseDir/ms_index"
     val logDir = s"$warehouseDir/ms_log"
-    val schema = spark.read.parquet(inputDir).schema
-
-    spark.readStream
-      .schema(schema)
-      .option("maxFilesPerTrigger", filesPerTrigger)
-      .parquet(inputDir)
-      .writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val s = batch.sparkSession
-        val arrivals = batch
-          .withColumn("text", coalesce(col("text"), lit("")))
-          .withColumn("__seq", monotonically_increasing_id())
-          .persist()
+    val arrivals = batch
+      .withColumn("text", coalesce(col("text"), lit("")))
+      .withColumn("__seq", monotonically_increasing_id())
+      .persist()
         try {
           val nIn = timed(batchId, "in-count")(arrivals.count())
           val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("__seq").desc)
@@ -90,11 +93,12 @@ object MultiSignalIngest {
             .persist()
           try {
             val nBatch = timed(batchId, "sig-batch")(docs.count())
-            val prior =
+            val committed =
               if (!Files.exists(Paths.get(survivorsDir, "_SUCCESS"))) None
-              else Some(s.read.parquet(survivorsDir)
-                .filter(col("batch_id") < batchId).persist())
+              else Some(s.read.parquet(survivorsDir).persist())
             try {
+              val prior = committed.map(
+                _.filter(col("first_admitted_batch") < batchId))
               val nPrior = prior.map(_.count()).getOrElse(0L)
               val mask = DedupOps.cellMaskFor(nPrior + nBatch)
 
@@ -206,13 +210,32 @@ object MultiSignalIngest {
                   val dupVsCorpus = lexDrop.unionByName(semDrop).distinct()
 
                   // 3. admit fresh winners: full row + signature into the
-                  // survivors table, band rows into the lexical index
-                  val fresh = winners.drop("v", "norm", "cell")
+                  // survivors table, band rows into the lexical index.
+                  // first_admitted_batch: this batch for never-seen keys,
+                  // the stored value for a re-delivered admitted key —
+                  // set once, NEVER bumped (the replay anchor)
+                  val freshBase = winners.drop("v", "norm", "cell")
                     .join(dupVsCorpus, Seq("doc_id"), "left_anti")
                     .withColumn("batch_id", lit(batchId))
-                    .persist()
+                  val fresh = (committed match {
+                    case None => freshBase
+                      .withColumn("first_admitted_batch", lit(batchId))
+                    case Some(corp) =>
+                      freshBase
+                        .join(corp.select(col("doc_id"),
+                          col("first_admitted_batch").as("__fab")),
+                          Seq("doc_id"), "left")
+                        .withColumn("first_admitted_batch",
+                          coalesce(col("__fab"), lit(batchId)))
+                        .drop("__fab")
+                  }).persist()
                   try {
                     val nFresh = timed(batchId, "corpus-check")(fresh.count())
+                    // release the bare-scan cache BEFORE the upsert and
+                    // read-back: the cache manager substitutes cached plan
+                    // fragments by equality, so a later read of the same
+                    // path would serve the PRE-upsert image
+                    committed.foreach(_.unpersist())
                     if (nFresh > 0) timed(batchId, "admit-upserts") {
                       UpsertWriter.upsert(s, survivorsDir, fresh,
                         keys = Seq("doc_id"), versionCol = "batch_id")
@@ -223,10 +246,14 @@ object MultiSignalIngest {
                         keys = Seq("band", "sig", "doc_id"),
                         versionCol = "batch_id")
                     }
+                    // admissions = rows FIRST admitted by this batch
+                    // (attempt-invariant under replay); a re-delivered
+                    // already-admitted key's update books under
+                    // n_corpus_dupes — it is not a new admission
                     val nAdmitted =
                       if (!Files.exists(Paths.get(survivorsDir, "_SUCCESS"))) 0L
                       else s.read.parquet(survivorsDir)
-                        .filter(col("batch_id") === batchId).count()
+                        .filter(col("first_admitted_batch") === batchId).count()
                     import s.implicits._
                     UpsertWriter.upsert(s, logDir,
                       Seq((batchId, nIn, nIn - nWinners,
@@ -237,10 +264,33 @@ object MultiSignalIngest {
                   } finally fresh.unpersist()
                 } finally winners.unpersist()
               } finally { sigs.unpersist(); sets.unpersist() }
-            } finally prior.foreach(_.unpersist())
+            } finally committed.foreach(_.unpersist())
           } finally docs.unpersist()
         } finally arrivals.unpersist()
-        ()
+    ()
+  }
+
+  def start(
+      spark: SparkSession,
+      inputDir: String,
+      warehouseDir: String,
+      checkpointDir: String,
+      filesPerTrigger: Int = 1,
+      numHashes: Int = 32,
+      bandRows: Int = 4,
+      jaccardThresh: Double = 0.8,
+      cosThresh: Double = 0.4): StreamingQuery = {
+
+    val schema = spark.read.parquet(inputDir).schema
+
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", filesPerTrigger)
+      .parquet(inputDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId, warehouseDir,
+          numHashes, bandRows, jaccardThresh, cosThresh)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -339,12 +389,15 @@ object MultiSignalIngest {
     else spark.read.parquet(dir)
 
   /** Serving view: every admitted (multi-signal-unique) document with
-    * its stored hyperplane signature. */
+    * its stored hyperplane signature. `batch_id` is the LAST batch that
+    * wrote the row (content version); `first_admitted_batch` the batch
+    * that first admitted the key (immutable — the replay anchor). */
   def survivors(spark: SparkSession, warehouseDir: String): DataFrame =
     tableOrEmpty(spark, s"$warehouseDir/ms_survivors", StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType),
       StructField("embedding", ArrayType(FloatType)),
-      StructField("sig", LongType), StructField("batch_id", LongType))))
+      StructField("sig", LongType), StructField("batch_id", LongType),
+      StructField("first_admitted_batch", LongType))))
 
   /** Serving view: the lexical band-signature index. */
   def index(spark: SparkSession, warehouseDir: String): DataFrame =
