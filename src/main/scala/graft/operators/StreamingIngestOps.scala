@@ -340,18 +340,24 @@ object StreamingIngestOps extends OpModule {
             col("batch_id").cast(LongType))
       },
       Some {
-        // per-batch clustering under that batch's mask: cell-collision
-        // edges at quantized cos ≥ 0.4 → symmetric closure → survivor =
-        // no reachable vec with a lower id
+        // per-batch clustering under that batch's mask: Hamming-1
+        // MULTIPROBE cell-collision edges (the worker's admit
+        // definition — the ordered side probes its own cell plus every
+        // single-bit flip, matching a Hamming ≤ 1 pair exactly once)
+        // at quantized cos ≥ 0.4 → symmetric closure → survivor = no
+        // reachable vec with a lower id
         def batchCluster(p: Int, maskRel: String): String =
           s"""c$p AS (
              |  SELECT vec_id, v, norm, sig,
              |    CAST(sig & mask AS BIGINT) AS cell
              |  FROM b$p, $maskRel),
+             |pr$p AS (
+             |  SELECT vec_id, v, norm,
+             |    unnest(${DedupOps.cellProbesSql}) AS probe FROM c$p),
              |edge$p AS (
              |  SELECT a.vec_id AS s, b.vec_id AS d
-             |  FROM c$p a JOIN c$p b
-             |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+             |  FROM pr$p a JOIN c$p b
+             |    ON a.probe = b.cell AND a.vec_id < b.vec_id
              |  WHERE CAST(round(${AnnOps.dotSql("a.v", "b.v")}
              |          / (a.norm * b.norm) * 1e6) AS BIGINT) / 1e6 >= 0.4),
              |sym$p AS (SELECT s, d FROM edge$p
@@ -381,11 +387,13 @@ object StreamingIngestOps extends OpModule {
            |${batchCluster(1, "m1")},
            |dropX AS (
            |  SELECT DISTINCT w.vec_id
-           |  FROM win1 w JOIN
+           |  FROM (SELECT vec_id, v, norm,
+           |          unnest(${DedupOps.cellProbesSql}) AS probe FROM win1) w
+           |  JOIN
            |    (SELECT s.vec_id, s.v, s.norm,
            |       CAST(s.sig & m1.mask AS BIGINT) AS cell
            |     FROM win0 s, m1) p
-           |    ON w.cell = p.cell AND w.vec_id <> p.vec_id
+           |    ON w.probe = p.cell AND w.vec_id <> p.vec_id
            |  WHERE CAST(round(${AnnOps.dotSql("w.v", "p.v")}
            |          / (w.norm * p.norm) * 1e6) AS BIGINT) / 1e6 >= 0.4)
            |SELECT vec_id::BIGINT AS vec_id, sig::BIGINT AS sig,
@@ -458,10 +466,13 @@ object StreamingIngestOps extends OpModule {
              |c$p AS (
              |  SELECT vec_id, v, norm, sig, CAST(sig & mask AS BIGINT) AS cell
              |  FROM sigs, $maskRel WHERE vec_id % 2 = $p),
+             |pr$p AS (
+             |  SELECT vec_id, v, norm,
+             |    unnest(${DedupOps.cellProbesSql}) AS probe FROM c$p),
              |sedge$p AS (
              |  SELECT a.vec_id AS a, b.vec_id AS b
-             |  FROM c$p a JOIN c$p b
-             |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+             |  FROM pr$p a JOIN c$p b
+             |    ON a.probe = b.cell AND a.vec_id < b.vec_id
              |  WHERE ${cos("a.v", "b.v", "a.norm", "b.norm")} >= 0.4),
              |sym$p AS (
              |  SELECT a AS s, b AS d FROM ledge$p
@@ -507,11 +518,13 @@ object StreamingIngestOps extends OpModule {
            |  WHERE $jac >= 0.8),
            |dropS AS (
            |  SELECT DISTINCT w.doc_id
-           |  FROM win1 w JOIN
+           |  FROM (SELECT doc_id, v, norm,
+           |          unnest(${DedupOps.cellProbesSql}) AS probe FROM win1) w
+           |  JOIN
            |    (SELECT s0.doc_id, s0.v, s0.norm,
            |       CAST(s0.sig & m1.mask AS BIGINT) AS cell
            |     FROM win0 s0, m1) p
-           |    ON w.cell = p.cell AND w.doc_id <> p.doc_id
+           |    ON w.probe = p.cell AND w.doc_id <> p.doc_id
            |  WHERE ${cos("w.v", "p.v", "w.norm", "p.norm")} >= 0.4)
            |SELECT doc_id::BIGINT AS doc_id, 0::BIGINT AS batch_id FROM win0
            |UNION ALL

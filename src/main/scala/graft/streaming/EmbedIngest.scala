@@ -31,14 +31,18 @@ import java.nio.file.{Files, Paths}
   *
   * Per micro-batch:
   *
-  *  1. WITHIN-BATCH clustering: cell-collision pairs verified by the
-  *     family's 1e-6-quantized cosine ≥ `thresh`, min-label
-  *     propagation ([[DedupOps.survivorsToFixpoint]]) picks one
-  *     representative per cluster (lowest vec_id — total order, so a
-  *     replayed batch picks the same winners).
-  *  2. VS-CORPUS check: winners' cells equi-join the stored survivors'
-  *     re-masked signatures; collisions verify by the same quantized
-  *     cosine. A winner matching an admitted survivor drops, and the
+  *  1. WITHIN-BATCH clustering: Hamming-1 MULTIPROBE cell-collision
+  *     pairs (each vector probes its own cell plus every single-bit
+  *     flip — `dedup_embedding_cosine_mp`'s measured recall trade)
+  *     verified by the family's 1e-6-quantized cosine ≥ `thresh`,
+  *     min-label propagation ([[DedupOps.survivorsToFixpoint]]) picks
+  *     one representative per cluster (lowest vec_id — total order, so
+  *     a replayed batch picks the same winners).
+  *  2. VS-CORPUS check: winners' probe rings equi-join the stored
+  *     survivors' re-masked signatures; collisions verify by the same
+  *     quantized cosine — the identical admit definition as step 1 and
+  *     as the serving-side [[nearDuplicates]] default. A winner
+  *     matching an admitted survivor drops, and the
   *     cluster members it represented fall with it (the representative
   *     carries the cluster — the family's streaming contract).
   *  3. ADMIT: fresh winners upsert into the survivors table keyed by
@@ -128,8 +132,18 @@ object EmbedIngest {
           val cells = sigged
             .withColumn("cell", col("sig").bitwiseAND(lit(mask)))
 
-          // 1. within-batch clusters → one winner per cluster
-          val a = cells.select(col("vec_id").as("va_id"), col("cell"),
+          // 1. within-batch clusters → one winner per cluster. The pair
+          // join runs the Hamming-1 MULTIPROBE ring (the batch family's
+          // `dedup_embedding_cosine_mp` trade, recall 0.07 → 0.30 at
+          // (bits+1)× still-linear cost): the ordered side probes its
+          // own cell plus every single-bit flip, so a pair at Hamming
+          // ≤ 1 matches on exactly ONE probe — no distinct needed, no
+          // pair scored twice. The admit definition must be the SAME
+          // within-batch and vs-corpus, or a near-dup pair would admit
+          // together when co-arriving and dedup when split across
+          // batches.
+          val a = cells.select(col("vec_id").as("va_id"),
+            explode(DedupOps.cellProbes(col("cell"))).as("probe"),
             col("v").as("va"), col("norm").as("na"))
           val b = cells.select(col("vec_id").as("vb_id"),
             col("cell").as("cb"), col("v").as("vb"), col("norm").as("nb"))
@@ -139,7 +153,7 @@ object EmbedIngest {
           // fixpoint checkpoints eagerly, so the persist releases
           // as soon as it returns
           val pairsP = a
-            .join(b, col("cell") === col("cb") && col("va_id") < col("vb_id"))
+            .join(b, col("probe") === col("cb") && col("va_id") < col("vb_id"))
             .filter(DedupOps.quantCos(
               col("va"), col("na"), col("vb"), col("nb")) >= thresh)
             .select(col("va_id").as("src"), col("vb_id").as("dst"))
@@ -160,7 +174,10 @@ object EmbedIngest {
             val nWinners = winners.count()
 
             // 2. winners vs the stored corpus under the SAME mask —
-            // stored rows re-mask their full signatures at read time
+            // stored rows re-mask their full signatures at read time;
+            // winners probe their Hamming-1 ring (the same admit
+            // definition as step 1, and as the serving-side
+            // [[nearDuplicates]] default)
             val dupVsCorpus = prior match {
               case None => winners.limit(0).select(col("vec_id"))
               case Some(corp) =>
@@ -170,8 +187,10 @@ object EmbedIngest {
                     col("norm").as("nb"),
                     col("sig").bitwiseAND(lit(mask)).as("cb"))
                 winners
+                  .select(col("vec_id"), col("v"), col("norm"),
+                    explode(DedupOps.cellProbes(col("cell"))).as("probe"))
                   .join(corpusCells,
-                    col("cell") === col("cb") && col("vec_id") =!= col("vb_id"))
+                    col("probe") === col("cb") && col("vec_id") =!= col("vb_id"))
                   .filter(DedupOps.quantCos(
                     col("v"), col("norm"), col("vb"), col("nb")) >= thresh)
                   .select(col("vec_id")).distinct()

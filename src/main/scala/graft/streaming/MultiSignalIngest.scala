@@ -13,8 +13,9 @@ import java.nio.file.{Files, Paths}
   * `dedup_multi_signal`, and the capstone of the worker family: one
   * drain admits a document only if it is neither a LEXICAL near-dup
   * (MinHash-LSH banded candidates, exact 3-gram Jaccard ≥ 0.8) nor a
-  * SEMANTIC near-dup (occupancy-scaled hyperplane cells, quantized
-  * cosine ≥ 0.4) of anything admitted before it — and within a batch,
+  * SEMANTIC near-dup (occupancy-scaled hyperplane cells probed over
+  * the Hamming-1 ring, quantized cosine ≥ 0.4) of anything admitted
+  * before it — and within a batch,
   * clusters close over the UNION of both edge sets, so a mixed chain
   * (A lexically copies B, B paraphrases C) collapses to ONE winner,
   * which neither single-signal worker can do.
@@ -124,13 +125,18 @@ object MultiSignalIngest {
                 val lexPairs = DedupOps
                   .jaccardPairs(candL, sets, jaccardThresh)
                   .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-                val aS = cells.select(col("doc_id").as("va_id"), col("cell"),
+                // semantic pairs run the Hamming-1 MULTIPROBE ring
+                // ([[EmbedIngest]]'s admit definition — a pair at cell
+                // Hamming ≤ 1 matches on exactly ONE probe of the
+                // ordered side, so no pair is scored twice)
+                val aS = cells.select(col("doc_id").as("va_id"),
+                  explode(DedupOps.cellProbes(col("cell"))).as("probe"),
                   col("v").as("va"), col("norm").as("na"))
                 val bS = cells.select(col("doc_id").as("vb_id"),
                   col("cell").as("cb"), col("v").as("vb"), col("norm").as("nb"))
                 val semPairs = aS
                   .join(bS,
-                    col("cell") === col("cb") && col("va_id") < col("vb_id"))
+                    col("probe") === col("cb") && col("va_id") < col("vb_id"))
                   .filter(DedupOps.quantCos(
                     col("va"), col("na"), col("vb"), col("nb")) >= cosThresh)
                   .select(col("va_id").as("src"), col("vb_id").as("dst"))
@@ -198,8 +204,10 @@ object MultiSignalIngest {
                           col("norm").as("nb"),
                           col("sig").bitwiseAND(lit(mask)).as("cb"))
                       winners
+                        .select(col("doc_id"), col("v"), col("norm"),
+                          explode(DedupOps.cellProbes(col("cell"))).as("probe"))
                         .join(corpusCells,
-                          col("cell") === col("cb") &&
+                          col("probe") === col("cb") &&
                             col("doc_id") =!= col("vb_id"))
                         .filter(DedupOps.quantCos(
                           col("v"), col("norm"), col("vb"), col("nb"))
@@ -365,7 +373,8 @@ object MultiSignalIngest {
             col("sig").bitwiseAND(lit(mask)).as("cb"))
         val semHit = corpusCells
           .join(broadcast(q.select(col("query_id"), col("v"), col("norm"),
-            col("qcell"))), col("qcell") === col("cb"))
+            explode(DedupOps.cellProbes(col("qcell"))).as("probe"))),
+            col("probe") === col("cb"))
           .filter(DedupOps.quantCos(
             col("v"), col("norm"), col("vb"), col("nb")) >= cosThresh)
           .groupBy(col("query_id"))

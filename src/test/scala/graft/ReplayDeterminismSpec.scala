@@ -18,57 +18,70 @@ import java.nio.file.Files
   * The load-bearing fixture: batch 1 RE-DELIVERS a key batch 0 already
   * admitted. The keyed upsert bumps that row's `batch_id` (content is
   * last-write-wins), so a `batch_id < batchId` prior-filter would lose
-  * the survivor on replay — shrinking the corpus count by one, and the
-  * fixture pins that count at the 2^0·CellOcc occupancy boundary
-  * (30 prior + 3 arrivals = 33 → 1-bit mask; a lost survivor reads 32
-  * → 0-bit mask), where the whole batch's candidate generation
-  * changes: the batch carries a near-dup pair engineered to sit in
-  * DIFFERENT 1-bit cells (admitted separately) that one 0-bit cell
-  * would cluster (one admitted). The immutable `first_admitted_batch`
-  * column is what keeps the replay's corpus count — and so the mask,
-  * the candidates, and the log — identical. */
+  * the survivor on replay — shrinking the corpus count by one. The
+  * fixture pins that count at the 2^1·CellOcc occupancy boundary
+  * (30 prior + 35 arrivals = 65 → 2-bit mask; a lost survivor reads
+  * 64 → 1-bit mask), where the batch's candidate generation changes:
+  * it carries a near-dup pair engineered to sit at cell HAMMING-2
+  * under the 2-bit mask (no edge even through the worker's Hamming-1
+  * probe ring → both admit) that the 1-bit mask pulls to Hamming-1
+  * (probe collision → edge → one winner). The 2-bit boundary is the
+  * lowest that can matter: with multiprobe every 1-bit-mask cell is
+  * within one flip of every other, so the 0/1-bit boundary is
+  * candidate-invariant. The immutable `first_admitted_batch` column
+  * is what keeps the replay's corpus count — and so the mask, the
+  * candidates, and the log — identical. */
 class ReplayDeterminismSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  /** Unit vector along `i` with an `eps` leak onto `j` (the family's
-    * spec construction): leaked copies sit at cos = 1/√(1+eps²) ≥ 0.4
-    * for eps ≤ 2; distinct axes are orthogonal. */
-  private def vec(i: Int, j: Int = -1, eps: Float = 0f): Seq[Float] =
-    Seq.tabulate(64)(d => if (d == i) 1f else if (d == j) eps else 0f)
+  /** Unit vector along axis `i` (axes 0..61 — the orthogonal corpus). */
+  private def vec(i: Int): Seq[Float] =
+    Seq.tabulate(64)(d => if (d == i) 1f else 0f)
 
-  /** A cosine-near-dup pair (cos ≥ 0.4) whose hyperplane signatures
-    * DIFFER in bit 0, found by deterministic search over leak axes —
-    * under a 1-bit mask the two land in different cells (no edge);
-    * under a 0-bit mask they share the one cell (edge, cluster). The
-    * hyperplanes are fixed, so the search result is stable. */
-  private lazy val splitPair: (Seq[Float], Seq[Float]) = {
-    val base = vec(31)
-    val cands = (for (j <- 32 until 64; eps <- Seq(0.5f, 1f, 1.5f, 2f))
-      yield vec(31, j, eps)).toList
-    val sigs = DedupOps.embeddingSigged(
-        (base :: cands).zipWithIndex
-          .map { case (v, i) => (i.toLong, v) }
-          .toDF("vec_id", "embedding"))
-      .select(col("vec_id"), col("sig"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val bit0 = sigs(0L) & 1L
-    val hit = cands.indices.find(i => (sigs(i + 1L) & 1L) != bit0)
-      .getOrElse(fail("no leak axis flips signature bit 0 — fixture broken"))
-    (base, cands(hit))
+  /** Unit vector at angle `deg` in the (62, 63) plane — orthogonal to
+    * every [[vec]], so only the engineered pair is ever cosine-close. */
+  private def planeVec(deg: Int): Seq[Float] = {
+    val r = math.toRadians(deg)
+    Seq.tabulate(64)(d =>
+      if (d == 62) math.cos(r).toFloat
+      else if (d == 63) math.sin(r).toFloat else 0f)
   }
 
-  // the boundary the fixture pins: one lost prior survivor flips the mask
-  test("fixture sits on the occupancy-mask boundary") {
-    assert(DedupOps.cellMaskFor(33) == 1L && DedupOps.cellMaskFor(32) == 0L)
+  /** A cosine-near-dup pair (≤ 60° apart → cos ≥ 0.5) whose hyperplane
+    * signatures differ in BOTH low bits, found by deterministic search
+    * over the plane grid — Hamming-2 under a 2-bit mask (no probe-ring
+    * edge), Hamming-1 under a 1-bit mask (probe-ring edge). The
+    * hyperplanes are fixed, so the search result is stable. */
+  private lazy val splitPair: (Seq[Float], Seq[Float]) = {
+    val degs = (0 until 360 by 2).toList
+    val sigs = DedupOps.embeddingSigged(
+        degs.map(d => (d.toLong, planeVec(d))).toDF("vec_id", "embedding"))
+      .select(col("vec_id"), col("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hit = (for {
+      d1 <- degs; d2 <- degs if d1 < d2
+      gap = math.min(d2 - d1, 360 - (d2 - d1)) if gap <= 60
+      if ((sigs(d1.toLong) ^ sigs(d2.toLong)) & 3L) == 3L
+    } yield (d1, d2)).headOption
+      .getOrElse(fail("no plane pair differs in both low signature bits"))
+    (planeVec(hit._1), planeVec(hit._2))
+  }
+
+  // the boundary the fixture pins: one lost prior survivor flips the
+  // mask from 2 bits to 1
+  test("fixture sits on the 2-bit occupancy-mask boundary") {
+    assert(DedupOps.cellMaskFor(65) == 3L && DedupOps.cellMaskFor(64) == 1L)
   }
 
   test("EmbedIngest: crash between upsert and checkpoint with a re-delivered admitted key — replay restates identical state") {
     val (y1, y2) = splitPair
     val b0 = (0 until 30).map(i => (i.toLong, vec(i)))
       .toDF("vec_id", "embedding")
-    // re-delivers admitted key 0, plus the engineered split pair
-    val b1 = Seq((0L, vec(0)), (101L, y1), (102L, y2))
+    // re-delivers admitted key 0, the engineered Hamming-2 pair, and 32
+    // orthogonal fillers pushing the corpus count to the 65 boundary
+    val b1 = (Seq((0L, vec(0)), (101L, y1), (102L, y2)) ++
+      (0 until 32).map(k => ((200 + k).toLong, vec(30 + k))))
       .toDF("vec_id", "embedding")
 
     def state(wh: String) = (
@@ -92,17 +105,17 @@ class ReplayDeterminismSpec extends AnyFunSuite {
       s"replay diverged from the never-crashed run:\n${state(whCrash)}\nvs\n${state(whClean)}")
 
     val (surv, log) = state(whClean)
-    // the 1-bit mask admits the split pair as TWO survivors — the
-    // outcome a mask collapse would change
+    // the 2-bit mask admits the Hamming-2 pair as TWO survivors — the
+    // outcome a mask collapse to 1 bit would change
     assert(surv.map(_._1).intersect(Set(101L, 102L)) == Set(101L, 102L),
-      s"split pair not admitted separately under the 1-bit mask: $surv")
+      s"split pair not admitted separately under the 2-bit mask: $surv")
     // the re-delivered key updated (batch_id bumped) but its admission
     // batch is immutable
     assert(surv.contains((0L, 1L, 0L)),
       s"re-delivered key lost its immutable first_admitted_batch: $surv")
-    // b1: 3 in, 0 batch dupes, the re-delivery books as the one
-    // corpus dupe (an update, not a new admission), 2 first admissions
-    assert(log == Seq((0L, 30L, 0L, 0L, 30L), (1L, 3L, 0L, 1L, 2L)),
+    // b1: 35 in, 0 batch dupes, the re-delivery books as the one
+    // corpus dupe (an update, not a new admission), 34 first admissions
+    assert(log == Seq((0L, 30L, 0L, 0L, 30L), (1L, 35L, 0L, 1L, 34L)),
       s"admission log diverged: $log")
   }
 
@@ -112,7 +125,9 @@ class ReplayDeterminismSpec extends AnyFunSuite {
       (1 to 10).map(k => s"w${i}x$k").mkString(" ") // disjoint vocabularies
     val b0 = (0 until 30).map(i => (i.toLong, tx(i), vec(i)))
       .toDF("doc_id", "text", "embedding")
-    val b1 = Seq((0L, tx(0), vec(0)), (101L, tx(101), y1), (102L, tx(102), y2))
+    val b1 = (Seq((0L, tx(0), vec(0)), (101L, tx(101), y1),
+      (102L, tx(102), y2)) ++
+      (0 until 32).map(k => ((200 + k).toLong, tx(200 + k), vec(30 + k))))
       .toDF("doc_id", "text", "embedding")
 
     def state(wh: String) = (
@@ -141,10 +156,10 @@ class ReplayDeterminismSpec extends AnyFunSuite {
 
     val (surv, _, log) = state(whClean)
     assert(surv.map(_._1).intersect(Set(101L, 102L)) == Set(101L, 102L),
-      s"split pair not admitted separately under the 1-bit mask: $surv")
+      s"split pair not admitted separately under the 2-bit mask: $surv")
     assert(surv.contains((0L, 1L, 0L)),
       s"re-delivered key lost its immutable first_admitted_batch: $surv")
-    assert(log == Seq((0L, 30L, 0L, 0L, 30L), (1L, 3L, 0L, 1L, 2L)),
+    assert(log == Seq((0L, 30L, 0L, 0L, 30L), (1L, 35L, 0L, 1L, 34L)),
       s"admission log diverged: $log")
   }
 }
