@@ -42,6 +42,25 @@ class EmbeddingDedupSpec extends AnyFunSuite {
       s"Hamming-1 probing bought no recall: $recSingle vs $recMulti")
   }
 
+  // Dominance alone would let a signature or mask regression crater
+  // recall while every relative invariant still holds — these floors
+  // are ABSOLUTE, set ~15% under the measured values (0.62 / 0.59 /
+  // 0.31 on the 2026-08-13 fixtures), so a cratered candidate path
+  // (wrong hyperplanes, over-wide mask, broken probe ring) fails the
+  // suite rather than shipping as a silent recall cliff. recall_multi
+  // is also the WORKER admit path's recall since the streaming gates
+  // probe the same Hamming-1 ring.
+  test("absolute recall floors: multiprobe holds its measured level at every gate SF") {
+    def recMulti(d: String): Double =
+      SparkEntry.queries("dedup_embedding_recall")(spark, d).head().getDouble(4)
+    val atTiny = recMulti("/root/testdata/sf0.001")
+    assert(atTiny >= 0.50, s"sf0.001 recall_multi cratered: $atTiny < 0.50")
+    val atGate = recMulti(sf)
+    assert(atGate >= 0.50, s"sf0.01 recall_multi cratered: $atGate < 0.50")
+    val atWide = recMulti("/root/testdata/sf0.1")
+    assert(atWide >= 0.25, s"sf0.1 recall_multi cratered: $atWide < 0.25")
+  }
+
   test("cell width scales with corpus size: more vectors → more distinct cells, occupancy bounded") {
     def cellStats(d: String): (Long, Long) = {
       val cells = SparkEntry.queries("dedup_embedding_cosine")(spark, d)
