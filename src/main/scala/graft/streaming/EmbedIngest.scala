@@ -298,7 +298,15 @@ object EmbedIngest {
       thresh: Double = 0.4,
       multiprobe: Boolean = true): DataFrame = {
     val surv = survivors(spark, warehouseDir)
-    val mask = DedupOps.cellMaskFor(surv.count())
+    // corpus size from the admission LOG (one row per batch) instead
+    // of a full survivors count: sum(n_admitted) is the number of
+    // distinct admitted keys (first admissions only, rows never
+    // deleted), attempt-invariant under replay; a log lagging one
+    // crashed batch only NARROWS the mask — never a missed near-dup
+    val mask = DedupOps.cellMaskFor(
+      ingestLog(spark, warehouseDir)
+        .agg(coalesce(sum(col("n_admitted")), lit(0L)))
+        .head().getLong(0))
     val corpus = DedupOps.withVNorm(
         surv.select(col("vec_id"), col("embedding"), col("sig")))
       .select(col("vec_id"), col("v").as("vb"), col("norm").as("nb"),

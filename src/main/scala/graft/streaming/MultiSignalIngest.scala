@@ -310,10 +310,11 @@ object MultiSignalIngest {
     * admit it against the current corpus, and the first matching
     * survivor per signal — the dedup-service endpoint a production
     * ingest fronts with. Probes are exactly the worker's own: band
-    * collisions + exact Jaccard for the lexical side, re-masked cell
-    * collisions + quantized cosine for the semantic side (mask from
-    * the CURRENT survivor count, [[EmbedIngest.nearDuplicates]]'s
-    * read-time contract). The candidate side is the small side — it
+    * collisions + exact Jaccard for the lexical side, Hamming-1
+    * probe-ring cell collisions + quantized cosine for the semantic
+    * side (mask sized from the admission log's running count,
+    * [[EmbedIngest.nearDuplicates]]'s read-time contract). The
+    * candidate side is the small side — it
     * broadcasts; the corpus never shuffles. Returns (query_id,
     * admit, lexical_match, semantic_match) with NULL match ids when a
     * signal finds nothing; an un-committed warehouse admits
@@ -326,69 +327,81 @@ object MultiSignalIngest {
       bandRows: Int = 4,
       jaccardThresh: Double = 0.8,
       cosThresh: Double = 0.4): DataFrame = {
-    val surv = survivors(spark, warehouseDir).persist()
-    try {
-      val mask = DedupOps.cellMaskFor(surv.count())
-      val q = DedupOps.embeddingSigged(
-          candidates.select(col("query_id"),
-            coalesce(col("text"), lit("")).as("text"), col("embedding")))
-        .withColumn("qcell", col("sig").bitwiseAND(lit(mask)))
-        .persist()
-      try {
-        // lexical: candidate bands vs the stored index, exact Jaccard
-        // against only the colliding survivors' texts
-        val qSets = q.select(col("query_id").as("doc_id"),
-          call_function("word_shingles", col("text"), lit(3)).as("shingles"))
-        val qBands = DedupOps.bandSigs(qSets, numHashes, bandRows)
-        val idx = index(spark, warehouseDir)
-          .select(col("band"), col("sig"), col("doc_id").as("match_id"))
-        val candL = broadcast(qBands).join(idx, Seq("band", "sig"))
-          .select(col("doc_id").as("doc_a"), col("match_id").as("doc_b"))
-          .distinct()
-        val oldSets = surv
-          .join(candL.select(col("doc_b").as("doc_id")).distinct(),
-            Seq("doc_id"), "left_semi")
-          .select(col("doc_id"),
-            call_function("word_shingles", col("text"), lit(3)).as("shingles"))
-        // two-sided verify join (not the worker's shared-relation form):
-        // query ids and corpus doc_ids live in separate relations here,
-        // so a caller's query_id colliding with a survivor id can never
-        // cross-contaminate the shingle lookup. array_intersect/union
-        // over the already-distinct shingle sets is the same Jaccard.
-        val lexHit = candL
-          .join(qSets.select(col("doc_id").as("doc_a"),
-            col("shingles").as("sha")), "doc_a")
-          .join(oldSets.select(col("doc_id").as("doc_b"),
-            col("shingles").as("shb")), "doc_b")
-          .filter(size(array_intersect(col("sha"), col("shb")))
-            .cast(DoubleType) /
-            size(array_union(col("sha"), col("shb"))) >= jaccardThresh)
-          .groupBy(col("doc_a").as("query_id"))
-          .agg(min(col("doc_b")).as("lexical_match"))
-        // semantic: candidate cells vs survivors' re-masked signatures
-        val corpusCells = DedupOps.withVNorm(
-            surv.select(col("doc_id").as("match_id"), col("embedding"),
-              col("sig")))
-          .select(col("match_id"), col("v").as("vb"), col("norm").as("nb"),
-            col("sig").bitwiseAND(lit(mask)).as("cb"))
-        val semHit = corpusCells
-          .join(broadcast(q.select(col("query_id"), col("v"), col("norm"),
-            explode(DedupOps.cellProbes(col("qcell"))).as("probe"))),
-            col("probe") === col("cb"))
-          .filter(DedupOps.quantCos(
-            col("v"), col("norm"), col("vb"), col("nb")) >= cosThresh)
-          .groupBy(col("query_id"))
-          .agg(min(col("match_id")).as("semantic_match"))
-        q.select(col("query_id"))
-          .join(lexHit, Seq("query_id"), "left")
-          .join(semHit, Seq("query_id"), "left")
-          .select(col("query_id"),
-            (col("lexical_match").isNull && col("semantic_match").isNull)
-              .as("admit"),
-            col("lexical_match"), col("semantic_match"))
-      } finally q.unpersist()
-    } finally surv.unpersist()
+    val surv = survivors(spark, warehouseDir)
+    // corpus size for the mask from the admission LOG — one row per
+    // batch, so the sizing scan is O(batches) instead of a full
+    // survivors count per serving call. sum(n_admitted) IS the number
+    // of distinct admitted keys (first admissions only, rows never
+    // deleted) and is attempt-invariant under replay. A log lagging
+    // one crashed batch undercounts, which only NARROWS the mask —
+    // more collisions checked, never a missed near-dup.
+    val mask = DedupOps.cellMaskFor(corpusSize(spark, warehouseDir))
+    // no persists here: the result is returned LAZY, so a persist
+    // released before the caller's action would never serve a read —
+    // it would only bill an extra materialization
+    val q = DedupOps.embeddingSigged(
+        candidates.select(col("query_id"),
+          coalesce(col("text"), lit("")).as("text"), col("embedding")))
+      .withColumn("qcell", col("sig").bitwiseAND(lit(mask)))
+    // lexical: candidate bands vs the stored index, exact Jaccard
+    // against only the colliding survivors' texts
+    val qSets = q.select(col("query_id").as("doc_id"),
+      call_function("word_shingles", col("text"), lit(3)).as("shingles"))
+    val qBands = DedupOps.bandSigs(qSets, numHashes, bandRows)
+    val idx = index(spark, warehouseDir)
+      .select(col("band"), col("sig"), col("doc_id").as("match_id"))
+    val candL = broadcast(qBands).join(idx, Seq("band", "sig"))
+      .select(col("doc_id").as("doc_a"), col("match_id").as("doc_b"))
+      .distinct()
+    val oldSets = surv
+      .join(candL.select(col("doc_b").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        call_function("word_shingles", col("text"), lit(3)).as("shingles"))
+    // two-sided verify join (not the worker's shared-relation form):
+    // query ids and corpus doc_ids live in separate relations here,
+    // so a caller's query_id colliding with a survivor id can never
+    // cross-contaminate the shingle lookup. array_intersect/union
+    // over the already-distinct shingle sets is the same Jaccard.
+    val lexHit = candL
+      .join(qSets.select(col("doc_id").as("doc_a"),
+        col("shingles").as("sha")), "doc_a")
+      .join(oldSets.select(col("doc_id").as("doc_b"),
+        col("shingles").as("shb")), "doc_b")
+      .filter(size(array_intersect(col("sha"), col("shb")))
+        .cast(DoubleType) /
+        size(array_union(col("sha"), col("shb"))) >= jaccardThresh)
+      .groupBy(col("doc_a").as("query_id"))
+      .agg(min(col("doc_b")).as("lexical_match"))
+    // semantic: candidate cells vs survivors' re-masked signatures
+    val corpusCells = DedupOps.withVNorm(
+        surv.select(col("doc_id").as("match_id"), col("embedding"),
+          col("sig")))
+      .select(col("match_id"), col("v").as("vb"), col("norm").as("nb"),
+        col("sig").bitwiseAND(lit(mask)).as("cb"))
+    val semHit = corpusCells
+      .join(broadcast(q.select(col("query_id"), col("v"), col("norm"),
+        explode(DedupOps.cellProbes(col("qcell"))).as("probe"))),
+        col("probe") === col("cb"))
+      .filter(DedupOps.quantCos(
+        col("v"), col("norm"), col("vb"), col("nb")) >= cosThresh)
+      .groupBy(col("query_id"))
+      .agg(min(col("match_id")).as("semantic_match"))
+    q.select(col("query_id"))
+      .join(lexHit, Seq("query_id"), "left")
+      .join(semHit, Seq("query_id"), "left")
+      .select(col("query_id"),
+        (col("lexical_match").isNull && col("semantic_match").isNull)
+          .as("admit"),
+        col("lexical_match"), col("semantic_match"))
   }
+
+  /** Number of distinct admitted keys, from the admission log (one row
+    * per batch): the serving-side corpus-size source for mask sizing. */
+  private def corpusSize(spark: SparkSession, warehouseDir: String): Long =
+    ingestLog(spark, warehouseDir)
+      .agg(coalesce(sum(col("n_admitted")), lit(0L)))
+      .head().getLong(0)
 
   private def tableOrEmpty(
       spark: SparkSession, dir: String, schema: StructType): DataFrame =
