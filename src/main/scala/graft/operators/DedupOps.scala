@@ -603,9 +603,24 @@ object DedupOps extends OpModule {
         .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
         .select(col("src").as("doc_id"), col("label"),
           lit(null).cast(LongType).as("prev"))
+      // PATH HALVING (Shiloach-Vishkin style pointer jumping): each
+      // node also adopts its current label's label. Label values are
+      // node ids inside the same component (the min-label invariant),
+      // so L(L(x)) is still a member id and the fixpoint — the
+      // component minimum — is unchanged; chains collapse in
+      // O(log diameter) rounds instead of O(diameter), and every round
+      // saved is two fixed-overhead jobs not scheduled. Every label
+      // value appears as a doc_id in `labels` (labels come from edge
+      // endpoints, and edges are symmetric), so the self-join loses
+      // no rows.
+      val fromLabelsLabel = labels.toDF("doc_id", "lbl")
+        .join(labels.toDF("lbl", "lbl2"), "lbl")
+        .select(col("doc_id"), col("lbl2").as("label"),
+          lit(null).cast(LongType).as("prev"))
       val next = labels
         .select(col("doc_id"), col("label"), col("label").as("prev"))
         .unionByName(fromNeighbors)
+        .unionByName(fromLabelsLabel)
         .groupBy(col("doc_id"))
         .agg(min(col("label")).as("label"), max(col("prev")).as("prev"))
         .localCheckpoint(eager = true)

@@ -70,9 +70,16 @@ object StreamingIngestOps extends OpModule {
   private val docSubsetSql =
     s"(SELECT doc_id, text FROM documents WHERE doc_id < $IdCap)"
 
-  /** Land even ids at t0, odd ids at t0+60s, drain the worker.
+  /** Land even ids at t0, odd ids at t0+60s, drain the worker through
+    * the REAL streaming harness (readStream → AvailableNow →
+    * checkpoint). Retained for `dedup_ingest_survivors` so one oracle
+    * row keeps pinning the full readStream-to-warehouse path; the
+    * other gates drive the foreachBatch body directly
+    * ([[driveTwoBatches]]) — the semantics under test live entirely in
+    * processBatch, and the harness machinery is covered here and by
+    * every kill/resume spec.
     *
-    * The drain runs at shuffle.partitions=4 (saved/restored around the
+    * The drain runs at shuffle.partitions=2 (saved/restored around the
     * synchronous AvailableNow window): the capped corpus's micro-batch
     * states are a few hundred rows, AQE cannot coalesce inside a
     * stream, and at 32 partitions every per-batch upsert schedules 32
@@ -89,7 +96,7 @@ object StreamingIngestOps extends OpModule {
     land(rows.filter(col(idCol) % 2 === 0), base, flat, "b0", t0)
     land(rows.filter(col(idCol) % 2 === 1), base, flat, "b1", t0 + 60000)
     val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s.conf.set("spark.sql.shuffle.partitions", "2")
     try {
       val q = run(s, flat, wh, ckpt)
       // awaitTermination(timeout) returns FALSE on timeout with the drain
@@ -104,6 +111,29 @@ object StreamingIngestOps extends OpModule {
           s"streaming gate '$tag' did not drain within 300s; failing " +
             "instead of reading a partial warehouse")
       }
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    wh
+  }
+
+  /** Drive the worker's foreachBatch body DIRECTLY over the same
+    * deterministic parity split (even ids = batch 0, odd = batch 1 —
+    * the order [[drainTwoBatches]]'s mtimes encode). The gates verify
+    * WORKER SEMANTICS, which live entirely in processBatch; the
+    * streaming harness around it is pinned by `dedup_ingest_survivors`
+    * (still harness-drained) and by every kill/resume spec, so the
+    * other gates skip ~2 s each of listing/WAL/commit machinery and
+    * the fixture-to-parquet re-land without weakening what the oracle
+    * checks. Same shuffle-partitions sizing as the harness drain. */
+  private def driveTwoBatches(
+      s: SparkSession, rows: DataFrame, idCol: String,
+      run: (DataFrame, Long, String) => Unit): String = {
+    val wh = Files.createTempDirectory("graft-gate-direct")
+      .resolve("wh").toString
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "2")
+    try {
+      run(rows.filter(col(idCol) % 2 === 0), 0L, wh)
+      run(rows.filter(col(idCol) % 2 === 1), 1L, wh)
     } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     wh
   }
@@ -151,8 +181,8 @@ object StreamingIngestOps extends OpModule {
     // verify. ──
     "neardup_ingest_final_state" -> Q(
       (s, d) => {
-        val wh = drainTwoBatches(s, "neardup", docSubset(s, d), "doc_id",
-          Pipeline.runNearDupIngest(_, _, _, _))
+        val wh = driveTwoBatches(s, docSubset(s, d), "doc_id",
+          (b, id, w) => graft.streaming.NearDupIngest.processBatch(b, id, w))
         s.read.parquet(s"$wh/neardup_survivors")
           .select(col("doc_id").cast(LongType),
             col("batch_id").cast(LongType))
@@ -226,8 +256,8 @@ object StreamingIngestOps extends OpModule {
     "ann_ingest_index" -> Q(
       (s, d) => {
         val vecs = Tables.embeddings(s, d).filter(col("vec_id") < IdCap)
-        val wh = drainTwoBatches(s, "ann", vecs, "vec_id",
-          Pipeline.runAnnIngest(_, _, _, _))
+        val wh = driveTwoBatches(s, vecs, "vec_id",
+          (b, id, w) => graft.streaming.AnnIngest.processBatch(b, id, w))
         s.read.parquet(s"$wh/ann_index")
           .select(col("vec_id").cast(LongType),
             col("cell").cast(LongType),
@@ -278,8 +308,8 @@ object StreamingIngestOps extends OpModule {
     "ann_ingest_refit_state" -> Q(
       (s, d) => {
         val vecs = Tables.embeddings(s, d).filter(col("vec_id") < IdCap)
-        val wh = drainTwoBatches(s, "annrefit", vecs, "vec_id",
-          Pipeline.runAnnIngest(_, _, _, _))
+        val wh = driveTwoBatches(s, vecs, "vec_id",
+          (b, id, w) => graft.streaming.AnnIngest.processBatch(b, id, w))
         graft.streaming.AnnIngest.refit(s, wh)
         s.read.parquet(s"$wh/ann_index")
           .select(col("vec_id").cast(LongType),
@@ -332,8 +362,8 @@ object StreamingIngestOps extends OpModule {
     "embed_ingest_final_state" -> Q(
       (s, d) => {
         val vecs = Tables.embeddings(s, d).filter(col("vec_id") < IdCap)
-        val wh = drainTwoBatches(s, "embed", vecs, "vec_id",
-          Pipeline.runEmbedIngest(_, _, _, _))
+        val wh = driveTwoBatches(s, vecs, "vec_id",
+          (b, id, w) => graft.streaming.EmbedIngest.processBatch(b, id, w))
         s.read.parquet(s"$wh/embed_survivors")
           .select(col("vec_id").cast(LongType),
             col("sig").cast(LongType),
@@ -432,8 +462,8 @@ object StreamingIngestOps extends OpModule {
             "doc_id")
           .filter(col("doc_id") < IdCap / 2)
           .select(col("doc_id"), col("text"), col("embedding"))
-        val wh = drainTwoBatches(s, "msig", rows, "doc_id",
-          Pipeline.runMultiSignalIngest(_, _, _, _))
+        val wh = driveTwoBatches(s, rows, "doc_id",
+          (b, id, w) => graft.streaming.MultiSignalIngest.processBatch(b, id, w))
         s.read.parquet(s"$wh/ms_survivors")
           .select(col("doc_id").cast(LongType),
             col("batch_id").cast(LongType))

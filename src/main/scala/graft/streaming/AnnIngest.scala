@@ -44,33 +44,19 @@ import java.nio.file.{Files, Paths}
   */
 object AnnIngest {
 
-  /** Start the ANN-ingest worker draining parquet embedding files
-    * (schema: vec_id, embedding array<float>, label) from `inputDir`.
-    * AvailableNow drain-and-stop + checkpoint.
-    *
-    * @param dim embedding width — the centroid fold's zero vector must
-    *            match it (the fixture corpus is 64-wide; a mismatched
-    *            vector would zip into NULL centroid components) */
-  def start(
-      spark: SparkSession,
-      inputDir: String,
+  /** One micro-batch of the drain, exactly as [[start]]'s foreachBatch
+    * runs it — exposed (package-private) for the crash-replay contract
+    * and for the oracle gates' direct two-batch drive
+    * ([[graft.operators.StreamingIngestOps]]'s harness note). */
+  private[graft] def processBatch(
+      batch: DataFrame,
+      batchId: Long,
       warehouseDir: String,
-      checkpointDir: String,
-      filesPerTrigger: Int = 1,
-      dim: Int = 64): StreamingQuery = {
-
+      dim: Int = 64): Unit = {
+    val s = batch.sparkSession
     val centroidsDir = s"$warehouseDir/ann_centroids"
     val indexDir = s"$warehouseDir/ann_index"
     val logDir = s"$warehouseDir/ann_log"
-    val schema = spark.read.parquet(inputDir).schema
-
-    spark.readStream
-      .schema(schema)
-      .option("maxFilesPerTrigger", filesPerTrigger)
-      .parquet(inputDir)
-      .writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val s = batch.sparkSession
         val vecs = AnnOps.withNorm(batch).persist()
         try {
           val nIn = vecs.count()
@@ -120,7 +106,33 @@ object AnnIngest {
                 "cell_max_share"),
             keys = Seq("batch_id"), versionCol = "batch_id")
         } finally vecs.unpersist()
-        ()
+    ()
+  }
+
+  /** Start the ANN-ingest worker draining parquet embedding files
+    * (schema: vec_id, embedding array<float>, label) from `inputDir`.
+    * AvailableNow drain-and-stop + checkpoint.
+    *
+    * @param dim embedding width — the centroid fold's zero vector must
+    *            match it (the fixture corpus is 64-wide; a mismatched
+    *            vector would zip into NULL centroid components) */
+  def start(
+      spark: SparkSession,
+      inputDir: String,
+      warehouseDir: String,
+      checkpointDir: String,
+      filesPerTrigger: Int = 1,
+      dim: Int = 64): StreamingQuery = {
+
+    val schema = spark.read.parquet(inputDir).schema
+
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", filesPerTrigger)
+      .parquet(inputDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId, warehouseDir, dim)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

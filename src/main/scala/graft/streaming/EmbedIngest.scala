@@ -100,7 +100,11 @@ object EmbedIngest {
       .withColumn("__seq", monotonically_increasing_id())
       .persist()
     try {
-      val nIn = arrivals.count()
+      // one aggregation answers both log counts: rows in, and distinct
+      // keys (= the keep-latest survivors the window below retains)
+      val cnt = arrivals
+        .agg(count(lit(1)), countDistinct(col("vec_id"))).head()
+      val (nIn, nBatch) = (cnt.getLong(0), cnt.getLong(1))
       // keep-latest per vec_id BEFORE any counting ([[NearDupIngest]]'s
       // same-batch re-delivery rule): the keyed upsert would collapse
       // the rows anyway, and counting both as winners would book the
@@ -114,7 +118,6 @@ object EmbedIngest {
           .drop("__seq", "__rn"))
         .persist()
       try {
-        val nBatch = sigged.count()
         // the committed table, read ONCE per batch: the prior corpus
         // (first_admitted_batch < batchId — rows first admitted by
         // EARLIER batches; a crashed attempt's own admissions carry
@@ -127,7 +130,18 @@ object EmbedIngest {
         try {
           val prior = committed.map(
             _.filter(col("first_admitted_batch") < batchId))
-          val nPrior = prior.map(_.count()).getOrElse(0L)
+          // prior-corpus COUNT from the log (one row per batch), not a
+          // corpus scan: sum(n_admitted) over batches < batchId equals
+          // count(first_admitted_batch < batchId) — first admissions
+          // only, rows never deleted, and every prior batch's log row
+          // is committed before this batch runs (a crashed batch
+          // replays first)
+          val nPrior =
+            if (!Files.exists(Paths.get(logDir, "_SUCCESS"))) 0L
+            else s.read.parquet(logDir)
+              .filter(col("batch_id") < batchId)
+              .agg(coalesce(sum(col("n_admitted")), lit(0L)))
+              .head().getLong(0)
           val mask = DedupOps.cellMaskFor(nPrior + nBatch)
           val cells = sigged
             .withColumn("cell", col("sig").bitwiseAND(lit(mask)))

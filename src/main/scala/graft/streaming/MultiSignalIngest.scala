@@ -84,7 +84,12 @@ object MultiSignalIngest {
       .withColumn("__seq", monotonically_increasing_id())
       .persist()
         try {
-          val nIn = timed(batchId, "in-count")(arrivals.count())
+          // one aggregation answers both log counts: rows in, and
+          // distinct keys (= the keep-latest survivors the window
+          // below retains) — two scheduled jobs fused into one
+          val cnt = timed(batchId, "in-count")(arrivals
+            .agg(count(lit(1)), countDistinct(col("doc_id"))).head())
+          val (nIn, nBatch) = (cnt.getLong(0), cnt.getLong(1))
           val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("__seq").desc)
           val docs = DedupOps.embeddingSigged(
             arrivals
@@ -93,14 +98,26 @@ object MultiSignalIngest {
               .drop("__seq", "__rn"))
             .persist()
           try {
-            val nBatch = timed(batchId, "sig-batch")(docs.count())
             val committed =
               if (!Files.exists(Paths.get(survivorsDir, "_SUCCESS"))) None
               else Some(s.read.parquet(survivorsDir).persist())
             try {
               val prior = committed.map(
                 _.filter(col("first_admitted_batch") < batchId))
-              val nPrior = prior.map(_.count()).getOrElse(0L)
+              // prior-corpus COUNT from the log, not a corpus scan:
+              // sum(n_admitted) over batches < batchId equals
+              // count(first_admitted_batch < batchId) — first
+              // admissions only, rows never deleted, and every prior
+              // batch's log row is committed (the log lands before the
+              // checkpoint, so a crashed batch replays before this one
+              // runs). The log is one row per batch; the corpus scan
+              // this replaces grows with the corpus.
+              val nPrior = timed(batchId, "prior-count")(
+                if (!Files.exists(Paths.get(logDir, "_SUCCESS"))) 0L
+                else s.read.parquet(logDir)
+                  .filter(col("batch_id") < batchId)
+                  .agg(coalesce(sum(col("n_admitted")), lit(0L)))
+                  .head().getLong(0))
               val mask = DedupOps.cellMaskFor(nPrior + nBatch)
 
               // lexical machinery over the batch

@@ -65,32 +65,23 @@ object NearDupIngest {
       r
     }
 
-  /** Start the near-dup worker draining parquet document files from
-    * `inputDir` (schema must carry `doc_id` and `text`; extra columns
-    * ride into the survivors table). AvailableNow drain-and-stop +
-    * checkpoint, like every worker in this package. */
-  def start(
-      spark: SparkSession,
-      inputDir: String,
+  /** One micro-batch of the drain, exactly as [[start]]'s foreachBatch
+    * runs it — exposed (package-private) for the crash-replay contract
+    * (a crash between this returning and the checkpoint commit
+    * re-invokes it with the same batchId) and for the oracle gates,
+    * which drive the two-batch split directly ([[graft.operators
+    * .StreamingIngestOps]]'s harness note). */
+  private[graft] def processBatch(
+      batch: DataFrame,
+      batchId: Long,
       warehouseDir: String,
-      checkpointDir: String,
-      filesPerTrigger: Int = 1,
       numHashes: Int = 32,
       bandRows: Int = 4,
-      thresh: Double = 0.8): StreamingQuery = {
-
+      thresh: Double = 0.8): Unit = {
+    val s = batch.sparkSession
     val survivorsDir = s"$warehouseDir/neardup_survivors"
     val indexDir = s"$warehouseDir/neardup_index"
     val logDir = s"$warehouseDir/neardup_log"
-    val schema = spark.read.parquet(inputDir).schema
-
-    spark.readStream
-      .schema(schema)
-      .option("maxFilesPerTrigger", filesPerTrigger)
-      .parquet(inputDir)
-      .writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val s = batch.sparkSession
         // NULL text → '' (same reasoning as DedupIngest: NULL must be
         // one content class, not an ever-fresh row); word_shingles('')
         // is empty, so null/short docs are singletons that always admit
@@ -223,7 +214,32 @@ object NearDupIngest {
           } finally { sigs.unpersist(); sets.unpersist() }
           } finally docs.unpersist()
         } finally arrivals.unpersist()
-        ()
+    ()
+  }
+
+  /** Start the near-dup worker draining parquet document files from
+    * `inputDir` (schema must carry `doc_id` and `text`; extra columns
+    * ride into the survivors table). AvailableNow drain-and-stop +
+    * checkpoint, like every worker in this package. */
+  def start(
+      spark: SparkSession,
+      inputDir: String,
+      warehouseDir: String,
+      checkpointDir: String,
+      filesPerTrigger: Int = 1,
+      numHashes: Int = 32,
+      bandRows: Int = 4,
+      thresh: Double = 0.8): StreamingQuery = {
+
+    val schema = spark.read.parquet(inputDir).schema
+
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", filesPerTrigger)
+      .parquet(inputDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId, warehouseDir, numHashes, bandRows, thresh)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
