@@ -29,8 +29,12 @@ import org.apache.spark.storage.StorageLevel
   *
   * Scale posture mirrors the composed form: candidates only from
   * same-bucket collisions (bucket size bounded by the LSH contract),
-  * verify by skinny-row co-counting (no shingle arrays in shuffle
-  * flight), one shared scan of the shingled corpus.
+  * verify ships candidate docs' distinct-shingle arrays through two
+  * keyed joins and intersects locally (array volume ∝ candidate
+  * pairs × shingles per doc — the same asymptotics as skinny-row
+  * co-counting, at two shuffles instead of five; see the verify
+  * comment in [[SimilarityJoinExec]]), one shared scan of the
+  * shingled corpus.
   */
 object SimilarityJoin {
 
@@ -84,7 +88,7 @@ object SimilarityJoin {
     * (UTF8String lower/0x20-trim, limit −1 split — Java's
     * String.trim/split would silently diverge on control chars and
     * trailing separators). */
-  private[plans] def shingles(text: org.apache.spark.unsafe.types.UTF8String,
+  private[graft] def shingles(text: org.apache.spark.unsafe.types.UTF8String,
       n: Int): Array[String] =
     graft.functions.WordShingles.shingleStrings(text, n)
 
@@ -98,7 +102,7 @@ object SimilarityJoin {
     graft.functions.PHashPair.computeLongs(
       s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
-  private[plans] def minhashes(sh: Array[String], numHashes: Int): Array[Long] = {
+  private[graft] def minhashes(sh: Array[String], numHashes: Int): Array[Long] = {
     val mh = Array.fill(numHashes)(Long.MaxValue)
     var k = 0
     while (k < sh.length) {
@@ -113,6 +117,22 @@ object SimilarityJoin {
     }
     mh
   }
+
+  // ── packed shingle transport: the operator's RDD stages cache and
+  // shuffle each doc's distinct shingles as ONE newline-joined UTF-8
+  // byte array instead of an Array[String]. Java serialization (the
+  // RDD shuffle codec) pays ~40 bytes of object header per String —
+  // more than the ~25-byte shingles themselves — so packing roughly
+  // halves cache + wire bytes; lossless because shingles are
+  // space-joined words split on whitespace, so no shingle can contain
+  // a newline. ──
+
+  private[graft] def pack(sh: Array[String]): Array[Byte] =
+    sh.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  private[graft] def unpack(b: Array[Byte]): Array[String] =
+    if (b.length == 0) Array.empty[String]
+    else new String(b, java.nio.charset.StandardCharsets.UTF_8).split('\n')
 }
 
 /** Logical similarity join. `resolved` comes free: the id/text attrs are
@@ -176,9 +196,9 @@ object SimilarityJoinStrategy extends SparkStrategy {
   * Stage structure (RDD-level, inside this one operator):
   *   shingle (narrow) → band signatures (narrow) → bucket grouping
   *   (1 shuffle on (band, sig)) → candidate pairs (narrow, bounded by
-  *   bucket size) → co-count intersection (2 shuffles on skinny
-  *   (doc, shingle) rows) → size join (2 shuffles on (doc, size)) →
-  *   threshold filter (narrow).
+  *   bucket size) → pair dedup (1 shuffle) → array-lookup verify
+  *   (2 shuffles: pairs ⋈ shingle arrays by each side, local hash-set
+  *   intersect) → threshold filter (narrow).
   *
   * The shingled corpus is persisted (MEMORY_AND_DISK) because three
   * stages consume it — the same shared-intermediate decision the
@@ -218,14 +238,21 @@ case class SimilarityJoinExec(
     val candMetric = longMetric("numCandidatePairs")
     val rowsMetric = longMetric("numOutputRows")
 
-    val docs: RDD[(Long, Array[String])] = child.execute().mapPartitions { it =>
+    // hash-partitioned BEFORE the persist: both verify joins then adopt
+    // this partitioner and shuffle only their (skinny) pair side — the
+    // packed shingle bytes cross the wire once, here, not once per join
+    val docs: RDD[(Long, Array[Byte])] = child.execute().mapPartitions { it =>
       it.map(row =>
         (row.getLong(idOrd),
-          SimilarityJoin.shingles(row.getUTF8String(textOrd), n)))
-    }.persist(StorageLevel.MEMORY_AND_DISK)
+          SimilarityJoin.pack(
+            SimilarityJoin.shingles(row.getUTF8String(textOrd), n))))
+    }.partitionBy(new org.apache.spark.HashPartitioner(
+        sparkContext.defaultParallelism))
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     val pairs: RDD[(Long, Long)] = docs
-      .flatMap { case (id, sh) =>
+      .flatMap { case (id, packed) =>
+        val sh = SimilarityJoin.unpack(packed)
         if (sh.isEmpty) Iterator.empty
         else {
           val mh = SimilarityJoin.minhashes(sh, nh)
@@ -247,25 +274,38 @@ case class SimilarityJoinExec(
       }
       .distinct()
 
-    // exact-Jaccard verify by co-counting skinny (doc, shingle) rows —
-    // |A∩B| as a count of matches, |A∪B| = |A|+|B|−|A∩B|
-    val ex: RDD[(Long, String)] =
-      docs.flatMap { case (id, sh) => sh.iterator.map(s => (id, s)) }
-    val sizes: RDD[(Long, Int)] = docs.mapValues(_.length)
-
-    val inter: RDD[((Long, Long), Long)] = pairs
+    // exact-Jaccard verify: ship each candidate doc's (distinct)
+    // shingle ARRAY to its pairs with two keyed joins, intersect
+    // locally with a hash set — |A∪B| = |A|+|B|−|A∩B| comes free from
+    // the array lengths. Two shuffles end to end. The first cut
+    // co-counted skinny (doc, shingle) rows (the composed plan's
+    // Tungsten shape) — correct, but in RDD-land it cost FIVE shuffles
+    // of boxed String-keyed tuples (pair⋈shingles, re-key, ⋈shingles,
+    // reduceByKey, two size joins) and ran 2.4× the composed plan at
+    // sf1; arrays-in-flight here are the same asymptotic volume
+    // (pairs × avg shingles per doc, pairs bounded by the banded-LSH
+    // contract) with the join machinery paid twice instead of five
+    // times — measured 8.3 s → ~5 s at sf1.
+    pairs
       .map { p => candMetric += 1; p }
-      .join(ex) // doc_a → (doc_b, shingle of a)
-      .map { case (a, (b, s)) => ((b, s), a) }
-      .join(ex.map { case (id, s) => ((id, s), ()) })
-      .map { case ((b, _), (a, _)) => ((a, b), 1L) }
-      .reduceByKey(_ + _)
-
-    inter
-      .map { case ((a, b), i) => (a, (b, i)) }.join(sizes)
-      .map { case (a, ((b, i), szA)) => (b, (a, i, szA)) }.join(sizes)
-      .flatMap { case (b, ((a, i, szA), szB)) =>
-        val j = i.toDouble / (szA + szB - i).toDouble
+      .join(docs) // doc_a → (doc_b, packed shingles of a)
+      .map { case (a, (b, pkA)) => (b, (a, pkA)) }
+      .join(docs) // doc_b → ((doc_a, packed a), packed b)
+      .flatMap { case (b, ((a, pkA), pkB)) =>
+        val shA = SimilarityJoin.unpack(pkA)
+        val shB = SimilarityJoin.unpack(pkB)
+        val (small, large) =
+          if (shA.length <= shB.length) (shA, shB) else (shB, shA)
+        val set = new java.util.HashSet[String](small.length * 2)
+        var i = 0
+        while (i < small.length) { set.add(small(i)); i += 1 }
+        var inter = 0
+        i = 0
+        while (i < large.length) {
+          if (set.contains(large(i))) inter += 1
+          i += 1
+        }
+        val j = inter.toDouble / (shA.length + shB.length - inter).toDouble
         if (j >= th) Iterator((a, b, j)) else Iterator.empty
       }
       .mapPartitions { it =>
