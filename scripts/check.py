@@ -17,7 +17,10 @@ def main(sf_dir, out_dir, json_out=None):
     for t in ("region nation customer supplier part orders lineitem "
               "events documents embeddings").split():
         p = f"{sf_dir}/{t}.parquet"
-        if os.path.exists(p):
+        if os.path.isdir(p):  # Spark-written table (directory of parts)
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')")
+        elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))

@@ -440,9 +440,9 @@ object DedupOps extends OpModule {
     // MEMO behind a (plan, file-stat) signature (round-7 advice nit: the
     // content scan ran on every invocation just to derive a cache key,
     // rivaling the cached artifact's cost at bench SFs). The memo key is
-    // the CANONICALIZED plan hash (two relations over the same files with
-    // different filters — the sampled recall variant — must not collide)
-    // plus the sorted (path, size, mtime) list of the relation's input
+    // the CANONICALIZED plan string (two relations over the same files
+    // with different filters — the sampled recall variant — must not
+    // collide) plus the sorted (path, size, mtime) list of the relation's input
     // files — a regenerated fixture at the same path changes
     // size-or-mtime, so the memo can never serve a stale CONTENT key. A
     // non-file relation (inputFiles empty) or an unstattable path skips
@@ -462,7 +462,10 @@ object DedupOps extends OpModule {
       // on the hash would silently serve the wrong content fingerprint —
       // and that key gates Fixtures.cachedParquet, so the failure mode is
       // wrong cached results with no error. The string is driver-memory
-      // cheap (plans here are a scan + a filter) and collision-free.
+      // cheap (plans here are a scan + a filter). Caveat: toString elides
+      // fields past spark.sql.debug.maxToStringFields (default 25), so a
+      // very wide plan could in principle still collide on the string —
+      // the 2-column corpus plans here stay far under that.
       val planKey = docs.queryExecution.analyzed.canonicalized.toString
       fingerprintMemo.computeIfAbsent(
         s"$planKey#${stats.mkString(";")}", _ => contentFingerprint(docs))
