@@ -569,14 +569,75 @@ object DedupOps extends OpModule {
     * optimizer walk grows superlinearly), and the convergence probe is a
     * `limit(1)` existence check on changed labels, not a full count.
     *
+    * SMALL-GRAPH FAST PATH: when the edge list is micro-batch-sized
+    * (≤ `smallGraphMax`, probed with a short-circuiting limit+count),
+    * the whole list funnels through ONE task and a min-root union-find
+    * labels it in a single job — the iterative form pays two
+    * fixed-overhead jobs per round, which dominates at a few thousand
+    * edges (measured 1.7–2.3 s/batch in the streaming gates vs ~0.3 s
+    * here). Labels are IDENTICAL either way (the component minimum is
+    * propagation-order-free; union-by-min makes the root the component
+    * min), so the branch is invisible to every oracle. The default
+    * threshold keeps the single task at ~tens of MB of heap
+    * (500k edges × two longs + map overhead); above it, the O(log
+    * diameter) path-halving rounds run — the shape that survives any
+    * batch size.
+    *
     * @param docs  (doc_id) universe
     * @param edges symmetric (src,dst) near-dup edge list
     * @param maxRounds safety bound; CC converges in O(diameter) rounds
+    * @param smallGraphMax edge-count ceiling for the single-task path;
+    *        0 disables it (specs pin the iterative rounds that way)
     * @return (doc_id, cluster_id, is_survivor, rounds) — `rounds` is the
-    *         number of propagation rounds actually run (constant column)
+    *         number of propagation rounds actually run (constant
+    *         column; 0 marks the single-task path)
     */
   def survivorsToFixpoint(
-      docs: DataFrame, edges: DataFrame, maxRounds: Int = 50): DataFrame = {
+      docs: DataFrame, edges: DataFrame, maxRounds: Int = 50,
+      smallGraphMax: Long = 500000L): DataFrame = {
+    if (smallGraphMax > 0 &&
+        edges.limit((smallGraphMax + 1).toInt).count() <= smallGraphMax) {
+      import org.apache.spark.sql.Encoders
+      val labeled = edges
+        .select(col("src").cast(LongType), col("dst").cast(LongType))
+        .as[(Long, Long)](Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+        .coalesce(1)
+        .mapPartitions { it =>
+          val parent = new java.util.HashMap[Long, Long]()
+          def find(x: Long): Long = {
+            var r = x
+            while (parent.get(r) != r) r = parent.get(r)
+            var c = x // path compression
+            while (c != r) { val nx = parent.get(c); parent.put(c, r); c = nx }
+            r
+          }
+          it.foreach { case (a, b) =>
+            if (!parent.containsKey(a)) parent.put(a, a)
+            if (!parent.containsKey(b)) parent.put(b, b)
+            val (ra, rb) = (find(a), find(b))
+            // union by MIN root: the surviving root is the component min
+            if (ra < rb) parent.put(rb, ra)
+            else if (rb < ra) parent.put(ra, rb)
+          }
+          import scala.jdk.CollectionConverters._
+          parent.keySet().iterator().asScala.map(k => (k.toLong, find(k)))
+        }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+        .toDF("doc_id", "label")
+        // EAGER, like the iterative path's per-round checkpoints: the
+        // function's contract is that the edge relation is fully
+        // consumed by the time it returns (callers release their pair
+        // persist right after), and a lazy single-task plan would
+        // re-run the whole candidate pipeline — uncached, at
+        // parallelism 1 — on every downstream action
+        .localCheckpoint(eager = true)
+      val singles = docs.select(col("doc_id"))
+        .join(labeled.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .withColumn("label", col("doc_id"))
+      return labeled.unionByName(singles)
+        .select(col("doc_id"), col("label").as("cluster_id"),
+          (col("doc_id") === col("label")).as("is_survivor"),
+          lit(0).as("rounds"))
+    }
     // Iterate only over the edge-touched subgraph (docs without an edge
     // never change labels); singletons rejoin after convergence via an
     // anti-join. Same restriction as the registered query — at fixpoint

@@ -275,17 +275,19 @@ object MultiSignalIngest {
                     // (attempt-invariant under replay); a re-delivered
                     // already-admitted key's update books under
                     // n_corpus_dupes — it is not a new admission
-                    val nAdmitted =
-                      if (!Files.exists(Paths.get(survivorsDir, "_SUCCESS"))) 0L
-                      else s.read.parquet(survivorsDir)
-                        .filter(col("first_admitted_batch") === batchId).count()
-                    import s.implicits._
-                    UpsertWriter.upsert(s, logDir,
-                      Seq((batchId, nIn, nIn - nWinners,
-                        nWinners - nAdmitted, nAdmitted))
-                        .toDF("batch_id", "n_in", "n_batch_dupes",
-                          "n_corpus_dupes", "n_admitted"),
-                      keys = Seq("batch_id"), versionCol = "batch_id")
+                    timed(batchId, "log-upsert") {
+                      val nAdmitted =
+                        if (!Files.exists(Paths.get(survivorsDir, "_SUCCESS"))) 0L
+                        else s.read.parquet(survivorsDir)
+                          .filter(col("first_admitted_batch") === batchId).count()
+                      import s.implicits._
+                      UpsertWriter.upsert(s, logDir,
+                        Seq((batchId, nIn, nIn - nWinners,
+                          nWinners - nAdmitted, nAdmitted))
+                          .toDF("batch_id", "n_in", "n_batch_dupes",
+                            "n_corpus_dupes", "n_admitted"),
+                        keys = Seq("batch_id"), versionCol = "batch_id")
+                    }
                   } finally fresh.unpersist()
                 } finally winners.unpersist()
               } finally { sigs.unpersist(); sets.unpersist() }

@@ -63,10 +63,13 @@ class PipelineOpsSpec extends AnyFunSuite {
     // Planted diameter-4 chain 1—2—3—4—5: min-label propagation needs 4
     // rounds to reach node 5, one more than the replayable fixed-round
     // query runs — exactly the case the production variant exists for.
+    // smallGraphMax = 0 pins the ITERATIVE path (the default would take
+    // the single-task union-find on a 4-edge fixture).
     val docs = (1L to 6L).toDF("doc_id") // 6 is an isolated singleton
     val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
     val edges = (chain ++ chain.map(_.swap)).toDF("src", "dst")
-    val out = DedupOps.survivorsToFixpoint(docs, edges).collect()
+    val out = DedupOps.survivorsToFixpoint(docs, edges, smallGraphMax = 0)
+      .collect()
     val byDoc = out.map(r =>
       r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
     assert(byDoc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L, 6L -> 6L))
@@ -77,6 +80,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     // label) collapses the remaining chain in 2 rounds + 1 to observe
     // no change — one fewer than plain propagation's 4
     assert(rounds == 3, s"expected 3 rounds, got $rounds")
+  }
+
+  test("survivor CC small-graph fast path: identical labels to the iterative rounds") {
+    // Mixed shapes — chain, triangle-with-tail, singleton — through
+    // BOTH paths: the single-task union-find (default threshold) must
+    // produce the exact component-min labels the O(log d) rounds do,
+    // because the branch must be invisible to every oracle.
+    val docs = (1L to 12L).toDF("doc_id")
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), // chain
+      (7L, 8L), (8L, 9L), (7L, 9L), (9L, 10L),            // triangle + tail
+      (11L, 12L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    def labels(smallMax: Long) =
+      DedupOps.survivorsToFixpoint(docs, edges, smallGraphMax = smallMax)
+        .select(col("doc_id"), col("cluster_id"), col("is_survivor"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        .toSet
+    val fast = labels(500000L)
+    val iter = labels(0L)
+    assert(fast == iter, s"fast path diverged:\n$fast\nvs\n$iter")
+    assert(fast.contains((10L, 7L, false)) && fast.contains((6L, 6L, true)))
   }
 
   test("multimodal decode: batched WAV decode matches the oracle-gated query") {
