@@ -107,7 +107,7 @@ object Exprs {
     * driver's hash compare. The contract is
     * `CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE)`: each addend rounds
     * once to scale 6, the aggregation is exact and order-free, the final
-    * double conversion is correctly rounded in both engines.
+    * double conversion is correctly rounded.
     *
     * Implementation is [[graft.functions.ExactMoneySum]] — a codegen'd
     * DeclarativeAggregate over a two-long fixed-point buffer that is
@@ -116,7 +116,13 @@ object Exprs {
     * row. Domain: |x| ≤ ~9.2·10^12 (beyond that the decimal form is the
     * right tool; the quantizer fails loudly, like an ANSI cast).
     *
-    * DuckDB twin: `CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE)`.
+    * DuckDB twin: the decimal sum converted to DOUBLE **through
+    * VARCHAR**. DuckDB's direct `CAST(DECIMAL AS DOUBLE)` rounds twice
+    * (int128 unscaled → double, then ÷10^scale), which is one ulp off
+    * once the unscaled sum passes 2^53 micros (~9·10^9 in money units —
+    * first reachable at the sf1 probe, caught there); decimal → VARCHAR
+    * is exact digits and VARCHAR → DOUBLE is a correctly-rounded strtod,
+    * matching Spark's BigDecimal.doubleValue on every input.
     */
   def dsum(c: Column): Column =
     call_function("dsum_exact", c.cast(DoubleType))
@@ -130,9 +136,10 @@ object Exprs {
   def dsumDecimal(c: Column): Column =
     sum(c.cast(DecimalType(38, 6))).cast(DoubleType)
 
-  /** SQL fragment twin of [[dsum]] for oracle authoring. */
+  /** SQL fragment twin of [[dsum]] for oracle authoring (see the
+    * VARCHAR-route note above — correctly rounded at every magnitude). */
   def dsumSql(x: String): String =
-    s"CAST(SUM(CAST($x AS DECIMAL(38,6))) AS DOUBLE)"
+    s"CAST(CAST(SUM(CAST($x AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)"
 
   /** Portable 60-bit hash — bit-identical in Spark and DuckDB.
     *

@@ -342,7 +342,7 @@ object AsofOps extends OpModule {
       },
       Some("""SELECT event_id, user_id,
              |  COUNT(*) OVER w AS n_1h,
-             |  CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE)
+             |  CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS VARCHAR) AS DOUBLE)
              |    / COUNT(*) OVER w AS avg_1h
              |FROM (SELECT event_id, user_id, ts::TIMESTAMP AS ts, value
              |      FROM events WHERE event_type = 'purchase')

@@ -172,8 +172,8 @@ object Consolidation extends OpModule {
        |  WHERE (v.l_partkey IS NOT NULL) OR t.impressoes_p IS NOT NULL),
        |win AS (
        |  SELECT *,
-       |    CAST(SUM(CAST(faturamento_total AS DECIMAL(38,6)))
-       |         OVER (PARTITION BY id_anuncio) AS DOUBLE) AS fat_pai,
+       |    CAST(CAST(SUM(CAST(faturamento_total AS DECIMAL(38,6)))
+       |         OVER (PARTITION BY id_anuncio) AS VARCHAR) AS DOUBLE) AS fat_pai,
        |    MIN(suppkey) OVER (PARTITION BY id_anuncio) AS main_suppkey
        |  FROM base)
        |SELECT id_anuncio,

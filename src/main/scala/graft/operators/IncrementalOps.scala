@@ -272,9 +272,9 @@ object IncrementalOps extends OpModule {
           .select(col("o_custkey"), col("o_orderkey"), col("balance"))
       },
       Some("""SELECT o_custkey, o_orderkey,
-             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
+             |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
              |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-             |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS balance
+             |    ROWS UNBOUNDED PRECEDING) AS VARCHAR) AS DOUBLE) AS balance
              |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin),
       doc = "Extension: exact running balance per customer (dsum prefix sums over the ledger order)",
       sort = Seq("o_custkey", "o_orderkey")

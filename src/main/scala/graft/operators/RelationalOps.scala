@@ -1205,7 +1205,7 @@ object RelationalOps extends OpModule {
         """)
       },
       Some("""SELECT l_returnflag, COUNT(*) AS n,
-             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+             |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS revenue
              |FROM lineitem
              |WHERE EXISTS (SELECT 1 FROM orders
              |              WHERE o_orderkey = l_orderkey
@@ -1389,8 +1389,8 @@ object RelationalOps extends OpModule {
             ($("l_extendedprice") / Exprs.dsumOver($("l_extendedprice"), w)).as("peso"))
       },
       Some("""SELECT l_orderkey, l_linenumber,
-             |  l_extendedprice / CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6)))
-             |      OVER (PARTITION BY l_orderkey) AS DOUBLE) AS peso
+             |  l_extendedprice / CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6)))
+             |      OVER (PARTITION BY l_orderkey) AS VARCHAR) AS DOUBLE) AS peso
              |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin),
       doc = "SURVEY W1 — peso = fat/Σfat over parent tarefa_consolidar_dados.php:194-200",
       sort = Seq("l_orderkey", "l_linenumber")
@@ -1419,8 +1419,8 @@ object RelationalOps extends OpModule {
              |       ELSE 0.0 END AS custo_frete_rateado
              |FROM (
              |  SELECT l_orderkey, l_linenumber, l_extendedprice, o_totalprice,
-             |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6)))
-             |        OVER (PARTITION BY l_orderkey) AS DOUBLE) AS fat_ordem
+             |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6)))
+             |        OVER (PARTITION BY l_orderkey) AS VARCHAR) AS DOUBLE) AS fat_ordem
              |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
              |ORDER BY l_orderkey, l_linenumber""".stripMargin),
       doc = "SURVEY W5/A4 — custo_frete_rateado tarefa_coletar_financas.php:134-135",
@@ -1694,7 +1694,7 @@ object RelationalOps extends OpModule {
   )
 
   private def pivotSql(v: String): String =
-    s"CAST(SUM(CASE WHEN event_type = '$v' THEN CAST(value AS DECIMAL(38,6)) END) AS DOUBLE)"
+    s"CAST(CAST(SUM(CASE WHEN event_type = '$v' THEN CAST(value AS DECIMAL(38,6)) END) AS VARCHAR) AS DOUBLE)"
 
   private def $(name: String) = col(name)
 }

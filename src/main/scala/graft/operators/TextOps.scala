@@ -940,7 +940,7 @@ object TextOps extends OpModule {
               |  FROM tf JOIN df USING (term) JOIN dls USING (doc_id)
               |  CROSS JOIN stats)
               |SELECT doc_id, count(*)::BIGINT AS n_terms,
-              |  CAST(SUM(CAST(term_score AS DECIMAL(38,9))) AS DOUBLE) AS score
+              |  CAST(CAST(SUM(CAST(term_score AS DECIMAL(38,9))) AS VARCHAR) AS DOUBLE) AS score
               |FROM scored GROUP BY 1
               |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin),
       doc = "LLM-pipeline: BM25 top-15 ranking (rational log-free idf, order-free decimal term sum)",

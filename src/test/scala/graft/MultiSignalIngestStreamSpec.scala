@@ -140,5 +140,16 @@ class MultiSignalIngestStreamSpec extends AnyFunSuite {
       s"semantic pre-check diverged: ${pre(200L)}")
     assert(pre(20L) == ((true, -1L, -1L)),
       s"id-colliding new candidate must still admit: ${pre(20L)}")
+
+    // the serving mask is sized from the LOG's running admission count
+    // (no corpus scan per call) — pin that the log-derived corpus size
+    // equals the survivors row count, i.e. the serving mask is exactly
+    // the mask the worker's next batch would derive
+    val fromLog = MultiSignalIngest.ingestLog(spark, wh)
+      .agg(sum(col("n_admitted"))).head().getLong(0)
+    val fromTable = MultiSignalIngest.survivors(spark, wh).count()
+    assert(fromLog == fromTable,
+      s"log-derived corpus size $fromLog != survivors count $fromTable — " +
+        "the serving mask would diverge from the worker's")
   }
 }
