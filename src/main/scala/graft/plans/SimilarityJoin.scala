@@ -241,14 +241,30 @@ case class SimilarityJoinExec(
     // hash-partitioned BEFORE the persist: both verify joins then adopt
     // this partitioner and shuffle only their (skinny) pair side — the
     // packed shingle bytes cross the wire once, here, not once per join
-    val docs: RDD[(Long, Array[Byte])] = child.execute().mapPartitions { it =>
+    val packed: RDD[(Long, Array[Byte])] = child.execute().mapPartitions { it =>
       it.map(row =>
         (row.getLong(idOrd),
           SimilarityJoin.pack(
             SimilarityJoin.shingles(row.getUTF8String(textOrd), n))))
-    }.partitionBy(new org.apache.spark.HashPartitioner(
-        sparkContext.defaultParallelism))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    }
+    // Serializer pinned EXPLICITLY: for a (Long, Array[Byte]) shuffle
+    // Spark auto-picks Kryo (both types are in the Kryo-safe set — the
+    // operator's only such shuffle; every tuple-keyed one below resolves
+    // to Java), and Kryo INSTANCE creation registers
+    // java.nio.HeapByteBuffer with a reflective FieldSerializer, which
+    // on JDK 17+ throws InaccessibleObjectException unless the launcher
+    // passed --add-opens java.base/java.nio — a JVM-flag dependency a
+    // library operator must not have (spark-submit adds the opens, a
+    // plain `java -cp` harness does not). Java serialization of a raw
+    // byte array is length + bytes, so nothing measurable is lost.
+    val docs: RDD[(Long, Array[Byte])] = {
+      val s = new org.apache.spark.rdd.ShuffledRDD[Long, Array[Byte], Array[Byte]](
+        packed, new org.apache.spark.HashPartitioner(
+          sparkContext.defaultParallelism))
+      s.setSerializer(new org.apache.spark.serializer.JavaSerializer(
+        sparkContext.getConf))
+      s.persist(StorageLevel.MEMORY_AND_DISK)
+    }
 
     val pairs: RDD[(Long, Long)] = docs
       .flatMap { case (id, packed) =>
