@@ -245,10 +245,10 @@ object DedupOps extends OpModule {
   /** DuckDB WITH-chain ending in `l3 (doc_id, label)` — the twin of
     * [[propagatedLabels3]], shared by the same two oracles. */
   private def labels3Sql: String = {
-    val mh = s"""WITH sh AS (${shingledSql(3)}),
+    val mh = s"""WITH sh AS MATERIALIZED (${shingledSql(3)}),
                 |${bandSigsSql(32, 4)},
                 |$candidatesSql,
-                |pairs AS (
+                |pairs AS MATERIALIZED (
                 |  SELECT doc_a, doc_b FROM (
                 |    SELECT doc_a, doc_b,
                 |      len(list_intersect(a.shingles, b.shingles))::DOUBLE
@@ -256,12 +256,12 @@ object DedupOps extends OpModule {
                 |    FROM cand JOIN sh a ON a.doc_id = cand.doc_a
                 |              JOIN sh b ON b.doc_id = cand.doc_b)
                 |  WHERE jaccard >= 0.8),
-                |edges AS (
+                |edges AS MATERIALIZED (
                 |  SELECT doc_a AS src, doc_b AS dst FROM pairs
                 |  UNION ALL SELECT doc_b, doc_a FROM pairs),
                 |l0 AS (SELECT doc_id, doc_id AS label FROM documents)""".stripMargin
     val rounds = (1 to 3).map { i =>
-      s"""l$i AS (
+      s"""l$i AS MATERIALIZED (
          |  SELECT doc_id, min(label) AS label FROM (
          |    SELECT doc_id, label FROM l${i - 1}
          |    UNION ALL
@@ -339,15 +339,26 @@ object DedupOps extends OpModule {
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
   }
 
-  /** DuckDB twin of [[bandSigs]] (expects a CTE `sh(doc_id, shingles)`). */
+  /** DuckDB twin of [[bandSigs]] (expects a CTE `sh(doc_id, shingles)`).
+    * ONE md5 per (doc, shingle): the digest list materializes first and
+    * the per-seed minhash combines pre-parsed integer lists — the naive
+    * comprehension re-digested every shingle per seed (2·numHashes md5
+    * calls each), which at probe scale (sf1, 32 hashes) was 7.1 s of
+    * pure rehashing vs 1.8 s for this form. Values are bit-identical
+    * (same integer arithmetic, same hex slices — re-checked at sf0.01
+    * before landing). */
   private[operators] def bandSigsSql(numHashes: Int, bandRows: Int): String =
-    s"""mh AS (
+    s"""mh AS MATERIALIZED (
        |  SELECT doc_id,
-       |    [ list_min([${phashSql("s")} + seed * ${phash2Sql("s")}
-       |                FOR s IN shingles])
+       |    [ list_min([h1s[i] + seed * h2s[i] FOR i IN range(1, len(h1s)+1)])
        |      FOR seed IN range(0, $numHashes) ] AS sig
-       |  FROM sh WHERE len(shingles) > 0),
-       |bands AS (
+       |  FROM (
+       |    SELECT doc_id,
+       |      [CAST('0x' || substr(h, 1, 15) AS BIGINT) FOR h IN hs] AS h1s,
+       |      [CAST('0x' || substr(h, 16, 14) AS BIGINT) % $H2Mod FOR h IN hs] AS h2s
+       |    FROM (SELECT doc_id, [md5(s) FOR s IN shingles] AS hs
+       |          FROM sh WHERE len(shingles) > 0))),
+       |bands AS MATERIALIZED (
        |  SELECT doc_id, b AS band,
        |    array_to_string(sig[b*$bandRows+1 : b*$bandRows+$bandRows], ',') AS sigstr
        |  FROM mh, range(0, ${numHashes / bandRows}) t(b))""".stripMargin
@@ -366,10 +377,35 @@ object DedupOps extends OpModule {
       .distinct()
 
   private val candidatesSql =
-    """cand AS (
+    """cand AS MATERIALIZED (
       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
       |  FROM bands x JOIN bands y
       |    ON x.band = y.band AND x.sigstr = y.sigstr AND x.doc_id < y.doc_id)""".stripMargin
+
+  /** LOSSLESS J ≥ 0.8 truth-set CTEs over `s(doc_id, shingles, sz)`
+    * (distinct-shingle lists): co-count equi-join on exploded shingles
+    * instead of the quadratic length-banded cross join. Provably the
+    * same set — any pair at J ≥ 0.8 > 0 shares a shingle, so the
+    * equi-join's candidate superset misses nothing, and over DISTINCT
+    * lists the co-count i equals `len(list_intersect)` with
+    * |A∪B| = sza+szb−i, so `i/(sza+szb−i)` is the identical IEEE
+    * division of the identical integers. The threshold is the
+    * integer-exact form: J ≥ 0.8 ⟺ 9·i ≥ 4·(sza+szb). Join volume is
+    * Σ_shingle df² — data-bounded, not n² (sf1: 3.6 M rows, max df 6).
+    * Measured vs the quadratic form it replaces: identical rows at
+    * sf0.001/0.01/0.1; 242 s → 3.2 s at sf0.1, and 4.4 s at sf1 where
+    * the quadratic oracle exceeded the 180 s probe clamp. */
+  private def truthPairsSqlCtes: String =
+    """ex AS (SELECT doc_id, unnest(shingles) AS shw FROM s),
+      |co AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS i
+      |  FROM ex a JOIN ex b ON a.shw = b.shw AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |truth AS MATERIALIZED (
+      |  SELECT doc_a, doc_b, i::DOUBLE / (sa.sz + sb.sz - i) AS jaccard
+      |  FROM co JOIN s sa ON sa.doc_id = co.doc_a
+      |          JOIN s sb ON sb.doc_id = co.doc_b
+      |  WHERE i * 9 >= (sa.sz + sb.sz) * 4)""".stripMargin
 
   /** Exact Jaccard on candidate pairs, computed by co-counting exploded
     * shingles instead of shipping whole shingle arrays into an
@@ -773,17 +809,17 @@ object DedupOps extends OpModule {
   private def multiSignalSqlCtes: String =
     s"""WITH RECURSIVE ${labels3Sql.stripPrefix("WITH ")},
        |$embeddingCellsSqlCtes,
-       |spairs AS (
+       |spairs AS MATERIALIZED (
        |  SELECT a.vec_id AS src, b.vec_id AS dst
        |  FROM c a JOIN c b ON a.cell = b.cell AND a.vec_id < b.vec_id
        |  WHERE CAST(round(${AnnOps.dotSql("a.v", "b.v")}
        |          / (a.norm * b.norm) * 1e6) AS BIGINT) / 1e6 >= 0.4),
-       |srep AS (
+       |srep AS MATERIALIZED (
        |  SELECT la.label AS s, lb.label AS d
        |  FROM spairs p JOIN l3 la ON la.doc_id = p.src
        |               JOIN l3 lb ON lb.doc_id = p.dst
        |  WHERE la.label <> lb.label),
-       |sym AS (SELECT s, d FROM srep UNION ALL SELECT d, s FROM srep),
+       |sym AS MATERIALIZED (SELECT s, d FROM srep UNION ALL SELECT d, s FROM srep),
        |reach AS (
        |  SELECT s AS a, d AS b FROM sym
        |  UNION
@@ -801,7 +837,7 @@ object DedupOps extends OpModule {
   /** Shared oracle twin for the composed minhash query and its custom-
     * operator equivalent. */
   private val minhashOracleSql: String =
-    s"""WITH sh AS (${shingledSql(3)}),
+    s"""WITH sh AS MATERIALIZED (${shingledSql(3)}),
        |${bandSigsSql(32, 4)},
        |$candidatesSql,
        |${jaccardPairsSql(0.8)}""".stripMargin
@@ -911,7 +947,7 @@ object DedupOps extends OpModule {
         sets.count()
         jaccardPairs(candidates(bandSigs(sets, 16, 4)), sets, 0.5)
       },
-      Some(s"""WITH sh AS (${shingledSql(4)}),
+      Some(s"""WITH sh AS MATERIALIZED (${shingledSql(4)}),
               |${bandSigsSql(16, 4)},
               |$candidatesSql,
               |${jaccardPairsSql(0.5)}""".stripMargin),
@@ -927,9 +963,10 @@ object DedupOps extends OpModule {
     // ≥ ⌈τ·max(|A|,|B|)⌉, and under a consistent total order two sets
     // with that much overlap MUST share a token inside both prefixes —
     // so the candidate equi-join on prefix tokens misses nothing, which
-    // the oracle PROVES by being the plain quadratic join. A size
-    // filter (10·min ≥ 8·max, integer-exact for τ=0.8) prunes
-    // length-incompatible pairs pre-join. Scale: candidate volume is
+    // the oracle PROVES by being an independent exhaustive truth set
+    // ([[truthPairsSqlCtes]]: co-count over ALL shared shingles, no
+    // df-order/prefix reasoning anywhere — complete because J > 0
+    // requires a shared shingle). Scale: candidate volume is
     // Σ_token df_prefix(token)² over RARE tokens only — the df-ascending
     // order is what keeps buckets small, and the shingle width is the
     // other lever: 3-grams collide on shared boilerplate (measured 43k
@@ -952,17 +989,13 @@ object DedupOps extends OpModule {
         ex.count()
         prefixPairs08(ex)
       },
-      Some(s"""WITH sh AS (${shingledSql(4)}),
-              |s AS (SELECT doc_id, shingles, len(shingles) AS sz
-              |      FROM sh WHERE len(shingles) > 0)
-              |SELECT doc_a, doc_b, jaccard FROM (
-              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-              |    len(list_intersect(a.shingles, b.shingles))::DOUBLE
-              |      / len(list_distinct(a.shingles || b.shingles)) AS jaccard
-              |  FROM s a JOIN s b ON a.doc_id < b.doc_id
-              |    AND least(a.sz, b.sz) * 10 >= greatest(a.sz, b.sz) * 8)
-              |WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin),
-      doc = "LLM-pipeline: lossless prefix-filter similarity join (AllPairs) — oracle is the full quadratic join, proving zero misses",
+      Some(s"""WITH sh AS MATERIALIZED (${shingledSql(4)}),
+              |s AS MATERIALIZED (SELECT doc_id, shingles, len(shingles) AS sz
+              |      FROM sh WHERE len(shingles) > 0),
+              |$truthPairsSqlCtes
+              |SELECT doc_a, doc_b, jaccard FROM truth
+              |ORDER BY doc_a, doc_b""".stripMargin),
+      doc = "LLM-pipeline: lossless prefix-filter similarity join (AllPairs) — oracle is the independent exhaustive truth set (co-count over exploded shingles, provably complete), proving zero misses",
       sort = Seq("doc_a", "doc_b")
     ),
 
@@ -1007,17 +1040,10 @@ object DedupOps extends OpModule {
             col("n_found").cast(DoubleType) /
               col("n_truth").cast(DoubleType)).as("recall"))
       },
-      Some(s"""WITH sh AS (${shingledSql(4)}),
-              |s AS (SELECT doc_id, shingles, len(shingles) AS sz
+      Some(s"""WITH sh AS MATERIALIZED (${shingledSql(4)}),
+              |s AS MATERIALIZED (SELECT doc_id, shingles, len(shingles) AS sz
               |      FROM sh WHERE len(shingles) > 0),
-              |truth AS (
-              |  SELECT doc_a, doc_b FROM (
-              |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-              |      len(list_intersect(a.shingles, b.shingles))::DOUBLE
-              |        / len(list_distinct(a.shingles || b.shingles)) AS jaccard
-              |    FROM s a JOIN s b ON a.doc_id < b.doc_id
-              |      AND least(a.sz, b.sz) * 10 >= greatest(a.sz, b.sz) * 8)
-              |  WHERE jaccard >= 0.8),
+              |$truthPairsSqlCtes,
               |${bandSigsSql(16, 4)},
               |$candidatesSql,
               |t AS (SELECT count(*)::BIGINT AS n_truth FROM truth),
@@ -1038,9 +1064,10 @@ object DedupOps extends OpModule {
     // = 0 → 25%) — the production form. At 100 TB the full lossless
     // truth set is unaffordable (that's the point of LSH), but the
     // recall CONTRACT still needs monitoring: a content-stable sample
-    // keeps the same docs in every run/engine, the prefix-filter truth
-    // set over the sample costs (1/16)th of the quadratic-bounded work,
-    // and the measured recall is an unbiased estimate of the corpus
+    // keeps the same docs in every run/engine, the truth set over the
+    // sample costs ~(1/16)th of the full corpus's co-count work
+    // (Σ df² with every df scaled by the 25% sampling rate), and the
+    // measured recall is an unbiased estimate of the corpus
     // recall (pairs are sampled by membership of both endpoints).
     // `LshRecallSampleSpec` pins agreement with the full-corpus number
     // at sf0.01; both engines replay the identical sample. ──
@@ -1073,17 +1100,10 @@ object DedupOps extends OpModule {
       Some(s"""WITH docs_s AS (
               |  SELECT doc_id, text FROM documents
               |  WHERE ${phashSql("text")} % 4 = 0),
-              |sh AS (${shingledSqlFrom(4, "docs_s")}),
-              |s AS (SELECT doc_id, shingles, len(shingles) AS sz
+              |sh AS MATERIALIZED (${shingledSqlFrom(4, "docs_s")}),
+              |s AS MATERIALIZED (SELECT doc_id, shingles, len(shingles) AS sz
               |      FROM sh WHERE len(shingles) > 0),
-              |truth AS (
-              |  SELECT doc_a, doc_b FROM (
-              |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-              |      len(list_intersect(a.shingles, b.shingles))::DOUBLE
-              |        / len(list_distinct(a.shingles || b.shingles)) AS jaccard
-              |    FROM s a JOIN s b ON a.doc_id < b.doc_id
-              |      AND least(a.sz, b.sz) * 10 >= greatest(a.sz, b.sz) * 8)
-              |  WHERE jaccard >= 0.8),
+              |$truthPairsSqlCtes,
               |${bandSigsSql(16, 4)},
               |$candidatesSql,
               |nd AS (SELECT count(*)::BIGINT AS n_docs FROM docs_s),
@@ -1251,7 +1271,7 @@ object DedupOps extends OpModule {
               .as("containment_b"))
           .filter(greatest(col("containment_a"), col("containment_b")) >= 0.8)
       },
-      Some(s"""WITH sh AS (${shingledSql(3)}),
+      Some(s"""WITH sh AS MATERIALIZED (${shingledSql(3)}),
               |${bandSigsSql(32, 4)},
               |$candidatesSql,
               |scored AS (
@@ -1304,7 +1324,7 @@ object DedupOps extends OpModule {
             (coalesce(col("n_common"), lit(0L)).cast(DoubleType) /
               col("n_shingles").cast(DoubleType)).as("ratio"))
       },
-      Some(s"""WITH sh AS (${shingledSql(3)}),
+      Some(s"""WITH sh AS MATERIALIZED (${shingledSql(3)}),
               |ex AS (SELECT doc_id, unnest(shingles) AS shg FROM sh),
               |nd AS (SELECT COUNT(*)::BIGINT AS nd FROM documents),
               |dfreq AS (SELECT shg, COUNT(*)::BIGINT AS df FROM ex GROUP BY 1),
@@ -1354,7 +1374,7 @@ object DedupOps extends OpModule {
           .select(col("doc_id"), col("rnk"), col("neighbor_id"),
             col("jaccard"))
       },
-      Some(s"""WITH sh AS (${shingledSql(3)}),
+      Some(s"""WITH sh AS MATERIALIZED (${shingledSql(3)}),
               |${bandSigsSql(32, 4)},
               |$candidatesSql,
               |scored AS (
@@ -1402,7 +1422,7 @@ object DedupOps extends OpModule {
           .distinct()
         jaccardPairs(cand, sets, 0.8)
       },
-      Some(s"""WITH sh AS (${shingledSql(3)}),
+      Some(s"""WITH sh AS MATERIALIZED (${shingledSql(3)}),
               |${bandSigsSql(32, 4)},
               |cand AS (
               |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
