@@ -155,6 +155,64 @@ object UpsertWriter {
     }
   }
 
+  /** Name of the derived bucket partition column written by
+    * [[upsertBucketed]]. Readers that want the logical row back drop it
+    * (it is derivable from the keys). */
+  val BucketCol = "__bucket"
+
+  private def bucketMarker(path: String) =
+    Paths.get(path + ".__buckets")
+
+  /** Keyed upsert with HASH-BUCKET pruning — the 100 TB form of [[upsert]]
+    * for tables whose natural key has no time/partition structure (dedup
+    * survivors, band indexes, ANN postings). The merge key hashes to a
+    * stable bucket (`xxhash64(keys) % numBuckets` — a fixed published
+    * algorithm, so the bucket of a key never moves between sessions or
+    * executors), the bucket becomes a partition directory, and the merge
+    * rides [[upsert]]'s dynamic partition overwrite: a batch touching k
+    * buckets rewrites k·(corpus/numBuckets) rows instead of the corpus.
+    * Sized so a bucket ≈ a comfortable task (e.g. 100 TB / 64 Ki buckets
+    * ≈ 1.6 GB), per-batch merge work is O(batch + k·bucket) — bounded by
+    * the batch, not the table.
+    *
+    * `numBuckets` is pinned by a marker file on first write and every
+    * later call must pass the same value: re-bucketing in place would
+    * leave a key's older row stranded in a bucket the pruned merge never
+    * scopes — a silent duplicate. Changing bucket counts is a rewrite
+    * (read, re-bucket, write fresh), not an upsert.
+    *
+    * Crash posture: same as the partitioned [[upsert]] path — the
+    * streaming family's replay contract (idempotent keyed merges, batch
+    * re-delivered until the checkpoint commits) re-applies a batch whose
+    * write crashed mid-commit. */
+  def upsertBucketed(
+      spark: SparkSession,
+      path: String,
+      updates: DataFrame,
+      keys: Seq[String],
+      versionCol: String,
+      numBuckets: Int): Unit = {
+    require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+    recover(path)
+    if (Files.exists(bucketMarker(path))) {
+      val pinned = new String(
+        Files.readAllBytes(bucketMarker(path)),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toInt
+      require(pinned == numBuckets,
+        s"table at $path is bucketed $pinned ways; upsertBucketed($numBuckets) " +
+          "would strand keys in unscoped buckets — rewrite the table to re-bucket")
+    }
+    val bucketed = updates.withColumn(BucketCol,
+      pmod(xxhash64(keys.map(col): _*), lit(numBuckets.toLong)).cast("int"))
+    upsert(spark, path, bucketed, keys, versionCol,
+      partitionBy = Seq(BucketCol))
+    // marker AFTER the first committed write: a crash before this point
+    // leaves either no table (re-init) or a committed table whose next
+    // call re-writes the same marker value
+    Files.write(bucketMarker(path),
+      numBuckets.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
   private def dedup(unioned: DataFrame, keys: Seq[String], versionCol: String): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(versionCol).desc, col("__upd").desc, col("__seq").desc)

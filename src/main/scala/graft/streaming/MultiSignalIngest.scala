@@ -36,6 +36,12 @@ import java.nio.file.{Files, Paths}
   * the corpus through index/cell collisions only (batch-proportional
   * work), keyed idempotent upserts, log written LAST with the
   * admitted count read back from the table.
+  *
+  * At corpus scale the keyed merges move to
+  * [[graft.sinks.UpsertWriter.upsertBucketed]] (hash-bucket partition
+  * pruning: a batch rewrites touched buckets, not the table) — the
+  * plain form here is the driver-fixture contract, where the whole
+  * state fits one task.
   */
 object MultiSignalIngest {
 

@@ -204,6 +204,61 @@ class UpsertWriterSpec extends AnyFunSuite {
     assert(result.passed, result.status.toString)
   }
 
+  test("bucketed: keyed merge semantics hold and reads drop the bucket column") {
+    val path = tmp()
+    UpsertWriter.upsertBucketed(spark, path,
+      Seq((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 1L)).toDF("id", "v", "ver"),
+      keys = Seq("id"), versionCol = "ver", numBuckets = 4)
+    UpsertWriter.upsertBucketed(spark, path,
+      Seq((2L, "b2", 2L), (4L, "d", 1L)).toDF("id", "v", "ver"),
+      keys = Seq("id"), versionCol = "ver", numBuckets = 4)
+    val df = spark.read.parquet(path)
+    assert(df.columns.contains(UpsertWriter.BucketCol),
+      "premise: the stored layout is bucket-partitioned")
+    val state = df.select($"id", $"v").as[(Long, String)].collect().toMap
+    assert(state == Map(1L -> "a", 2L -> "b2", 3L -> "c", 4L -> "d"))
+    // every key sits in exactly one bucket (the stable-hash contract the
+    // pruned merge depends on)
+    assert(df.groupBy($"id").agg(countDistinct(col(UpsertWriter.BucketCol)))
+      .filter($"count(DISTINCT __bucket)" > 1).count() == 0)
+  }
+
+  test("bucketed: a batch rewrites only the buckets its keys hash to") {
+    val path = tmp()
+    // enough spread keys that >1 bucket exists, then update ONE key
+    UpsertWriter.upsertBucketed(spark, path,
+      (1L to 32L).map(i => (i, s"v$i", 1L)).toDF("id", "v", "ver"),
+      keys = Seq("id"), versionCol = "ver", numBuckets = 8)
+    val dirs = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("__bucket="))
+    assert(dirs.length > 1, "premise: keys spread over multiple buckets")
+    val touched = spark.range(1).select(
+      pmod(xxhash64(lit(7L)), lit(8L)).cast("int")).as[Int].head()
+    val untouchedDir = dirs.find(_.getName != s"__bucket=$touched").get
+    val before = untouchedDir.listFiles().map(f => f.getName -> f.lastModified).toMap
+    Thread.sleep(1100)
+    UpsertWriter.upsertBucketed(spark, path,
+      Seq((7L, "v7b", 2L)).toDF("id", "v", "ver"),
+      keys = Seq("id"), versionCol = "ver", numBuckets = 8)
+    val after = untouchedDir.listFiles().map(f => f.getName -> f.lastModified).toMap
+    assert(before == after, "an untouched bucket was rewritten")
+    assert(spark.read.parquet(path).filter($"id" === 7L)
+      .select($"v").as[String].head() == "v7b")
+  }
+
+  test("bucketed: a changed bucket count is refused, not silently re-hashed") {
+    val path = tmp()
+    UpsertWriter.upsertBucketed(spark, path,
+      Seq((1L, "a", 1L)).toDF("id", "v", "ver"),
+      keys = Seq("id"), versionCol = "ver", numBuckets = 4)
+    val e = intercept[IllegalArgumentException] {
+      UpsertWriter.upsertBucketed(spark, path,
+        Seq((2L, "b", 1L)).toDF("id", "v", "ver"),
+        keys = Seq("id"), versionCol = "ver", numBuckets = 8)
+    }
+    assert(e.getMessage.contains("bucketed 4 ways"))
+  }
+
   test("K5: truncate leaves an empty table with the same schema") {
     val path = tmp()
     UpsertWriter.upsert(spark, path,
