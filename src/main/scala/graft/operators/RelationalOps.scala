@@ -1490,6 +1490,45 @@ object RelationalOps extends OpModule {
       sort = Seq("o_custkey")
     ),
 
+    // ── K1 through the REAL bucketed write path: the same keep-latest
+    // state as `k1_upsert_latest`, but reached by two
+    // [[graft.sinks.UpsertWriter.upsertBucketed]] merges into a
+    // hash-bucket-partitioned parquet table (even o_orderkey = batch 0,
+    // odd = batch 1) — the scale form where a batch rewrites touched
+    // buckets, not the corpus. The version is a total order per key
+    // (days(o_orderdate)·10⁸ + o_orderkey), so the merged table IS the
+    // keep-latest row per customer and the oracle is the same one
+    // window k1 replays. The derived __bucket column is dropped at
+    // read — it is layout, not data. ──
+    "k1b_upsert_bucketed" -> Q(
+      (s, d) => {
+        val wh = java.nio.file.Files
+          .createTempDirectory("graft-k1b").resolve("t").toString
+        val src = Tables.orders(s, d).select(
+          $("o_custkey"), $("o_orderkey"), $("o_orderdate"), $("o_totalprice"),
+          (unix_date(to_date($("o_orderdate"))).cast(LongType) * 100000000L +
+            $("o_orderkey")).as("__ver"))
+        graft.sinks.UpsertWriter.upsertBucketed(s, wh,
+          src.filter($("o_orderkey") % 2 === 0),
+          keys = Seq("o_custkey"), versionCol = "__ver", numBuckets = 8)
+        graft.sinks.UpsertWriter.upsertBucketed(s, wh,
+          src.filter($("o_orderkey") % 2 === 1),
+          keys = Seq("o_custkey"), versionCol = "__ver", numBuckets = 8)
+        s.read.parquet(wh).select(
+          $("o_custkey"), $("o_orderkey"),
+          to_date($("o_orderdate")).as("data_ultimo"), $("o_totalprice"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS data_ultimo,
+             |       o_totalprice
+             |FROM (
+             |  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+             |    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+             |  FROM orders)
+             |WHERE rn = 1 ORDER BY o_custkey""".stripMargin),
+      doc = "SURVEY K1 at scale — keep-latest state reached through two hash-bucketed keyed merges (touched-bucket-only rewrites)",
+      sort = Seq("o_custkey")
+    ),
+
     // ── L2: first-of-list — the reference reads `resultados[0]` of each
     // API response list (worker_processar_estoque.php:61,
     // tarefa_atualizar_custos_erp.php:43); relationally, the FIRST row
