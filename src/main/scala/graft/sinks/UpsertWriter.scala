@@ -201,16 +201,21 @@ object UpsertWriter {
       require(pinned == numBuckets,
         s"table at $path is bucketed $pinned ways; upsertBucketed($numBuckets) " +
           "would strand keys in unscoped buckets — rewrite the table to re-bucket")
+    } else {
+      // marker BEFORE the first merge: written the other way round, a
+      // crash between the first committed write and the marker would
+      // let the next call pin a DIFFERENT bucket count over existing
+      // data — the exact stranding this guard exists to refuse. The
+      // inverse crash (marker written, write never committed) merely
+      // pins the count early for a table that is still empty.
+      Files.createDirectories(bucketMarker(path).getParent)
+      Files.write(bucketMarker(path),
+        numBuckets.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
     val bucketed = updates.withColumn(BucketCol,
       pmod(xxhash64(keys.map(col): _*), lit(numBuckets.toLong)).cast("int"))
     upsert(spark, path, bucketed, keys, versionCol,
       partitionBy = Seq(BucketCol))
-    // marker AFTER the first committed write: a crash before this point
-    // leaves either no table (re-init) or a committed table whose next
-    // call re-writes the same marker value
-    Files.write(bucketMarker(path),
-      numBuckets.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
   private def dedup(unioned: DataFrame, keys: Seq[String], versionCol: String): DataFrame = {
@@ -231,6 +236,27 @@ object UpsertWriter {
     }
   }
 
+  /** Partition columns of the PHYSICAL layout at `path`, outermost
+    * first, read off the `col=value` directory chain. Empty for an
+    * unpartitioned table. */
+  private def partitionColsOf(path: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    @annotation.tailrec
+    def walk(dir: java.nio.file.Path, acc: List[String]): List[String] = {
+      val list = Files.list(dir)
+      val sub =
+        try list.iterator().asScala.find(p =>
+          Files.isDirectory(p) && p.getFileName.toString.contains("="))
+        finally list.close()
+      sub match {
+        case Some(d) =>
+          walk(d, acc :+ d.getFileName.toString.takeWhile(_ != '='))
+        case None => acc
+      }
+    }
+    walk(Paths.get(path), Nil)
+  }
+
   /** Bin-pack the table's data files to ~`targetBytes` each — the
     * maintenance pass every keyed upsert table needs at scale: each
     * merge emits `shuffle.partitions` files, and the accreted small
@@ -238,9 +264,16 @@ object UpsertWriter {
     * splits, bloated listings). Values are untouched; the rewrite rides
     * the same crash-safe swap as [[upsert]].
     *
-    * Partitioned tables: run per partition directory (this rewrites the
-    * whole table image — fine unpartitioned, wasteful when only a few
-    * partitions fragmented). */
+    * A partitioned or bucketed layout is PRESERVED: the rewrite
+    * re-partitions on the physical partition columns and writes them
+    * back as directories. Flattening them (the naive rewrite) is not a
+    * cosmetic loss — a later dynamic-partition-overwrite merge would
+    * replace only the partition directories it touches and leave the
+    * flattened root files in place, silently duplicating every key they
+    * hold. Rows co-locate per partition value, so a partition compacts
+    * to one file; a single partition larger than `targetBytes` stays
+    * one file (per-partition bin-packing would be a per-directory pass
+    * — at that size the partition scheme itself is due a rethink). */
   def compact(
       spark: SparkSession,
       path: String,
@@ -255,9 +288,17 @@ object UpsertWriter {
         .map(Files.size).sum
       finally walk.close()
     val parts = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-    val df = spark.read.parquet(path).repartition(parts)
+    val partCols = partitionColsOf(path)
+    val df =
+      if (partCols.isEmpty) spark.read.parquet(path).repartition(parts)
+      else spark.read.parquet(path)
+        .repartition(parts, partCols.map(col): _*)
     swapIn(path) { staging =>
-      df.write.mode(SaveMode.Overwrite).parquet(staging)
+      if (partCols.isEmpty)
+        df.write.mode(SaveMode.Overwrite).parquet(staging)
+      else
+        df.write.mode(SaveMode.Overwrite)
+          .partitionBy(partCols: _*).parquet(staging)
     }
   }
 

@@ -259,6 +259,39 @@ class UpsertWriterSpec extends AnyFunSuite {
     assert(e.getMessage.contains("bucketed 4 ways"))
   }
 
+  test("compact preserves a bucketed layout; later merges still prune and miss nothing") {
+    val path = tmp()
+    UpsertWriter.upsertBucketed(spark, path,
+      (1L to 32L).map(i => (i, s"v$i", 1L)).toDF("id", "v", "ver"),
+      keys = Seq("id"), versionCol = "ver", numBuckets = 4)
+    UpsertWriter.compact(spark, path)
+    val dirs = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("__bucket="))
+    assert(dirs.nonEmpty, "compaction flattened the bucket layout")
+    // a post-compaction merge must neither duplicate nor lose keys
+    UpsertWriter.upsertBucketed(spark, path,
+      Seq((1L, "v1b", 2L), (33L, "v33", 1L)).toDF("id", "v", "ver"),
+      keys = Seq("id"), versionCol = "ver", numBuckets = 4)
+    val df = spark.read.parquet(path)
+    assert(df.count() == 33, "post-compaction merge duplicated or dropped rows")
+    assert(df.filter($"id" === 1L).select($"v").as[String].head() == "v1b")
+    assert(df.filter($"id" === 2L).select($"v").as[String].head() == "v2")
+  }
+
+  test("K5 then K1 partitioned: an upsert after truncate rebuilds a clean layout") {
+    val path = tmp()
+    UpsertWriter.upsert(spark, path,
+      Seq((1L, "2024-01-01", "x"), (2L, "2024-01-02", "y")).toDF("id", "dia", "v"),
+      keys = Seq("id"), versionCol = "id", partitionBy = Seq("dia"))
+    UpsertWriter.truncate(spark, path)
+    UpsertWriter.upsert(spark, path,
+      Seq((3L, "2024-01-03", "z")).toDF("id", "dia", "v"),
+      keys = Seq("id"), versionCol = "id", partitionBy = Seq("dia"))
+    val state = spark.read.parquet(path)
+      .select($"id", $"v").as[(Long, String)].collect().toMap
+    assert(state == Map(3L -> "z"), "truncated rows resurfaced or the read broke")
+  }
+
   test("K5: truncate leaves an empty table with the same schema") {
     val path = tmp()
     UpsertWriter.upsert(spark, path,
