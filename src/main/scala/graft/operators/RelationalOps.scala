@@ -301,31 +301,38 @@ object RelationalOps extends OpModule {
       sort = Seq("l_partkey")
     ),
 
-    // ── Row provenance: per-input-file row counts via
-    // `input_file_name()` — the debugging/lineage readout for "which
-    // file contributed what" (skew hunts, bad-file quarantine,
-    // ingest reconciliation). Map-side only: the filename is scan
-    // metadata, the count map-combines. The oracle pins the basenames
-    // statically — the fixture contract is one parquet file per table,
-    // so the expected (file, count) set is exact; a multi-file table
-    // would enumerate the same way from the scan. ──
+    // ── Row provenance via `input_file_name()` — the lineage readout
+    // for "which file contributed what" (skew hunts, bad-file
+    // quarantine, ingest reconciliation). Map-side only: the filename
+    // is scan metadata, the count map-combines. The per-FILE breakdown
+    // ([[fileProvenance]]) can't be oracle-pinned — part-file names are
+    // engine-generated, and the DuckDB twin only sees table views — so
+    // the gate checks the reconciliation INVARIANT instead: the
+    // per-file tallies, re-folded per table, must re-add to the table
+    // totals exactly, and the file count must be ≥ 1. That contract
+    // holds for any layout (the sf1 probe corpus is 20 parts/table,
+    // production tables are always multi-file); a broken
+    // input_file_name (null/empty/shared across scans) breaks the
+    // re-fold and fails the gate. The file-level granularity is
+    // spec-gated on a genuinely multi-part table (ProvenanceSpec). ──
     "meta1_file_provenance" -> Q(
       (s, d) => {
-        def perFile(t: String) = Tables.load(s, d, t)
-          .select(regexp_extract(input_file_name(), "[^/]+$", 0).as("file"))
-          .groupBy($("file"))
-          .agg(count(lit(1)).as("n_rows"))
-        perFile("lineitem")
-          .unionByName(perFile("orders"))
-          .unionByName(perFile("part"))
+        def perTable(t: String) = fileProvenance(Tables.load(s, d, t))
+          .agg(count(lit(1)).as("nf"), sum($("n_rows")).as("n_rows"))
+          .select(lit(t).as("tbl"),
+            // layout-free gate: any file count ≥ 1 normalizes to true
+            ($("nf") >= 1).as("has_files"), $("n_rows"))
+        perTable("lineitem")
+          .unionByName(perTable("orders"))
+          .unionByName(perTable("part"))
       },
-      Some("""SELECT 'lineitem.parquet' AS file, count(*)::BIGINT AS n_rows
-             |FROM lineitem
-             |UNION ALL SELECT 'orders.parquet', count(*)::BIGINT FROM orders
-             |UNION ALL SELECT 'part.parquet', count(*)::BIGINT FROM part
-             |ORDER BY file""".stripMargin),
-      doc = "Extension: per-file row provenance via input_file_name (lineage/reconciliation readout)",
-      sort = Seq("file")
+      Some("""SELECT 'lineitem' AS tbl, TRUE AS has_files,
+             |  count(*)::BIGINT AS n_rows FROM lineitem
+             |UNION ALL SELECT 'orders', TRUE, count(*)::BIGINT FROM orders
+             |UNION ALL SELECT 'part', TRUE, count(*)::BIGINT FROM part
+             |ORDER BY tbl""".stripMargin),
+      doc = "Extension: row provenance reconciliation via input_file_name (per-file tallies re-add to table totals; layout-independent gate)",
+      sort = Seq("tbl")
     ),
 
     // ── Column-pair correlation profile: Pearson r between quantity
@@ -1731,6 +1738,16 @@ object RelationalOps extends OpModule {
       sort = Seq("priority")
     )
   )
+
+  /** Per-input-file row tallies for any scanned DataFrame: (file,
+    * n_rows), `file` = basename of the scan split's source file. The
+    * building block for `meta1_file_provenance`'s reconciliation gate
+    * and the ops readout for skew hunts / bad-file quarantine. Purely
+    * map-side until the (tiny: one row per FILE) count shuffle. */
+  def fileProvenance(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.select(regexp_extract(input_file_name(), "[^/]+$", 0).as("file"))
+      .groupBy(col("file"))
+      .agg(count(lit(1)).as("n_rows"))
 
   private def pivotSql(v: String): String =
     s"CAST(CAST(SUM(CASE WHEN event_type = '$v' THEN CAST(value AS DECIMAL(38,6)) END) AS VARCHAR) AS DOUBLE)"

@@ -60,7 +60,7 @@ object AnnIngest {
         val vecs = AnnOps.withNorm(batch).persist()
         try {
           val nIn = vecs.count()
-          if (nIn > 0) {
+          val cellAudit = if (nIn > 0) {
             // bootstrap the quantizer from the FIRST batch (frozen
             // after — written once, before the index, so a crash
             // between the writes replays assignment against the
@@ -78,26 +78,24 @@ object AnnIngest {
                 col("v"), col("norm"), lit(batchId).as("batch_id"))
             UpsertWriter.upsert(s, indexDir, assigned,
               keys = Seq("vec_id"), versionCol = "batch_id")
-          }
-
-          // log last; batch stats read from the TABLE (a replayed batch
-          // restates its rows under the same keys), in ONE audit pass:
-          // [[SkewTools.audit]] on the batch's cell assignments yields
-          // rows indexed (totalRows), cells touched (nKeys), and the
-          // hottest cell's share of the batch (maxShare) — the DRIFT
-          // signal for the frozen quantizer. A stream whose embedding
-          // distribution has wandered off the training batch
-          // concentrates into ever fewer cells, pushing cell_max_share
-          // from the balanced ~1/k toward 1; the retrain policy reads
-          // this from the log instead of discovering degraded recall
-          // downstream (the quantizer itself stays frozen — a retrain
-          // is a deliberate new table, never a silent re-fit).
-          val cellAudit =
-            if (!Files.exists(Paths.get(indexDir, "_SUCCESS")))
-              SkewTools.SkewAudit("cell", 0L, 0L, 0L)
-            else SkewTools.audit(
-              s.read.parquet(indexDir).filter(col("batch_id") === batchId),
-              "cell")
+            // batch stats for the log, in ONE audit pass over the
+            // BATCH-LOCAL assignment (replay-deterministic: assignment
+            // is a pure function of the cached batch and the frozen
+            // centroids, and post-upsert the table's batch_id rows ARE
+            // exactly these — so this equals the index re-scan it
+            // replaces, minus the per-batch O(index) read):
+            // [[SkewTools.audit]] yields rows indexed (totalRows),
+            // cells touched (nKeys), and the hottest cell's share of
+            // the batch (maxShare) — the DRIFT signal for the frozen
+            // quantizer. A stream whose embedding distribution has
+            // wandered off the training batch concentrates into ever
+            // fewer cells, pushing cell_max_share from the balanced
+            // ~1/k toward 1; the retrain policy reads this from the log
+            // instead of discovering degraded recall downstream (the
+            // quantizer itself stays frozen — a retrain is a deliberate
+            // new table, never a silent re-fit).
+            SkewTools.audit(assigned, "cell")
+          } else SkewTools.SkewAudit("cell", 0L, 0L, 0L)
           import s.implicits._
           UpsertWriter.upsert(s, logDir,
             Seq((batchId, nIn, cellAudit.totalRows, cellAudit.nKeys,

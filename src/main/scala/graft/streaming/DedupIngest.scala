@@ -94,12 +94,21 @@ object DedupIngest {
             .filter(col("__rn") === 1).drop("__rn")
 
           // cross-stream check rides the TABLE, not operator state:
-          // hashes some prior batch (or a crashed attempt at THIS
-          // batch) already admitted drop here
+          // hashes some PRIOR batch already admitted drop here. The
+          // `batch_id < batchId` filter excludes rows a crashed attempt
+          // at THIS batch wrote (an admitted hash keeps its admitting
+          // batch_id forever — later copies never reach the upsert, and
+          // later batches run only after this one commits), so a replay
+          // recomputes the IDENTICAL fresh set instead of seeing its own
+          // rows as "already admitted" — which makes nFresh the
+          // attempt-invariant admissions count and the re-upsert a
+          // keyed no-op restatement.
           val seen =
             if (!Files.exists(Paths.get(survivorsDir, "_SUCCESS")))
               winners.limit(0).select(col("content_hash"))
-            else s.read.parquet(survivorsDir).select(col("content_hash"))
+            else s.read.parquet(survivorsDir)
+              .filter(col("batch_id") < batchId)
+              .select(col("content_hash"))
           val fresh = winners
             .join(seen, Seq("content_hash"), "left_anti")
             .withColumn("batch_id", lit(batchId))
@@ -112,17 +121,12 @@ object DedupIngest {
               UpsertWriter.upsert(s, survivorsDir, fresh,
                 keys = Seq("content_hash"), versionCol = "batch_id")
 
-            // admissions counted from the TABLE, not from this attempt's
-            // anti-join: a kill between the survivors upsert and the log
-            // write replays the batch, and the replay's anti-join sees
-            // its own crashed-attempt rows as "already admitted"
-            // (nFresh = 0). An admitted hash keeps its admitting
-            // batch_id forever (later copies never reach the upsert), so
-            // the table count is the attempt-invariant truth.
-            val nAdmitted =
-              if (!Files.exists(Paths.get(survivorsDir, "_SUCCESS"))) 0L
-              else s.read.parquet(survivorsDir)
-                .filter(col("batch_id") === batchId).count()
+            // admissions = nFresh, attempt-invariant because `seen`
+            // excludes this batch's own crashed-attempt rows (above) —
+            // the replay's anti-join recomputes the identical fresh
+            // set. This replaces a second O(corpus) table scan per
+            // batch (the anti-join's is structural; the count's wasn't).
+            val nAdmitted = nFresh
 
             // the log restates on replay (keyed by batch_id) — written
             // LAST, so a crash between the writes replays the batch into

@@ -47,9 +47,9 @@ import java.nio.file.{Files, Paths}
   *     carries the cluster — the family's streaming contract).
   *  3. ADMIT: fresh winners upsert into the survivors table keyed by
   *     vec_id (idempotent under replay); the admission log is keyed by
-  *     batch_id, written LAST, with the admitted count read back from
-  *     the TABLE (attempt-invariant — [[DedupIngest]]'s crash
-  *     argument).
+  *     batch_id, written LAST, with the admitted count taken from the
+  *     replay-deterministic batch-local admit set (attempt-invariant;
+  *     no per-batch corpus scan).
   *
   * Replay determinism of the MASK: the corpus count that picks the
   * width is (survivors FIRST admitted by prior batches) + (this
@@ -231,24 +231,29 @@ object EmbedIngest {
                   .drop("__fab")
             }).persist()
             try {
-              val nFresh = fresh.count()
+              // one aggregation answers the fresh-row count AND this
+              // batch's first-admissions count, from the persisted
+              // batch-local `fresh` — replacing the O(corpus) survivors
+              // re-scan the log used to pay per batch. Attempt-invariant:
+              // `fresh` is replay-deterministic (the prior filter rides
+              // the immutable first_admitted_batch), and a re-delivered
+              // admitted key keeps its stored earlier value through the
+              // coalesce above, so it books under n_corpus_dupes, not as
+              // a new admission
+              val fcnt = fresh.agg(
+                count(lit(1)),
+                count(when(col("first_admitted_batch") === batchId,
+                  lit(1)))).head()
+              val (nFresh, nAdmitted) = (fcnt.getLong(0), fcnt.getLong(1))
               // `committed` caches the BARE table scan; release it BEFORE
-              // the upsert and the admitted-count read-back — Spark's
-              // cache manager substitutes a cached plan fragment by
-              // equality, so a later read of the same path would silently
-              // serve the PRE-upsert image and count zero admissions
+              // the upsert — Spark's cache manager substitutes a cached
+              // plan fragment by equality, so a later read of the same
+              // path would silently serve the PRE-upsert image
               committed.foreach(_.unpersist())
               if (nFresh > 0)
                 UpsertWriter.upsert(s, survivorsDir, fresh,
                   keys = Seq("vec_id"), versionCol = "batch_id")
 
-              // log LAST, admissions counted from the table: rows FIRST
-              // admitted by this batch (attempt-invariant — a replay
-              // re-reads the identical count)
-              val nAdmitted =
-                if (!Files.exists(Paths.get(survivorsDir, "_SUCCESS"))) 0L
-                else s.read.parquet(survivorsDir)
-                  .filter(col("first_admitted_batch") === batchId).count()
               import s.implicits._
               UpsertWriter.upsert(s, logDir,
                 Seq((batchId, nIn, nIn - nWinners, nWinners - nAdmitted,

@@ -35,7 +35,8 @@ import java.nio.file.{Files, Paths}
   * keep-latest per doc_id before counting, winners checked against
   * the corpus through index/cell collisions only (batch-proportional
   * work), keyed idempotent upserts, log written LAST with the
-  * admitted count read back from the table.
+  * admitted count taken from the replay-deterministic batch-local
+  * admit set (no per-batch corpus scan).
   *
   * At corpus scale the keyed merges move to
   * [[graft.sinks.UpsertWriter.upsertBucketed]] (hash-bucket partition
@@ -261,11 +262,27 @@ object MultiSignalIngest {
                         .drop("__fab")
                   }).persist()
                   try {
-                    val nFresh = timed(batchId, "corpus-check")(fresh.count())
-                    // release the bare-scan cache BEFORE the upsert and
-                    // read-back: the cache manager substitutes cached plan
-                    // fragments by equality, so a later read of the same
-                    // path would serve the PRE-upsert image
+                    // one aggregation answers the fresh-row count AND the
+                    // first-admissions count — and counting from the
+                    // persisted batch-local `fresh` replaces the
+                    // O(corpus) survivors re-scan the log used to pay
+                    // per batch. Attempt-invariant: `fresh` is
+                    // replay-deterministic (the prior filter rides the
+                    // immutable first_admitted_batch), and post-upsert
+                    // the table's `first_admitted_batch = batchId` rows
+                    // ARE exactly fresh's — a re-delivered admitted key
+                    // keeps its stored (earlier) value through the
+                    // coalesce above, so it books under n_corpus_dupes,
+                    // not as a new admission
+                    val fcnt = timed(batchId, "corpus-check")(fresh.agg(
+                      count(lit(1)),
+                      count(when(col("first_admitted_batch") === batchId,
+                        lit(1)))).head())
+                    val (nFresh, nAdmitted) = (fcnt.getLong(0), fcnt.getLong(1))
+                    // release the bare-scan cache BEFORE the upsert: the
+                    // cache manager substitutes cached plan fragments by
+                    // equality, so a later read of the same path would
+                    // serve the PRE-upsert image
                     committed.foreach(_.unpersist())
                     if (nFresh > 0) timed(batchId, "admit-upserts") {
                       UpsertWriter.upsert(s, survivorsDir, fresh,
@@ -277,15 +294,7 @@ object MultiSignalIngest {
                         keys = Seq("band", "sig", "doc_id"),
                         versionCol = "batch_id")
                     }
-                    // admissions = rows FIRST admitted by this batch
-                    // (attempt-invariant under replay); a re-delivered
-                    // already-admitted key's update books under
-                    // n_corpus_dupes — it is not a new admission
                     timed(batchId, "log-upsert") {
-                      val nAdmitted =
-                        if (!Files.exists(Paths.get(survivorsDir, "_SUCCESS"))) 0L
-                        else s.read.parquet(survivorsDir)
-                          .filter(col("first_admitted_batch") === batchId).count()
                       import s.implicits._
                       UpsertWriter.upsert(s, logDir,
                         Seq((batchId, nIn, nIn - nWinners,

@@ -39,8 +39,9 @@ import java.nio.file.{Files, Paths}
   *     crashed-attempt signature row.
   *
   * The admission log is keyed by batch_id and written LAST, with the
-  * admitted count read back from the TABLE (attempt-invariant), the
-  * same crash argument as [[DedupIngest]].
+  * admitted count taken from the replay-deterministic batch-local
+  * fresh set (no per-batch corpus scan — post-upsert the table's
+  * `batch_id = batchId` rows are exactly that set).
   *
   * Scale posture: the index table IS `dedup_incremental`'s "stored
   * band signatures you append to" — (band, sig, doc_id) skinny rows,
@@ -196,12 +197,17 @@ object NearDupIngest {
                     keys = Seq("band", "sig", "doc_id"), versionCol = "batch_id")
                 }
 
-                // log LAST, admissions counted from the table
-                // (attempt-invariant under replay — see DedupIngest)
-                val nAdmitted =
-                  if (!Files.exists(Paths.get(survivorsDir, "_SUCCESS"))) 0L
-                  else s.read.parquet(survivorsDir)
-                    .filter(col("batch_id") === batchId).count()
+                // log LAST; admissions = the fresh set itself. The table
+                // re-scan this replaces counted `batch_id === batchId`
+                // rows, which post-upsert are exactly `fresh`'s (every
+                // fresh row lands with this batch_id; no other row can
+                // carry it — later batches run only after this one
+                // commits). Attempt-invariant: a replay recomputes the
+                // identical fresh set (the corpus check excludes a
+                // winner's own crashed-attempt rows by doc_id, and
+                // near-dup winners of the same attempt were already
+                // collapsed in-batch, so no crashed row can veto one).
+                val nAdmitted = nFresh
                 import s.implicits._
                 UpsertWriter.upsert(s, logDir,
                   Seq((batchId, nIn, nIn - nWinners, nWinners - nAdmitted,
