@@ -24,6 +24,12 @@ def main(sf_dir, out_dir, json_out=None):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # determinism sort keys per query (written by graft.Verify): the
+    # order-tie multiset fallback below may only fire when a query's sort
+    # keys are verifiably non-unique in the result — absent this file the
+    # fallback never fires (a positional mismatch stays a FAIL)
+    sk_path = f"{out_dir}/sort_keys.json"
+    sort_keys = json.load(open(sk_path)) if os.path.exists(sk_path) else None
     n_pass = n_fail = 0
     for name in sorted(oracles):
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
@@ -86,9 +92,25 @@ def main(sf_dir, out_dir, json_out=None):
             # keys, so tied rows interleave differently per engine.
             # An exact MULTISET match (sorted full-row compare) means
             # every value is identical and only tie order differs —
-            # report it as such, never as a silent pass.
+            # report it as such, never as a silent pass. GUARD: the
+            # fallback only applies when the query's sort keys are
+            # verifiably NON-unique in the result (duplicate key tuples
+            # actually present) — on unique keys a positional mismatch
+            # is a genuine ordering/value divergence (e.g. NULLS FIRST
+            # vs LAST or a broken ORDER BY) and must stay a FAIL. A
+            # query with NO sort keys has no order contract at all:
+            # every row shares the empty key tuple, so ties are allowed.
+            ties_possible = False
+            if sort_keys is not None and name in sort_keys:
+                keys = [k for k in sort_keys[name] if k in got.column_names]
+                if keys != sort_keys[name]:
+                    ties_possible = False  # key not in output: no claim
+                else:
+                    kt = [tuple(r[k] for k in keys) for r in got.to_pylist()]
+                    ties_possible = len(set(map(repr, kt))) < len(kt)
             try:
-                ms_ok = sorted(map(repr, g)) == sorted(map(repr, e))
+                ms_ok = ties_possible and \
+                    sorted(map(repr, g)) == sorted(map(repr, e))
             except Exception:
                 ms_ok = False
             if ms_ok:

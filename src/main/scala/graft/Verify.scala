@@ -52,6 +52,17 @@ object Verify {
       .filter { case (k, _) => keep(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Determinism sort keys per query, for the local gate mirror
+    // (scripts/check.py): its order-tie multiset fallback may only fire
+    // when a query's sort keys are verifiably NON-unique in the result —
+    // otherwise a genuine ordering divergence must stay a FAIL. A
+    // separate file so the driver's oracle_sql.json contract is untouched.
+    val sortJson = SparkEntry.queries.keys.toSeq.filter(keep).sorted
+      .map { k =>
+        val keys = SparkEntry.sortKeys.getOrElse(k, Nil)
+        s"${q(k)}: ${keys.map(q).mkString("[", ",", "]")}"
+      }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/sort_keys.json"), sortJson)
     spark.stop()
   }
 }

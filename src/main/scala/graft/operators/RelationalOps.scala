@@ -1503,8 +1503,11 @@ object RelationalOps extends OpModule {
     // hash-bucket-partitioned parquet table (even o_orderkey = batch 0,
     // odd = batch 1) — the scale form where a batch rewrites touched
     // buckets, not the corpus. The version is a total order per key
-    // (days(o_orderdate)·10⁸ + o_orderkey), so the merged table IS the
-    // keep-latest row per customer and the oracle is the same one
+    // (days(o_orderdate)·10¹³ + o_orderkey — the 10¹³ shift keeps
+    // date-major ordering intact up to orderkey 10¹³, i.e. every TPC-H
+    // SF; a 10⁸ shift would let a large orderkey on an earlier date
+    // outrank a later date from SF ≈ 17 up), so the merged table IS
+    // the keep-latest row per customer and the oracle is the same one
     // window k1 replays. The derived __bucket column is dropped at
     // read — it is layout, not data. ──
     "k1b_upsert_bucketed" -> Q(
@@ -1513,7 +1516,7 @@ object RelationalOps extends OpModule {
           .createTempDirectory("graft-k1b").resolve("t").toString
         val src = Tables.orders(s, d).select(
           $("o_custkey"), $("o_orderkey"), $("o_orderdate"), $("o_totalprice"),
-          (unix_date(to_date($("o_orderdate"))).cast(LongType) * 100000000L +
+          (unix_date(to_date($("o_orderdate"))).cast(LongType) * 10000000000000L +
             $("o_orderkey")).as("__ver"))
         graft.sinks.UpsertWriter.upsertBucketed(s, wh,
           src.filter($("o_orderkey") % 2 === 0),

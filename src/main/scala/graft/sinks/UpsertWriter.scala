@@ -10,10 +10,10 @@ import java.nio.file.{Files, Paths}
   *  - K1 `INSERT … ON DUPLICATE KEY UPDATE` → [[upsert]]: keyed
   *    keep-latest merge into a parquet table. When the table is
   *    partitioned, only partitions touched by the updates are rewritten
-  *    (dynamic partition overwrite — the 100 TB behavior: a daily restate
-  *    rewrites days, not the table). Unpartitioned tables are rewritten
-  *    via a staging directory + rename-aside swap, since parquet can't be
-  *    read and overwritten in one job.
+  *    (the 100 TB behavior: a daily restate rewrites days, not the
+  *    table). Unpartitioned tables are rewritten via a staging directory
+  *    + rename-aside swap, since parquet can't be read and overwritten
+  *    in one job.
   *  - K5 `TRUNCATE TABLE` → [[truncate]]: overwrite with empty.
   *
   * On a lakehouse this is `MERGE INTO` (Delta/Iceberg); plain parquet is
@@ -23,10 +23,30 @@ import java.nio.file.{Files, Paths}
   * `ON DUPLICATE KEY UPDATE` applies arrivals in order, so last wins).
   *
   * Crash safety: the committed table is never deleted before its
-  * replacement is in place. The swap renames live aside (`.__old`),
-  * promotes staging, then drops `.__old`; [[recover]] repairs either
-  * half-done state on the next call, so a crash at any point leaves the
-  * previously committed table readable.
+  * replacement is in place, on EITHER path.
+  *
+  *  - Unpartitioned: the swap renames live aside (`.__old`), promotes
+  *    staging, then drops `.__old`.
+  *  - Partitioned (incl. [[upsertBucketed]]): the replacement image of
+  *    the TOUCHED partitions is first written and committed to a
+  *    sibling staging dir (`.__pstaging`, `_SUCCESS`-marked), then each
+  *    leaf partition directory is swapped in by rename (live leaf aside
+  *    into a `.__oldparts` mirror, staging leaf promoted). Spark's own
+  *    dynamic-partition-overwrite commit is deliberately NOT used for
+  *    the merge: its commit deletes a touched partition directory
+  *    before promoting the replacement files, so a crash in that window
+  *    would permanently lose rows of OTHER keys co-located in the
+  *    touched partition that the re-delivered batch does not carry —
+  *    replay would merge from the already-damaged table. With the
+  *    staging swap, a crash at any instant leaves every leaf either
+  *    fully old or fully new (directory rename), and a committed
+  *    staging image survives to finish the swap.
+  *
+  * [[recover]] repairs any half-done state on the next call, so a crash
+  * at any point leaves the previously committed (or newly committed)
+  * table readable. Renames are same-directory `Files.move` — atomic on
+  * POSIX filesystems and HDFS; on an object store this layer maps to a
+  * lakehouse table format instead (see above).
   */
 object UpsertWriter {
 
@@ -55,8 +75,11 @@ object UpsertWriter {
     * Otherwise move the committed state back (the in-flight batch is
     * lost, the caller retries). With a live directory present only the
     * final cleanup was missed: drop the leftover. Uncommitted staging is
-    * always discarded — it never held committed state. */
-  private def recover(path: String): Unit = {
+    * always discarded — it never held committed state.
+    *
+    * Package-visible (not private) so the crash-window specs can drive
+    * it over engineered intermediate states directly. */
+  private[graft] def recover(path: String): Unit = {
     val old = Paths.get(path + ".__old")
     val staging = Paths.get(path + ".__staging")
     val live = Paths.get(path)
@@ -68,6 +91,90 @@ object UpsertWriter {
       } else Files.move(old, live)
     }
     deleteTree(path + ".__staging")
+    recoverPartitionSwap(path)
+  }
+
+  /** Leaf `col=value` partition directories under `root`, as paths
+    * RELATIVE to it: a leaf is a partition-named directory with no
+    * partition-named subdirectory (the directory Spark writes one
+    * partition's data files into). Empty when `root` holds no partition
+    * directories at all. */
+  private def leafPartitionDirs(
+      root: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    import scala.jdk.CollectionConverters._
+    def partSubdirs(d: java.nio.file.Path): Seq[java.nio.file.Path] = {
+      if (!Files.isDirectory(d)) return Nil
+      val list = Files.list(d)
+      try list.iterator().asScala.filter(p =>
+        Files.isDirectory(p) && p.getFileName.toString.contains("=")).toSeq
+      finally list.close()
+    }
+    def rec(d: java.nio.file.Path): Seq[java.nio.file.Path] = {
+      val subs = partSubdirs(d)
+      if (subs.isEmpty) { if (d == root) Nil else Seq(root.relativize(d)) }
+      else subs.flatMap(rec)
+    }
+    rec(root)
+  }
+
+  /** Complete a partitioned leaf swap from a COMMITTED `.__pstaging`
+    * image: per leaf, rename the live directory aside into the
+    * `.__oldparts` mirror, promote the staging leaf, then drop mirror +
+    * staging. Every step is an idempotent directory rename, so the
+    * function doubles as its own crash recovery — a re-run after a
+    * crash at ANY point resumes exactly where the swap stopped (a leaf
+    * already promoted is no longer in staging; a leaf moved aside but
+    * not promoted has no live directory and skips the rename-aside). */
+  private def completePartitionSwap(path: String): Unit = {
+    val pstaging = Paths.get(path + ".__pstaging")
+    val oldparts = Paths.get(path + ".__oldparts")
+    val root = Paths.get(path)
+    leafPartitionDirs(pstaging).foreach { rel =>
+      val live = root.resolve(rel)
+      val aside = oldparts.resolve(rel)
+      if (Files.exists(live)) {
+        // aside already present = a previous attempt crashed between
+        // rename-aside and promote AND the leaf re-appeared live — not
+        // reachable under the protocol, but never let a stale aside
+        // block the promote
+        if (Files.exists(aside)) deleteTree(aside.toString)
+        Files.createDirectories(aside.getParent)
+        Files.move(live, aside)
+      }
+      Files.createDirectories(live.getParent)
+      Files.move(pstaging.resolve(rel), live)
+    }
+    deleteTree(path + ".__oldparts")
+    deleteTree(path + ".__pstaging")
+  }
+
+  /** Repair a PARTITIONED leaf swap that crashed mid-way. A committed
+    * staging image (`.__pstaging/_SUCCESS`) always wins: the swap is
+    * simply completed — the merge that produced it had fully committed,
+    * only renames remained. An UNcommitted staging is discarded and any
+    * leaves already moved aside (unreachable under the protocol — asides
+    * start only after the staging commit — but cheap to honor) are
+    * restored where the live leaf is missing. Either way the table ends
+    * fully consistent: every leaf is one complete image, no key is lost. */
+  private def recoverPartitionSwap(path: String): Unit = {
+    val pstaging = Paths.get(path + ".__pstaging")
+    val oldparts = Paths.get(path + ".__oldparts")
+    if (Files.exists(pstaging.resolve("_SUCCESS"))) {
+      completePartitionSwap(path)
+    } else {
+      if (Files.exists(oldparts)) {
+        val root = Paths.get(path)
+        leafPartitionDirs(oldparts).foreach { rel =>
+          val live = root.resolve(rel)
+          if (!Files.exists(live)) {
+            Files.createDirectories(live.getParent)
+            Files.move(oldparts.resolve(rel), live)
+          }
+        }
+      }
+      deleteTree(path + ".__oldparts")
+      deleteTree(path + ".__pstaging")
+    }
   }
 
   /** Write the new table image into staging, then swap it live without a
@@ -131,20 +238,17 @@ object UpsertWriter {
     }
 
     if (partitionBy.nonEmpty && exists(path)) {
-      // Dynamic partition overwrite: replaces exactly the partitions
-      // present in `merged`, leaves the rest of the table untouched.
-      // Session conf is restored afterwards — leaking `dynamic` would
-      // silently change the meaning of every later Overwrite write in
-      // this session.
-      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try
-        merged.write.mode(SaveMode.Overwrite)
-          .partitionBy(partitionBy: _*).parquet(path)
-      finally prev match {
-        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-      }
+      // Touched-partitions-only merge through a committed staging image
+      // + per-leaf rename swap ([[completePartitionSwap]]). `merged`
+      // holds exactly the touched partitions (the left-semi scope
+      // above); writing it to `.__pstaging` materializes the read of
+      // the live table BEFORE any rename touches it, and the swap never
+      // has a deleted-but-not-replaced window — the crash-atomicity
+      // Spark's dynamic-partition-overwrite commit (delete touched
+      // partition, then promote files) does not give.
+      merged.write.mode(SaveMode.Overwrite)
+        .partitionBy(partitionBy: _*).parquet(path + ".__pstaging")
+      completePartitionSwap(path)
     } else if (partitionBy.nonEmpty) {
       merged.write.mode(SaveMode.Overwrite)
         .partitionBy(partitionBy: _*).parquet(path)
@@ -181,10 +285,13 @@ object UpsertWriter {
     * scopes — a silent duplicate. Changing bucket counts is a rewrite
     * (read, re-bucket, write fresh), not an upsert.
     *
-    * Crash posture: same as the partitioned [[upsert]] path — the
+    * Crash posture: the partitioned [[upsert]] path's staging swap — a
+    * crash anywhere leaves every bucket directory either fully old or
+    * fully new (never deleted-but-unreplaced, so co-located keys the
+    * batch does not carry are never lost), a committed staging image is
+    * finished by [[recover]] on the next call, and on top of that the
     * streaming family's replay contract (idempotent keyed merges, batch
-    * re-delivered until the checkpoint commits) re-applies a batch whose
-    * write crashed mid-commit. */
+    * re-delivered until the checkpoint commits) re-applies the batch. */
   def upsertBucketed(
       spark: SparkSession,
       path: String,

@@ -64,10 +64,20 @@ import java.nio.file.{Files, Paths}
   * shrinking the corpus count, potentially shifting the whole batch's
   * mask width, and silently admitting winners the first attempt
   * dropped. With `first_admitted_batch` the replay sees the identical
-  * corpus, mask, and candidates, and restates the identical
-  * admissions; the re-delivered key's update books under
-  * `n_corpus_dupes` (it is not a NEW admission), and `n_admitted`
-  * counts rows FIRST admitted by this batch — both attempt-invariant.
+  * corpus COUNT, mask, and candidate structure; the re-delivered key's
+  * update books under `n_corpus_dupes` (it is not a NEW admission),
+  * and `n_admitted` counts rows FIRST admitted by this batch — both
+  * attempt-invariant. Scope of the guarantee: admissions restate
+  * identically when re-delivered CONTENT is unchanged (the streaming
+  * source's contract — a replayed batch is the same batch). If an
+  * upstream re-delivers an admitted key with DIFFERENT
+  * embedding/text, the crashed attempt's upsert already rewrote that
+  * row's content last-write-wins, so the replay's vs-corpus cosine
+  * checks compare other winners against the NEW content where the
+  * first attempt saw the old — the corpus count and mask still agree,
+  * but individual admissions near the threshold may differ. That is a
+  * semantic-content change, not a replay artifact; exactly-once holds
+  * per delivered content.
   *
   * NULL/empty embeddings have no geometry: their cosine is NULL, so
   * they form no edges and admit as singletons (one row per vec_id via
@@ -82,6 +92,20 @@ import java.nio.file.{Files, Paths}
   * columns downstream, and signatures are one LONG per vector.
   */
 object EmbedIngest {
+
+  /** Upgrade-compat backfill for survivors tables written BEFORE the
+    * `first_admitted_batch` column existed: such a row was never
+    * re-delivered across batches under the old code (it had no replay
+    * anchor to preserve), so its `batch_id` — the batch that wrote it —
+    * IS its first admission, and coalescing the missing column to
+    * `batch_id` restates exactly the old filter's semantics. New tables
+    * pass through untouched; without this, resuming a drain over a
+    * pre-upgrade warehouse would throw AnalysisException on the first
+    * `first_admitted_batch` reference. Shared by the whole worker
+    * family ([[MultiSignalIngest]] uses it too). */
+  private[streaming] def withFirstAdmitted(df: DataFrame): DataFrame =
+    if (df.columns.contains("first_admitted_batch")) df
+    else df.withColumn("first_admitted_batch", col("batch_id"))
 
   /** One micro-batch of the drain, exactly as [[start]]'s foreachBatch
     * runs it — exposed (package-private) so the crash-replay specs can
@@ -126,7 +150,7 @@ object EmbedIngest {
         // from it
         val committed =
           if (!Files.exists(Paths.get(survivorsDir, "_SUCCESS"))) None
-          else Some(s.read.parquet(survivorsDir).persist())
+          else Some(withFirstAdmitted(s.read.parquet(survivorsDir)).persist())
         try {
           val prior = committed.map(
             _.filter(col("first_admitted_batch") < batchId))
@@ -358,14 +382,16 @@ object EmbedIngest {
   /** Serving view: every admitted (semantically-unique) vector with its
     * full-width signature. `batch_id` is the LAST batch that wrote the
     * row (content version); `first_admitted_batch` the batch that first
-    * admitted the key (immutable — the replay-determinism anchor).
+    * admitted the key (immutable — the replay-determinism anchor;
+    * backfilled to `batch_id` for pre-upgrade tables).
     * Empty — not an error — before the first admitting batch. */
   def survivors(spark: SparkSession, warehouseDir: String): DataFrame =
-    tableOrEmpty(spark, s"$warehouseDir/embed_survivors", StructType(Seq(
-      StructField("vec_id", LongType),
-      StructField("embedding", ArrayType(FloatType)),
-      StructField("sig", LongType), StructField("batch_id", LongType),
-      StructField("first_admitted_batch", LongType))))
+    withFirstAdmitted(
+      tableOrEmpty(spark, s"$warehouseDir/embed_survivors", StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)),
+        StructField("sig", LongType), StructField("batch_id", LongType),
+        StructField("first_admitted_batch", LongType)))))
 
   /** Serving view: the per-batch admission log. */
   def ingestLog(spark: SparkSession, warehouseDir: String): DataFrame =

@@ -107,7 +107,8 @@ object MultiSignalIngest {
           try {
             val committed =
               if (!Files.exists(Paths.get(survivorsDir, "_SUCCESS"))) None
-              else Some(s.read.parquet(survivorsDir).persist())
+              else Some(EmbedIngest.withFirstAdmitted(
+                s.read.parquet(survivorsDir)).persist())
             try {
               val prior = committed.map(
                 _.filter(col("first_admitted_batch") < batchId))
@@ -447,13 +448,15 @@ object MultiSignalIngest {
   /** Serving view: every admitted (multi-signal-unique) document with
     * its stored hyperplane signature. `batch_id` is the LAST batch that
     * wrote the row (content version); `first_admitted_batch` the batch
-    * that first admitted the key (immutable — the replay anchor). */
+    * that first admitted the key (immutable — the replay anchor;
+    * backfilled to `batch_id` for pre-upgrade tables). */
   def survivors(spark: SparkSession, warehouseDir: String): DataFrame =
-    tableOrEmpty(spark, s"$warehouseDir/ms_survivors", StructType(Seq(
-      StructField("doc_id", LongType), StructField("text", StringType),
-      StructField("embedding", ArrayType(FloatType)),
-      StructField("sig", LongType), StructField("batch_id", LongType),
-      StructField("first_admitted_batch", LongType))))
+    EmbedIngest.withFirstAdmitted(
+      tableOrEmpty(spark, s"$warehouseDir/ms_survivors", StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("embedding", ArrayType(FloatType)),
+        StructField("sig", LongType), StructField("batch_id", LongType),
+        StructField("first_admitted_batch", LongType)))))
 
   /** Serving view: the lexical band-signature index. */
   def index(spark: SparkSession, warehouseDir: String): DataFrame =

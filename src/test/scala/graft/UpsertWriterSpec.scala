@@ -278,6 +278,80 @@ class UpsertWriterSpec extends AnyFunSuite {
     assert(df.filter($"id" === 2L).select($"v").as[String].head() == "v2")
   }
 
+  test("bucketed: a crash inside the partition-commit window loses no co-located keys") {
+    // THE scenario a delete-then-promote partition commit cannot survive:
+    // a batch updates ONE key; its bucket co-locates other keys the batch
+    // does not carry; the writer dies after the staging commit with the
+    // live bucket directory already renamed aside (the most adversarial
+    // instant — under Spark's dynamic-overwrite commit this window has
+    // the partition deleted and nothing promoted). Recovery must finish
+    // the swap from the committed staging image: the updated key carries
+    // the new value AND every co-located key survives.
+    val path = tmp()
+    UpsertWriter.upsertBucketed(spark, path,
+      (1L to 32L).map(i => (i, s"v$i", 1L)).toDF("id", "v", "ver"),
+      keys = Seq("id"), versionCol = "ver", numBuckets = 8)
+    // pick the fullest bucket so co-location is maximal
+    val byBucket = spark.read.parquet(path)
+      .select($"id", col(UpsertWriter.BucketCol).cast("int").as("b"))
+      .as[(Long, Int)].collect().groupBy(_._2)
+    val (bx, rows) = byBucket.maxBy(_._2.length)
+    val ids = rows.map(_._1).toSeq.sorted
+    assert(ids.size > 1, "premise: the touched bucket co-locates other keys")
+    val updKey = ids.head
+    // the committed staging image the crashed merge left behind: the
+    // touched bucket's full merged content (update applied, co-located
+    // rows carried through — exactly what the merge's left-semi scope +
+    // keep-latest window produces)
+    ids.map(i => if (i == updKey) (i, "NEW", 2L) else (i, s"v$i", 1L))
+      .toDF("id", "v", "ver")
+      .withColumn(UpsertWriter.BucketCol,
+        pmod(xxhash64($"id"), lit(8L)).cast("int"))
+      .write.partitionBy(UpsertWriter.BucketCol).parquet(path + ".__pstaging")
+    // crash instant: live leaf renamed aside, promote never ran
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(path + ".__oldparts"))
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$path/__bucket=$bx"),
+      java.nio.file.Paths.get(s"$path.__oldparts/__bucket=$bx"))
+    UpsertWriter.recover(path)
+    val state = spark.read.parquet(path)
+      .select($"id", $"v").as[(Long, String)].collect().toMap
+    assert(state.size == 32, "keys were lost or duplicated across the crash")
+    assert(state(updKey) == "NEW", "the committed merge's update was lost")
+    for (o <- ids.drop(1))
+      assert(state(o) == s"v$o", s"co-located key $o was lost in the window")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(path + ".__pstaging")))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(path + ".__oldparts")))
+    // recovery is idempotent — a second crash-after-recovery changes nothing
+    UpsertWriter.recover(path)
+    assert(spark.read.parquet(path).count() == 32)
+  }
+
+  test("bucketed: an uncommitted staging image is discarded, live table untouched") {
+    val path = tmp()
+    UpsertWriter.upsertBucketed(spark, path,
+      (1L to 8L).map(i => (i, s"v$i", 1L)).toDF("id", "v", "ver"),
+      keys = Seq("id"), versionCol = "ver", numBuckets = 4)
+    val before = spark.read.parquet(path)
+      .select($"id", $"v").as[(Long, String)].collect().toMap
+    // a staging write that died mid-flight: files present, no _SUCCESS
+    Seq((1L, "HALF", 9L)).toDF("id", "v", "ver")
+      .withColumn(UpsertWriter.BucketCol,
+        pmod(xxhash64($"id"), lit(4L)).cast("int"))
+      .write.partitionBy(UpsertWriter.BucketCol).parquet(path + ".__pstaging")
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(path + ".__pstaging", "_SUCCESS"))
+    UpsertWriter.recover(path)
+    assert(spark.read.parquet(path)
+      .select($"id", $"v").as[(Long, String)].collect().toMap == before,
+      "an uncommitted staging image must never reach the table")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(path + ".__pstaging")))
+  }
+
   test("K5 then K1 partitioned: an upsert after truncate rebuilds a clean layout") {
     val path = tmp()
     UpsertWriter.upsert(spark, path,
