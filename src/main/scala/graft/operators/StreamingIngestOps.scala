@@ -454,7 +454,14 @@ object StreamingIngestOps extends OpModule {
     // gates) — and every semantic it pins is id-count-independent, so
     // it runs at HALF the family's cap (the bounded-gate convention,
     // one step further). The mask still widens between batches
-    // (250 → ~480 crosses the 2^3·32 boundary at every SF). ──
+    // (250 → ~480 crosses the 2^3·32 boundary at every SF).
+    //
+    // This one gate drains through the REAL streaming harness
+    // (readStream → AvailableNow → checkpoint, [[drainTwoBatches]]):
+    // the worker family's most complex member keeps one full-harness
+    // oracle row (the r10 replay fix lives exactly in the
+    // harness/processBatch seam), alongside `dedup_ingest_survivors`.
+    // Its bucketed twin below drives processBatch directly. ──
     "ms_ingest_final_state" -> Q(
       (s, d) => {
         val rows = Tables.documents(s, d)
@@ -462,17 +469,57 @@ object StreamingIngestOps extends OpModule {
             "doc_id")
           .filter(col("doc_id") < IdCap / 2)
           .select(col("doc_id"), col("text"), col("embedding"))
-        val wh = driveTwoBatches(s, rows, "doc_id",
-          (b, id, w) => graft.streaming.MultiSignalIngest.processBatch(b, id, w))
+        val wh = drainTwoBatches(s, "ms", rows, "doc_id",
+          (sp, in, w, ck) => graft.streaming.MultiSignalIngest
+            .start(sp, in, w, ck))
         s.read.parquet(s"$wh/ms_survivors")
           .select(col("doc_id").cast(LongType),
             col("batch_id").cast(LongType))
       },
-      Some {
+      Some(msTwinSql(IdCap / 2)),
+      doc = "Streaming gate: multi-signal worker drained through the REAL harness (readStream → AvailableNow → checkpoint) over a 2-batch parity split; final survivors vs a batch-by-batch replay closing the lexical + semantic edge union per batch, corpus drops through either signal",
+      sort = Seq("doc_id")
+    ),
+
+    // ── The SAME multi-signal semantics through the BUCKETED state
+    // tables ([[graft.sinks.UpsertWriter.upsertBucketed]] — the 100 TB
+    // write form, where a batch's keyed merge rewrites touched hash
+    // buckets instead of the whole survivors/index tables). The twin is
+    // the identical replay at a smaller cap (the write LAYOUT is what
+    // this row gates; the mask/cluster semantics are pinned at the
+    // larger cap above): value-equality across layouts is the claim,
+    // and the replay spec additionally crashes a bucketed drain
+    // mid-window. Direct-driven (the harness row is above). ──
+    "msb_ingest_bucketed_state" -> Q(
+      (s, d) => {
+        val rows = Tables.documents(s, d)
+          .join(Tables.embeddings(s, d).withColumnRenamed("vec_id", "doc_id"),
+            "doc_id")
+          .filter(col("doc_id") < IdCap / 4)
+          .select(col("doc_id"), col("text"), col("embedding"))
+        val wh = driveTwoBatches(s, rows, "doc_id",
+          (b, id, w) => graft.streaming.MultiSignalIngest.processBatch(
+            b, id, w, stateBuckets = Some(8)))
+        s.read.parquet(s"$wh/ms_survivors")
+          .select(col("doc_id").cast(LongType),
+            col("batch_id").cast(LongType))
+      },
+      Some(msTwinSql(IdCap / 4)),
+      doc = "Streaming gate: multi-signal worker with hash-bucketed state tables (touched-bucket-only merges); final survivors vs the same batch-by-batch replay — layout must not change semantics",
+      sort = Seq("doc_id")
+    )
+  )
+
+  /** The multi-signal gate's DuckDB replay, parameterized by the doc-id
+    * cap: per-parity lexical bands + Jaccard edges, per-parity masked
+    * cells + multiprobe cosine edges, one recursive closure per batch
+    * over the union, then the two corpus drops. Shared by the plain
+    * (harness-drained) and bucketed gate rows. */
+  private def msTwinSql(cap: Long): String = {
         val baseDocs =
           s"""(SELECT d.doc_id, d.text FROM documents d
              | JOIN embeddings em ON em.vec_id = d.doc_id
-             | WHERE d.doc_id < ${IdCap / 2})""".stripMargin
+             | WHERE d.doc_id < $cap)""".stripMargin
         val jac =
           """len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
             |        / len(list_distinct(sa.shingles || sb.shingles))""".stripMargin
@@ -526,7 +573,7 @@ object StreamingIngestOps extends OpModule {
            |  FROM (SELECT vec_id, label, embedding::DOUBLE[] AS v
            |        FROM embeddings) em
            |  JOIN documents d ON d.doc_id = em.vec_id
-           |  WHERE d.doc_id < ${IdCap / 2}),
+           |  WHERE d.doc_id < $cap),
            |${AnnOps.hyperplaneSigSqlCtes(DedupOps.CellMaxBits)},
            |m0 AS (SELECT ${DedupOps.cellMaskSql} AS mask
            |       FROM (SELECT count(*) AS n FROM sigs WHERE vec_id % 2 = 0)),
@@ -562,9 +609,5 @@ object StreamingIngestOps extends OpModule {
            |WHERE doc_id NOT IN (SELECT doc_id FROM dropL
            |                     UNION SELECT doc_id FROM dropS)
            |ORDER BY doc_id""".stripMargin
-      },
-      doc = "Streaming gate: multi-signal worker drained over a 2-batch parity split; final survivors vs a batch-by-batch replay closing the lexical + semantic edge union per batch, corpus drops through either signal",
-      sort = Seq("doc_id")
-    )
-  )
+  }
 }

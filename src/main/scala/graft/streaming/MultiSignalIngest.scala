@@ -40,9 +40,16 @@ import java.nio.file.{Files, Paths}
   *
   * At corpus scale the keyed merges move to
   * [[graft.sinks.UpsertWriter.upsertBucketed]] (hash-bucket partition
-  * pruning: a batch rewrites touched buckets, not the table) — the
-  * plain form here is the driver-fixture contract, where the whole
-  * state fits one task.
+  * pruning: a batch rewrites touched buckets, not the table) —
+  * WIRED here through `stateBuckets`: `Some(b)` routes the survivors
+  * and index merges through b-way bucketed tables (the 100 TB form; a
+  * batch's write cost is O(batch + touched·bucket), not O(corpus)),
+  * `None` keeps the plain whole-table merge (the driver-fixture
+  * contract, where the whole state fits one task). The admission log
+  * stays plain either way — one row per batch, O(batches) total. The
+  * two layouts are value-identical (the bucketed gate
+  * `msb_ingest_bucketed_state` and the replay spec pin it): `__bucket`
+  * is derived layout, dropped by every serving view.
   */
 object MultiSignalIngest {
 
@@ -81,11 +88,22 @@ object MultiSignalIngest {
       numHashes: Int = 32,
       bandRows: Int = 4,
       jaccardThresh: Double = 0.8,
-      cosThresh: Double = 0.4): Unit = {
+      cosThresh: Double = 0.4,
+      stateBuckets: Option[Int] = None): Unit = {
     val s = batch.sparkSession
     val survivorsDir = s"$warehouseDir/ms_survivors"
     val indexDir = s"$warehouseDir/ms_index"
     val logDir = s"$warehouseDir/ms_log"
+    // the state-table merge: hash-bucketed (touched-bucket-only rewrite)
+    // when stateBuckets is set, whole-table otherwise — same keyed
+    // keep-latest semantics either way (see object doc)
+    def mergeState(dir: String, df: DataFrame, keys: Seq[String]): Unit =
+      stateBuckets match {
+        case Some(b) => UpsertWriter.upsertBucketed(
+          s, dir, df, keys, versionCol = "batch_id", numBuckets = b)
+        case None => UpsertWriter.upsert(
+          s, dir, df, keys, versionCol = "batch_id")
+      }
     val arrivals = batch
       .withColumn("text", coalesce(col("text"), lit("")))
       .withColumn("__seq", monotonically_increasing_id())
@@ -286,14 +304,12 @@ object MultiSignalIngest {
                     // serve the PRE-upsert image
                     committed.foreach(_.unpersist())
                     if (nFresh > 0) timed(batchId, "admit-upserts") {
-                      UpsertWriter.upsert(s, survivorsDir, fresh,
-                        keys = Seq("doc_id"), versionCol = "batch_id")
-                      UpsertWriter.upsert(s, indexDir,
+                      mergeState(survivorsDir, fresh, Seq("doc_id"))
+                      mergeState(indexDir,
                         sigs.join(fresh.select(col("doc_id")),
                           Seq("doc_id"), "left_semi")
                           .withColumn("batch_id", lit(batchId)),
-                        keys = Seq("band", "sig", "doc_id"),
-                        versionCol = "batch_id")
+                        Seq("band", "sig", "doc_id"))
                     }
                     timed(batchId, "log-upsert") {
                       import s.implicits._
@@ -322,7 +338,8 @@ object MultiSignalIngest {
       numHashes: Int = 32,
       bandRows: Int = 4,
       jaccardThresh: Double = 0.8,
-      cosThresh: Double = 0.4): StreamingQuery = {
+      cosThresh: Double = 0.4,
+      stateBuckets: Option[Int] = None): StreamingQuery = {
 
     val schema = spark.read.parquet(inputDir).schema
 
@@ -333,7 +350,7 @@ object MultiSignalIngest {
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, warehouseDir,
-          numHashes, bandRows, jaccardThresh, cosThresh)
+          numHashes, bandRows, jaccardThresh, cosThresh, stateBuckets)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -457,12 +474,14 @@ object MultiSignalIngest {
         StructField("embedding", ArrayType(FloatType)),
         StructField("sig", LongType), StructField("batch_id", LongType),
         StructField("first_admitted_batch", LongType)))))
+      .drop(UpsertWriter.BucketCol) // derived layout, not data (no-op unbucketed)
 
   /** Serving view: the lexical band-signature index. */
   def index(spark: SparkSession, warehouseDir: String): DataFrame =
     tableOrEmpty(spark, s"$warehouseDir/ms_index", StructType(Seq(
       StructField("doc_id", LongType), StructField("band", IntegerType),
       StructField("sig", StringType), StructField("batch_id", LongType))))
+      .drop(UpsertWriter.BucketCol)
 
   /** Serving view: the per-batch admission log. */
   def ingestLog(spark: SparkSession, warehouseDir: String): DataFrame =

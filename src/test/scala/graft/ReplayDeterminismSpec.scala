@@ -119,7 +119,16 @@ class ReplayDeterminismSpec extends AnyFunSuite {
       s"admission log diverged: $log")
   }
 
-  test("MultiSignalIngest: crash between upsert and checkpoint with a re-delivered admitted key — replay restates identical state") {
+  /** The multi-signal crash-replay scenario, parameterized by the
+    * state-table layout: plain whole-table merges or hash-bucketed
+    * ([[graft.sinks.UpsertWriter.upsertBucketed]]) — the same fixture,
+    * crash point, and assertions must hold for both, and the bucketed
+    * run's final state must equal the plain run's (layout is not
+    * semantics). Returns the clean run's state for cross-layout
+    * comparison. */
+  private def msReplayScenario(
+      tag: String, stateBuckets: Option[Int]): (Set[(Long, Long, Long)],
+      Set[(Long, Int, String, Long)], Seq[(Long, Long, Long, Long, Long)]) = {
     val (y1, y2) = splitPair
     def tx(i: Long): String =
       (1 to 10).map(k => s"w${i}x$k").mkString(" ") // disjoint vocabularies
@@ -142,24 +151,49 @@ class ReplayDeterminismSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
           r.getLong(3), r.getLong(4))).toSeq)
 
-    val whClean = Files.createTempDirectory("graft-replay-ms-clean").toString
-    MultiSignalIngest.processBatch(b0, 0, whClean)
-    MultiSignalIngest.processBatch(b1, 1, whClean)
+    val whClean = Files.createTempDirectory(s"graft-replay-$tag-clean").toString
+    MultiSignalIngest.processBatch(b0, 0, whClean, stateBuckets = stateBuckets)
+    MultiSignalIngest.processBatch(b1, 1, whClean, stateBuckets = stateBuckets)
 
-    val whCrash = Files.createTempDirectory("graft-replay-ms-crash").toString
-    MultiSignalIngest.processBatch(b0, 0, whCrash)
-    MultiSignalIngest.processBatch(b1, 1, whCrash) // attempt: state written…
-    MultiSignalIngest.processBatch(b1, 1, whCrash) // …not committed: replay
+    val whCrash = Files.createTempDirectory(s"graft-replay-$tag-crash").toString
+    MultiSignalIngest.processBatch(b0, 0, whCrash, stateBuckets = stateBuckets)
+    // attempt: every state table fully merged (incl. the touched-bucket
+    // merges when bucketed)…
+    MultiSignalIngest.processBatch(b1, 1, whCrash, stateBuckets = stateBuckets)
+    // …checkpoint never committed: the harness re-delivers the batch
+    MultiSignalIngest.processBatch(b1, 1, whCrash, stateBuckets = stateBuckets)
 
     assert(state(whCrash) == state(whClean),
-      s"replay diverged from the never-crashed run")
+      s"[$tag] replay diverged from the never-crashed run")
+    stateBuckets.foreach { _ =>
+      assert(Files.exists(java.nio.file.Paths.get(
+        s"$whClean/ms_survivors.__buckets")),
+        "premise: the bucketed run must actually pin a bucketed layout")
+    }
 
-    val (surv, _, log) = state(whClean)
+    val st @ (surv, _, log) = state(whClean)
     assert(surv.map(_._1).intersect(Set(101L, 102L)) == Set(101L, 102L),
-      s"split pair not admitted separately under the 2-bit mask: $surv")
+      s"[$tag] split pair not admitted separately under the 2-bit mask: $surv")
     assert(surv.contains((0L, 1L, 0L)),
-      s"re-delivered key lost its immutable first_admitted_batch: $surv")
+      s"[$tag] re-delivered key lost its immutable first_admitted_batch: $surv")
     assert(log == Seq((0L, 30L, 0L, 0L, 30L), (1L, 35L, 0L, 1L, 34L)),
-      s"admission log diverged: $log")
+      s"[$tag] admission log diverged: $log")
+    st
   }
+
+  test("MultiSignalIngest: crash between upsert and checkpoint with a re-delivered admitted key — replay restates identical state") {
+    plainMsState = Some(msReplayScenario("ms", None))
+  }
+
+  test("MultiSignalIngest BUCKETED state tables: the same crash replay restates identical state, and the layouts agree") {
+    val bucketed = msReplayScenario("msb", Some(8))
+    // layout must not change semantics: compare against the plain run
+    // (re-derived here if scalatest ever reorders the two tests)
+    val plain = plainMsState.getOrElse(msReplayScenario("ms2", None))
+    assert(bucketed == plain,
+      "bucketed and plain state-table layouts diverged in VALUE")
+  }
+
+  @volatile private var plainMsState: Option[(Set[(Long, Long, Long)],
+    Set[(Long, Int, String, Long)], Seq[(Long, Long, Long, Long, Long)])] = None
 }
