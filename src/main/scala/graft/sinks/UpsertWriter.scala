@@ -204,6 +204,16 @@ object UpsertWriter {
       versionCol: String,
       partitionBy: Seq[String] = Nil): Unit = {
 
+    // a table pinned by a bucket marker must only be merged through
+    // [[upsertBucketed]] (which calls back here with partitionBy =
+    // BucketCol): a plain merge would rewrite it UNpartitioned, leaving
+    // flattened root files a later bucketed merge's leaf-directory swap
+    // never replaces — every key they hold would silently duplicate
+    require(!Files.exists(bucketMarker(path)) ||
+        partitionBy == Seq(BucketCol),
+      s"table at $path is pinned ${pinnedBuckets(path).getOrElse(0)}-way " +
+        "bucketed; merge it through upsertBucketed, not a plain upsert")
+
     recover(path)
 
     // __seq: within-batch arrival order (partition-major), the tertiary
@@ -266,6 +276,17 @@ object UpsertWriter {
 
   private def bucketMarker(path: String) =
     Paths.get(path + ".__buckets")
+
+  /** The bucket count pinned at `path` by a previous [[upsertBucketed]],
+    * if any — how a maintenance pass (e.g. [[graft.streaming.AnnIngest
+    * .refit]]) discovers that a table it is about to rewrite keyed must
+    * ride the bucketed merge. The marker, not the directory layout, is
+    * authoritative: it survives compaction and truncation. */
+  def pinnedBuckets(path: String): Option[Int] =
+    if (!Files.exists(bucketMarker(path))) None
+    else Some(new String(
+      Files.readAllBytes(bucketMarker(path)),
+      java.nio.charset.StandardCharsets.UTF_8).trim.toInt)
 
   /** Keyed upsert with HASH-BUCKET pruning — the 100 TB form of [[upsert]]
     * for tables whose natural key has no time/partition structure (dedup

@@ -52,7 +52,8 @@ object AnnIngest {
       batch: DataFrame,
       batchId: Long,
       warehouseDir: String,
-      dim: Int = 64): Unit = {
+      dim: Int = 64,
+      stateBuckets: Option[Int] = None): Unit = {
     val s = batch.sparkSession
     val centroidsDir = s"$warehouseDir/ann_centroids"
     val indexDir = s"$warehouseDir/ann_index"
@@ -76,8 +77,17 @@ object AnnIngest {
             val assigned = nearestCell(vecs, cents)
               .select(col("cell"), col("vec_id"), col("label"),
                 col("v"), col("norm"), lit(batchId).as("batch_id"))
-            UpsertWriter.upsert(s, indexDir, assigned,
-              keys = Seq("vec_id"), versionCol = "batch_id")
+            // postings merge: hash-bucketed touched-bucket-only rewrite
+            // when stateBuckets is set (the family's shared 100 TB
+            // contract, [[MultiSignalIngest]] object doc); the k-row
+            // centroid table and the one-row-per-batch log stay plain
+            stateBuckets match {
+              case Some(b) => UpsertWriter.upsertBucketed(s, indexDir,
+                assigned, keys = Seq("vec_id"), versionCol = "batch_id",
+                numBuckets = b)
+              case None => UpsertWriter.upsert(s, indexDir, assigned,
+                keys = Seq("vec_id"), versionCol = "batch_id")
+            }
             // batch stats for the log, in ONE audit pass over the
             // BATCH-LOCAL assignment (replay-deterministic: assignment
             // is a pure function of the cached batch and the frozen
@@ -120,7 +130,8 @@ object AnnIngest {
       warehouseDir: String,
       checkpointDir: String,
       filesPerTrigger: Int = 1,
-      dim: Int = 64): StreamingQuery = {
+      dim: Int = 64,
+      stateBuckets: Option[Int] = None): StreamingQuery = {
 
     val schema = spark.read.parquet(inputDir).schema
 
@@ -130,7 +141,7 @@ object AnnIngest {
       .parquet(inputDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(batch, batchId, warehouseDir, dim)
+        processBatch(batch, batchId, warehouseDir, dim, stateBuckets)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -269,8 +280,20 @@ object AnnIngest {
     try {
       val nMoved = reassigned
         .filter(col("cell") =!= col("__old_cell")).count()
-      UpsertWriter.upsert(spark, indexDir, reassigned.drop("__old_cell"),
-        keys = Seq("vec_id"), versionCol = "batch_id")
+      // a refresh follows the table's own pinned layout: reassignment
+      // changes `cell`, never the vec_id key, so every row lands back in
+      // its pinned bucket — the rewrite touches all buckets (a refit is
+      // O(index) by design) but keeps the layout a later ingest merge
+      // prunes against. A plain upsert here would flatten a bucketed
+      // index (and the writer now refuses it).
+      UpsertWriter.pinnedBuckets(indexDir) match {
+        case Some(b) => UpsertWriter.upsertBucketed(spark, indexDir,
+          reassigned.drop("__old_cell", UpsertWriter.BucketCol),
+          keys = Seq("vec_id"), versionCol = "batch_id", numBuckets = b)
+        case None => UpsertWriter.upsert(spark, indexDir,
+          reassigned.drop("__old_cell"),
+          keys = Seq("vec_id"), versionCol = "batch_id")
+      }
       nMoved
     } finally { reassigned.unpersist(blocking = true); () }
   }
@@ -400,6 +423,7 @@ object AnnIngest {
       StructField("label", IntegerType),
       StructField("v", ArrayType(DoubleType)),
       StructField("norm", DoubleType), StructField("batch_id", LongType))))
+      .drop(graft.sinks.UpsertWriter.BucketCol) // layout, not data
 
   /** Serving view: the per-batch ingest log. `cell_max_share` is the
     * hottest cell's share of that batch's assignments — the quantizer

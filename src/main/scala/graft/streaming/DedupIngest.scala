@@ -61,7 +61,8 @@ object DedupIngest {
       inputDir: String,
       warehouseDir: String,
       checkpointDir: String,
-      filesPerTrigger: Int = 1): StreamingQuery = {
+      filesPerTrigger: Int = 1,
+      stateBuckets: Option[Int] = None): StreamingQuery = {
 
     val survivorsDir = s"$warehouseDir/dedup_survivors"
     val logDir = s"$warehouseDir/dedup_log"
@@ -117,9 +118,17 @@ object DedupIngest {
             val nFresh = fresh.count()
             val nBatchDupes = nIn - winners.count()
 
-            if (nFresh > 0)
-              UpsertWriter.upsert(s, survivorsDir, fresh,
+            // hash-bucketed touched-bucket-only merge when stateBuckets
+            // is set (the 100 TB form — the family's shared contract,
+            // [[MultiSignalIngest]] object doc); whole-table otherwise
+            if (nFresh > 0) stateBuckets match {
+              case Some(b) => UpsertWriter.upsertBucketed(
+                s, survivorsDir, fresh,
+                keys = Seq("content_hash"), versionCol = "batch_id",
+                numBuckets = b)
+              case None => UpsertWriter.upsert(s, survivorsDir, fresh,
                 keys = Seq("content_hash"), versionCol = "batch_id")
+            }
 
             // admissions = nFresh, attempt-invariant because `seen`
             // excludes this batch's own crashed-attempt rows (above) —
@@ -160,6 +169,7 @@ object DedupIngest {
         StructField("text", StringType),
         StructField("content_hash", LongType),
         StructField("batch_id", LongType))))
+      .drop(UpsertWriter.BucketCol) // derived layout, not data (no-op unbucketed)
 
   /** Serving view: the per-batch admission log. */
   def ingestLog(spark: SparkSession, warehouseDir: String): DataFrame =

@@ -116,10 +116,22 @@ object EmbedIngest {
       batch: DataFrame,
       batchId: Long,
       warehouseDir: String,
-      thresh: Double = 0.4): Unit = {
+      thresh: Double = 0.4,
+      stateBuckets: Option[Int] = None): Unit = {
     val s = batch.sparkSession
     val survivorsDir = s"$warehouseDir/embed_survivors"
     val logDir = s"$warehouseDir/embed_log"
+    // survivors merge: hash-bucketed touched-bucket-only rewrite when
+    // stateBuckets is set (the 100 TB form), whole-table otherwise —
+    // the family's shared contract ([[MultiSignalIngest]] object doc).
+    // The log stays plain either way (one row per batch).
+    def mergeState(dir: String, df: DataFrame, keys: Seq[String]): Unit =
+      stateBuckets match {
+        case Some(b) => UpsertWriter.upsertBucketed(
+          s, dir, df, keys, versionCol = "batch_id", numBuckets = b)
+        case None => UpsertWriter.upsert(
+          s, dir, df, keys, versionCol = "batch_id")
+      }
     val arrivals = batch
       .withColumn("__seq", monotonically_increasing_id())
       .persist()
@@ -275,8 +287,7 @@ object EmbedIngest {
               // path would silently serve the PRE-upsert image
               committed.foreach(_.unpersist())
               if (nFresh > 0)
-                UpsertWriter.upsert(s, survivorsDir, fresh,
-                  keys = Seq("vec_id"), versionCol = "batch_id")
+                mergeState(survivorsDir, fresh, Seq("vec_id"))
 
               import s.implicits._
               UpsertWriter.upsert(s, logDir,
@@ -303,7 +314,8 @@ object EmbedIngest {
       warehouseDir: String,
       checkpointDir: String,
       filesPerTrigger: Int = 1,
-      thresh: Double = 0.4): StreamingQuery = {
+      thresh: Double = 0.4,
+      stateBuckets: Option[Int] = None): StreamingQuery = {
 
     val schema = spark.read.parquet(inputDir).schema
 
@@ -313,7 +325,7 @@ object EmbedIngest {
       .parquet(inputDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(batch, batchId, warehouseDir, thresh)
+        processBatch(batch, batchId, warehouseDir, thresh, stateBuckets)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -392,6 +404,7 @@ object EmbedIngest {
         StructField("embedding", ArrayType(FloatType)),
         StructField("sig", LongType), StructField("batch_id", LongType),
         StructField("first_admitted_batch", LongType)))))
+      .drop(UpsertWriter.BucketCol) // derived layout, not data (no-op unbucketed)
 
   /** Serving view: the per-batch admission log. */
   def ingestLog(spark: SparkSession, warehouseDir: String): DataFrame =

@@ -78,11 +78,22 @@ object NearDupIngest {
       warehouseDir: String,
       numHashes: Int = 32,
       bandRows: Int = 4,
-      thresh: Double = 0.8): Unit = {
+      thresh: Double = 0.8,
+      stateBuckets: Option[Int] = None): Unit = {
     val s = batch.sparkSession
     val survivorsDir = s"$warehouseDir/neardup_survivors"
     val indexDir = s"$warehouseDir/neardup_index"
     val logDir = s"$warehouseDir/neardup_log"
+    // state-table merge: hash-bucketed touched-bucket-only rewrite when
+    // stateBuckets is set (the 100 TB form), whole-table otherwise —
+    // the family's shared contract ([[MultiSignalIngest]] object doc)
+    def mergeState(dir: String, df: DataFrame, keys: Seq[String]): Unit =
+      stateBuckets match {
+        case Some(b) => UpsertWriter.upsertBucketed(
+          s, dir, df, keys, versionCol = "batch_id", numBuckets = b)
+        case None => UpsertWriter.upsert(
+          s, dir, df, keys, versionCol = "batch_id")
+      }
         // NULL text → '' (same reasoning as DedupIngest: NULL must be
         // one content class, not an ever-fresh row); word_shingles('')
         // is empty, so null/short docs are singletons that always admit
@@ -189,12 +200,11 @@ object NearDupIngest {
               try {
                 val nFresh = timed(batchId, "corpus-check")(fresh.count())
                 if (nFresh > 0) timed(batchId, "admit-upserts") {
-                  UpsertWriter.upsert(s, survivorsDir, fresh,
-                    keys = Seq("doc_id"), versionCol = "batch_id")
-                  UpsertWriter.upsert(s, indexDir,
+                  mergeState(survivorsDir, fresh, Seq("doc_id"))
+                  mergeState(indexDir,
                     sigs.join(fresh.select(col("doc_id")), Seq("doc_id"), "left_semi")
                       .withColumn("batch_id", lit(batchId)),
-                    keys = Seq("band", "sig", "doc_id"), versionCol = "batch_id")
+                    Seq("band", "sig", "doc_id"))
                 }
 
                 // log LAST; admissions = the fresh set itself. The table
@@ -235,7 +245,8 @@ object NearDupIngest {
       filesPerTrigger: Int = 1,
       numHashes: Int = 32,
       bandRows: Int = 4,
-      thresh: Double = 0.8): StreamingQuery = {
+      thresh: Double = 0.8,
+      stateBuckets: Option[Int] = None): StreamingQuery = {
 
     val schema = spark.read.parquet(inputDir).schema
 
@@ -245,7 +256,8 @@ object NearDupIngest {
       .parquet(inputDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(batch, batchId, warehouseDir, numHashes, bandRows, thresh)
+        processBatch(batch, batchId, warehouseDir, numHashes, bandRows,
+          thresh, stateBuckets)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -265,12 +277,14 @@ object NearDupIngest {
     tableOrEmpty(spark, s"$warehouseDir/neardup_survivors", StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType),
       StructField("batch_id", LongType))))
+      .drop(UpsertWriter.BucketCol) // derived layout, not data (no-op unbucketed)
 
   /** Serving view: the stored band-signature index. */
   def index(spark: SparkSession, warehouseDir: String): DataFrame =
     tableOrEmpty(spark, s"$warehouseDir/neardup_index", StructType(Seq(
       StructField("doc_id", LongType), StructField("band", IntegerType),
       StructField("sig", StringType), StructField("batch_id", LongType))))
+      .drop(UpsertWriter.BucketCol)
 
   /** Serving view: the per-batch admission log. */
   def ingestLog(spark: SparkSession, warehouseDir: String): DataFrame =

@@ -1,0 +1,122 @@
+package graft
+
+import graft.sinks.UpsertWriter
+import graft.streaming.{AnnIngest, DedupIngest, EmbedIngest, NearDupIngest}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+
+/** The 100 TB write form across the WHOLE worker family: every worker
+  * takes `stateBuckets`, and `Some(b)` must be pure LAYOUT — the final
+  * warehouse state (survivors, index, log) is value-identical to the
+  * plain whole-table-merge run, the bucket pin exists, and maintenance
+  * passes follow the pinned layout instead of flattening it. The
+  * multi-signal worker's twin lives in ReplayDeterminismSpec (with the
+  * crash window); this suite covers the other four.
+  */
+class BucketedWorkersSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def vec(i: Int, n: Int = 16): Seq[Float] =
+    Seq.tabulate(n)(d => if (d == i % n) 1f else 0.01f * ((i + d) % 7))
+
+  private def docsDF(ids: Seq[Long]): DataFrame =
+    ids.map(i => (i, if (i % 5 == 0) "the shared near dup text body repeated"
+      else s"unique text ${i} " + (1 to 8).map(k => s"w${i}x$k").mkString(" ")))
+      .toDF("doc_id", "text")
+
+  private def collectSet(df: DataFrame): Set[String] =
+    df.collect().map(_.toString).toSet
+
+  test("NearDupIngest: bucketed state tables equal the plain run's, pin present") {
+    val ids = (0L until 40L)
+    def drive(buckets: Option[Int]): String = {
+      val wh = Files.createTempDirectory("graft-bw-nd").resolve("wh").toString
+      NearDupIngest.processBatch(
+        docsDF(ids.filter(_ % 2 == 0)), 0L, wh, stateBuckets = buckets)
+      NearDupIngest.processBatch(
+        docsDF(ids.filter(_ % 2 == 1)), 1L, wh, stateBuckets = buckets)
+      wh
+    }
+    val (plain, bucketed) = (drive(None), drive(Some(4)))
+    assert(Files.exists(Paths.get(s"$bucketed/neardup_survivors.__buckets")),
+      "premise: the bucketed run pinned its layout")
+    for (view <- Seq(
+        NearDupIngest.survivors(spark, _: String),
+        NearDupIngest.index(spark, _: String),
+        NearDupIngest.ingestLog(spark, _: String)))
+      assert(collectSet(view(bucketed)) == collectSet(view(plain)),
+        "bucketed and plain layouts diverged in value")
+  }
+
+  test("EmbedIngest: bucketed survivors equal the plain run's") {
+    val mk = (p: Int) => (0 until 30).filter(_ % 2 == p)
+      .map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    def drive(buckets: Option[Int]): String = {
+      val wh = Files.createTempDirectory("graft-bw-em").resolve("wh").toString
+      EmbedIngest.processBatch(mk(0), 0L, wh, stateBuckets = buckets)
+      EmbedIngest.processBatch(mk(1), 1L, wh, stateBuckets = buckets)
+      wh
+    }
+    val (plain, bucketed) = (drive(None), drive(Some(4)))
+    assert(collectSet(EmbedIngest.survivors(spark, bucketed)) ==
+      collectSet(EmbedIngest.survivors(spark, plain)))
+    assert(collectSet(EmbedIngest.ingestLog(spark, bucketed)) ==
+      collectSet(EmbedIngest.ingestLog(spark, plain)))
+  }
+
+  test("DedupIngest: bucketed drain through the real harness equals the plain run's") {
+    def drive(buckets: Option[Int]): String = {
+      val base = Files.createTempDirectory("graft-bw-dd")
+      val flat = base.resolve("in").toString
+      new java.io.File(flat).mkdirs()
+      StreamFiles.landOne(base, flat, "b0", docsDF((0L until 40L).filter(_ % 2 == 0)))
+      StreamFiles.landOne(base, flat, "b1", docsDF((0L until 40L).filter(_ % 2 == 1)))
+      val wh = base.resolve("wh").toString
+      val q = DedupIngest.start(spark, flat, wh,
+        base.resolve("ckpt").toString, stateBuckets = buckets)
+      assert(q.awaitTermination(120000), "drain did not finish")
+      wh
+    }
+    val (plain, bucketed) = (drive(None), drive(Some(4)))
+    assert(Files.exists(Paths.get(s"$bucketed/dedup_survivors.__buckets")))
+    assert(collectSet(DedupIngest.survivors(spark, bucketed)) ==
+      collectSet(DedupIngest.survivors(spark, plain)))
+    assert(collectSet(DedupIngest.ingestLog(spark, bucketed)) ==
+      collectSet(DedupIngest.ingestLog(spark, plain)))
+  }
+
+  test("AnnIngest: bucketed postings equal the plain run's; refit follows the pinned layout") {
+    val mk = (p: Int) => (0 until 24).filter(_ % 2 == p)
+      .map(i => (i.toLong, vec(i), i % 4)).toDF("vec_id", "embedding", "label")
+    def drive(buckets: Option[Int]): String = {
+      val wh = Files.createTempDirectory("graft-bw-ann").resolve("wh").toString
+      AnnIngest.processBatch(mk(0), 0L, wh, stateBuckets = buckets)
+      AnnIngest.processBatch(mk(1), 1L, wh, stateBuckets = buckets)
+      wh
+    }
+    val (plain, bucketed) = (drive(None), drive(Some(4)))
+    assert(collectSet(AnnIngest.index(spark, bucketed)) ==
+      collectSet(AnnIngest.index(spark, plain)))
+    // the maintenance pass must ride the pinned layout, not flatten it:
+    // refit on BOTH, results still equal, bucket dirs still present
+    AnnIngest.refit(spark, plain, dim = 16)
+    AnnIngest.refit(spark, bucketed, dim = 16)
+    assert(collectSet(AnnIngest.index(spark, bucketed)) ==
+      collectSet(AnnIngest.index(spark, plain)),
+      "refit diverged across layouts")
+    val bucketDirs = new java.io.File(s"$bucketed/ann_index").listFiles()
+      .count(f => f.isDirectory &&
+        f.getName.startsWith(s"${UpsertWriter.BucketCol}="))
+    assert(bucketDirs > 0, "refit flattened the bucketed postings layout")
+    // and a plain upsert on the pinned table is refused loudly
+    val e = intercept[IllegalArgumentException] {
+      UpsertWriter.upsert(spark, s"$bucketed/ann_index",
+        Seq((99L, 0L)).toDF("vec_id", "batch_id"),
+        keys = Seq("vec_id"), versionCol = "batch_id")
+    }
+    assert(e.getMessage.contains("pinned"))
+  }
+}
