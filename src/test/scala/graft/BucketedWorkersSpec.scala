@@ -88,6 +88,70 @@ class BucketedWorkersSpec extends AnyFunSuite {
       collectSet(DedupIngest.ingestLog(spark, plain)))
   }
 
+  test("serving paths read a bucketed warehouse identically to a plain one") {
+    // the query-side endpoints (EmbedIngest.nearDuplicates,
+    // MultiSignalIngest.wouldAdmit, AnnIngest.search) consume the
+    // serving views; a bucketed layout must be invisible to them
+    val mkVecs = (p: Int) => (0 until 30).filter(_ % 2 == p)
+      .map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    def emDrive(buckets: Option[Int]): String = {
+      val wh = Files.createTempDirectory("graft-bw-serve-em")
+        .resolve("wh").toString
+      EmbedIngest.processBatch(mkVecs(0), 0L, wh, stateBuckets = buckets)
+      EmbedIngest.processBatch(mkVecs(1), 1L, wh, stateBuckets = buckets)
+      wh
+    }
+    val (emPlain, emBucketed) = (emDrive(None), emDrive(Some(4)))
+    val queries = Seq((1000L, vec(3)), (1001L, vec(7)))
+      .toDF("query_id", "embedding")
+    assert(
+      collectSet(EmbedIngest.nearDuplicates(spark, emBucketed, queries)) ==
+        collectSet(EmbedIngest.nearDuplicates(spark, emPlain, queries)),
+      "nearDuplicates diverged across layouts")
+
+    def msDrive(buckets: Option[Int]): String = {
+      val wh = Files.createTempDirectory("graft-bw-serve-ms")
+        .resolve("wh").toString
+      val mk = (p: Int) => (0 until 30).filter(_ % 2 == p)
+        .map(i => (i.toLong, s"text ${i} " +
+          (1 to 6).map(k => s"w${i}x$k").mkString(" "), vec(i)))
+        .toDF("doc_id", "text", "embedding")
+      graft.streaming.MultiSignalIngest.processBatch(
+        mk(0), 0L, wh, stateBuckets = buckets)
+      graft.streaming.MultiSignalIngest.processBatch(
+        mk(1), 1L, wh, stateBuckets = buckets)
+      wh
+    }
+    val (msPlain, msBucketed) = (msDrive(None), msDrive(Some(4)))
+    val cands = Seq(
+      (2000L, "text 4 " + (1 to 6).map(k => s"w4x$k").mkString(" "), vec(4)),
+      (2001L, "completely different words entirely", vec(11)))
+      .toDF("query_id", "text", "embedding")
+    assert(
+      collectSet(graft.streaming.MultiSignalIngest
+        .wouldAdmit(spark, msBucketed, cands)) ==
+        collectSet(graft.streaming.MultiSignalIngest
+          .wouldAdmit(spark, msPlain, cands)),
+      "wouldAdmit diverged across layouts")
+
+    val mkAnn = (p: Int) => (0 until 24).filter(_ % 2 == p)
+      .map(i => (i.toLong, vec(i), i % 4)).toDF("vec_id", "embedding", "label")
+    def annDrive(buckets: Option[Int]): String = {
+      val wh = Files.createTempDirectory("graft-bw-serve-ann")
+        .resolve("wh").toString
+      AnnIngest.processBatch(mkAnn(0), 0L, wh, stateBuckets = buckets)
+      AnnIngest.processBatch(mkAnn(1), 1L, wh, stateBuckets = buckets)
+      wh
+    }
+    val (annPlain, annBucketed) = (annDrive(None), annDrive(Some(4)))
+    val annQ = graft.operators.AnnOps.withNorm(
+      Seq((3000L, vec(5), 0)).toDF("vec_id", "embedding", "label"))
+    assert(
+      collectSet(AnnIngest.search(spark, annBucketed, annQ, k = 3, nprobe = 4)) ==
+        collectSet(AnnIngest.search(spark, annPlain, annQ, k = 3, nprobe = 4)),
+      "ANN search diverged across layouts")
+  }
+
   test("AnnIngest: bucketed postings equal the plain run's; refit follows the pinned layout") {
     val mk = (p: Int) => (0 until 24).filter(_ % 2 == p)
       .map(i => (i.toLong, vec(i), i % 4)).toDF("vec_id", "embedding", "label")
