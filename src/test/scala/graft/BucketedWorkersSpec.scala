@@ -88,6 +88,56 @@ class BucketedWorkersSpec extends AnyFunSuite {
       collectSet(DedupIngest.ingestLog(spark, plain)))
   }
 
+  test("DedupIngest BUCKETED: kill mid-drain, resume — exactly-once holds over the bucketed layout") {
+    // the harshest harness condition for the bucketed write path: a
+    // kill can land INSIDE a touched-bucket merge (staging write, leaf
+    // swap, or between the survivors and log upserts); resume must
+    // recover the swap and restate, never duplicate or lose a key —
+    // the plain-layout twin lives in DedupIngestStreamSpec
+    val base = Files.createTempDirectory("graft-bw-ddkill")
+    val flat = base.resolve("docs").toString
+    val wh = base.resolve("wh").toString
+    val ckpt = base.resolve("ckpt").toString
+    new java.io.File(flat).mkdirs()
+    StreamFiles.landOne(base, flat, "f0",
+      Seq((12L, "alpha"), (11L, "alpha"), (20L, "beta")).toDF("doc_id", "text"))
+    StreamFiles.landOne(base, flat, "f1",
+      Seq((1L, "alpha"), (30L, "gamma")).toDF("doc_id", "text"))
+    StreamFiles.landOne(base, flat, "f2",
+      Seq((40L, "alpha"), (41L, "beta"), (42L, "gamma")).toDF("doc_id", "text"))
+
+    val survivorsDir = s"$wh/dedup_survivors"
+    def admitted(): Long =
+      if (!Files.exists(Paths.get(survivorsDir, "_SUCCESS"))) 0L
+      else DedupIngest.survivors(spark, wh).count()
+    val q1 = DedupIngest.start(spark, flat, wh, ckpt, stateBuckets = Some(4))
+    val deadline = System.currentTimeMillis() + 120000
+    while (admitted() < 1 && System.currentTimeMillis() < deadline)
+      Thread.sleep(100)
+    q1.stop(); q1.awaitTermination(60000)
+    val afterKill = admitted()
+    assert(afterKill >= 1, "run 1 never admitted a row")
+
+    val q2 = DedupIngest.start(spark, flat, wh, ckpt, stateBuckets = Some(4))
+    assert(q2.awaitTermination(120000), "resume did not drain")
+
+    assert(Files.exists(Paths.get(s"$survivorsDir.__buckets")),
+      "premise: the drain wrote a bucketed layout")
+    val got = DedupIngest.survivors(spark, wh)
+      .select(col("text"), col("doc_id"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("alpha" -> 11L, "beta" -> 20L, "gamma" -> 30L),
+      s"survivors diverged over the bucketed layout: $got")
+    val log = DedupIngest.ingestLog(spark, wh).orderBy(col("batch_id"))
+      .select(col("n_in"), col("n_batch_dupes"), col("n_seen_before"),
+        col("n_admitted"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(log.toSeq == Seq((3L, 1L, 0L, 2L), (2L, 0L, 1L, 1L),
+      (3L, 0L, 3L, 0L)),
+      s"admission log diverged over the bucketed layout: ${log.toSeq}")
+  }
+
   test("serving paths read a bucketed warehouse identically to a plain one") {
     // the query-side endpoints (EmbedIngest.nearDuplicates,
     // MultiSignalIngest.wouldAdmit, AnnIngest.search) consume the
