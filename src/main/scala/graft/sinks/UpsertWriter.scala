@@ -229,8 +229,20 @@ object UpsertWriter {
       dedup(seqd, keys, versionCol)
     } else {
       val existing = spark.read.parquet(path)
+      // SCHEMA GROWTH disables partition pruning for this one merge: a
+      // batch carrying a column the table lacks must rewrite EVERY
+      // partition, because parquet has no table-level schema — a plain
+      // read samples one file's footer, and an untouched partition's
+      // old-schema files would make the new column invisible (or
+      // visible nondeterministically, by sampling order). Growing the
+      // schema is a rare deliberate event; paying one full rewrite for
+      // it keeps every later plain read of the table correct. Updates
+      // MISSING columns need no such care (the surviving row reads
+      // NULL there; the written schema is unchanged).
+      val schemaGrew =
+        (updates.columns.toSet -- existing.columns).nonEmpty
       val scoped =
-        if (partitionBy.isEmpty) existing
+        if (partitionBy.isEmpty || schemaGrew) existing
         else // only partitions the updates touch participate in the rewrite
           existing.join(
             broadcast(updates.select(partitionBy.map(col): _*).distinct()),

@@ -352,6 +352,32 @@ class UpsertWriterSpec extends AnyFunSuite {
       java.nio.file.Paths.get(path + ".__pstaging")))
   }
 
+  test("bucketed: additive schema evolution is visible to a plain read of the whole table") {
+    // the partitioned hazard the unpartitioned evolution test can't see:
+    // a batch carrying a NEW column rewrites only its touched buckets,
+    // so untouched bucket directories keep files WITHOUT the column —
+    // and a plain parquet read samples one footer for the schema, which
+    // may hide the new column (or surface it) depending on which file
+    // wins. The writer must make the union schema authoritative for
+    // the whole table, not just the touched leaves.
+    val path = tmp()
+    UpsertWriter.upsertBucketed(spark, path,
+      (1L to 32L).map(i => (i, s"v$i", 1L)).toDF("id", "v", "ver"),
+      keys = Seq("id"), versionCol = "ver", numBuckets = 8)
+    UpsertWriter.upsertBucketed(spark, path,
+      Seq((7L, "v7b", 2L, "extra")).toDF("id", "v", "ver", "note"),
+      keys = Seq("id"), versionCol = "ver", numBuckets = 8)
+    val df = spark.read.parquet(path)
+    assert(df.count() == 32)
+    assert(df.columns.contains("note"),
+      "a plain read of the evolved table must surface the new column")
+    val notes = df.select($"id", $"note").as[(Long, Option[String])]
+      .collect().toMap
+    assert(notes(7L) == Some("extra"))
+    assert(notes.filter(_._1 != 7L).values.forall(_.isEmpty),
+      "untouched rows must read the new column as NULL")
+  }
+
   test("K5 then K1 partitioned: an upsert after truncate rebuilds a clean layout") {
     val path = tmp()
     UpsertWriter.upsert(spark, path,
