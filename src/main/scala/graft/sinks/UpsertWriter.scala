@@ -243,10 +243,21 @@ object UpsertWriter {
         (updates.columns.toSet -- existing.columns).nonEmpty
       val scoped =
         if (partitionBy.isEmpty || schemaGrew) existing
-        else // only partitions the updates touch participate in the rewrite
-          existing.join(
-            broadcast(updates.select(partitionBy.map(col): _*).distinct()),
-            partitionBy, "left_semi")
+        else {
+          // only partitions the updates touch participate in the
+          // rewrite. NULL-SAFE equality (<=>), not a plain equi-join: a
+          // NULL partition value lands in the default-partition
+          // directory like any other, but null = null is FALSE in an
+          // equi-join, so a batch updating that partition would scope
+          // OUT the existing null rows and the leaf swap would then
+          // replace the directory without them — silently dropping
+          // every prior null-partition key the batch didn't carry
+          val touched = broadcast(
+            updates.select(partitionBy.map(col): _*).distinct())
+          val cond = partitionBy
+            .map(c => existing(c) <=> touched(c)).reduce(_ && _)
+          existing.join(touched, cond, "left_semi")
+        }
       // allowMissingColumns = additive schema evolution: an updates
       // batch may carry columns the table doesn't have yet (existing
       // rows read them as NULL) or omit columns the table has (the
@@ -367,10 +378,13 @@ object UpsertWriter {
       .drop("__rn", "__upd", "__seq")
   }
 
-  /** K5: truncate = overwrite the table with an empty slice of itself. */
+  /** K5: truncate = overwrite the table with an empty slice of itself.
+    * mergeSchema on the read for the same reason as [[compact]]: the
+    * empty replacement must keep the UNION schema, not one sampled
+    * file's. */
   def truncate(spark: SparkSession, path: String): Unit = {
     recover(path)
-    val empty = spark.read.parquet(path).limit(0)
+    val empty = spark.read.option("mergeSchema", "true").parquet(path).limit(0)
     swapIn(path) { staging =>
       empty.write.mode(SaveMode.Overwrite).parquet(staging)
     }
@@ -429,10 +443,15 @@ object UpsertWriter {
       finally walk.close()
     val parts = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     val partCols = partitionColsOf(path)
+    // mergeSchema: a table whose partitions carry mixed schemas (written
+    // before upsert's schema-growth full-rewrite existed, or by an
+    // external writer) must not have columns silently dropped because
+    // the plain read sampled an old file's footer — compaction rewrites
+    // everything, so a lossy read here would destroy the column
+    val full = spark.read.option("mergeSchema", "true").parquet(path)
     val df =
-      if (partCols.isEmpty) spark.read.parquet(path).repartition(parts)
-      else spark.read.parquet(path)
-        .repartition(parts, partCols.map(col): _*)
+      if (partCols.isEmpty) full.repartition(parts)
+      else full.repartition(parts, partCols.map(col): _*)
     swapIn(path) { staging =>
       if (partCols.isEmpty)
         df.write.mode(SaveMode.Overwrite).parquet(staging)

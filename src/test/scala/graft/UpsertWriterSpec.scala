@@ -378,6 +378,26 @@ class UpsertWriterSpec extends AnyFunSuite {
       "untouched rows must read the new column as NULL")
   }
 
+  test("partitioned: a NULL partition value merges without dropping prior null-partition keys") {
+    // null = null is FALSE in an equi-join: without null-safe scoping, a
+    // batch updating the default partition would scope out the existing
+    // null rows and the leaf swap would drop every prior null-partition
+    // key the batch doesn't carry
+    val path = tmp()
+    UpsertWriter.upsert(spark, path,
+      Seq((1L, Some("2024-01-01"), "x"), (2L, None, "y"), (3L, None, "z"))
+        .toDF("id", "dia", "v"),
+      keys = Seq("id"), versionCol = "id", partitionBy = Seq("dia"))
+    // update ONE null-partition key; key 3 (also null dia) must survive
+    UpsertWriter.upsert(spark, path,
+      Seq((2L, None: Option[String], "y2")).toDF("id", "dia", "v"),
+      keys = Seq("id"), versionCol = "id", partitionBy = Seq("dia"))
+    val state = spark.read.parquet(path)
+      .select($"id", $"v").as[(Long, String)].collect().toMap
+    assert(state == Map(1L -> "x", 2L -> "y2", 3L -> "z"),
+      s"null-partition keys were lost or not updated: $state")
+  }
+
   test("K5 then K1 partitioned: an upsert after truncate rebuilds a clean layout") {
     val path = tmp()
     UpsertWriter.upsert(spark, path,
