@@ -353,6 +353,15 @@ object UpsertWriter {
         s"table at $path is bucketed $pinned ways; upsertBucketed($numBuckets) " +
           "would strand keys in unscoped buckets — rewrite the table to re-bucket")
     } else {
+      // adopting bucketing is a REWRITE, not a merge: an existing
+      // unbucketed table has no bucket directories for the pruned merge
+      // to swap, and pinning a marker over it would wedge the table
+      // (this call would then fail on the missing bucket column with
+      // plain upserts already refused by the marker guard) — fail
+      // clearly BEFORE any state changes instead
+      require(!exists(path),
+        s"table at $path exists unbucketed; adopting bucketing is a " +
+          "rewrite (read, bucket, write fresh), not an upsert")
       // marker BEFORE the first merge: written the other way round, a
       // crash between the first committed write and the marker would
       // let the next call pin a DIFFERENT bucket count over existing

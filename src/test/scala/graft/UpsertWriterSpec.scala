@@ -246,6 +246,24 @@ class UpsertWriterSpec extends AnyFunSuite {
       .select($"v").as[String].head() == "v7b")
   }
 
+  test("bucketed: adopting bucketing over an existing unbucketed table is refused before any state changes") {
+    val path = tmp()
+    UpsertWriter.upsert(spark, path,
+      Seq((1L, "a", 1L)).toDF("id", "v", "ver"),
+      keys = Seq("id"), versionCol = "ver")
+    val e = intercept[IllegalArgumentException] {
+      UpsertWriter.upsertBucketed(spark, path,
+        Seq((2L, "b", 1L)).toDF("id", "v", "ver"),
+        keys = Seq("id"), versionCol = "ver", numBuckets = 4)
+    }
+    assert(e.getMessage.contains("rewrite"))
+    // no marker was pinned — the table is NOT wedged: plain merges work
+    UpsertWriter.upsert(spark, path,
+      Seq((2L, "b", 1L)).toDF("id", "v", "ver"),
+      keys = Seq("id"), versionCol = "ver")
+    assert(spark.read.parquet(path).count() == 2)
+  }
+
   test("bucketed: a changed bucket count is refused, not silently re-hashed") {
     val path = tmp()
     UpsertWriter.upsertBucketed(spark, path,
