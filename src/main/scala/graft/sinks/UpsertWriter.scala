@@ -117,6 +117,13 @@ object UpsertWriter {
     rec(root)
   }
 
+  /** TEST-ONLY fault injection: called before every filesystem mutation
+    * of the partitioned leaf swap, so the crash-window spec can kill
+    * the swap at EVERY interruption point exhaustively (an engineered
+    * state or two would under-test the protocol). Production value is
+    * a no-op; never set outside tests. */
+  private[graft] var swapFault: () => Unit = () => ()
+
   /** Complete a partitioned leaf swap from a COMMITTED `.__pstaging`
     * image: per leaf, rename the live directory aside into the
     * `.__oldparts` mirror, promote the staging leaf, then drop mirror +
@@ -139,12 +146,16 @@ object UpsertWriter {
         // block the promote
         if (Files.exists(aside)) deleteTree(aside.toString)
         Files.createDirectories(aside.getParent)
+        swapFault()
         Files.move(live, aside)
       }
       Files.createDirectories(live.getParent)
+      swapFault()
       Files.move(pstaging.resolve(rel), live)
     }
+    swapFault()
     deleteTree(path + ".__oldparts")
+    swapFault()
     deleteTree(path + ".__pstaging")
   }
 

@@ -348,6 +348,57 @@ class UpsertWriterSpec extends AnyFunSuite {
     assert(spark.read.parquet(path).count() == 32)
   }
 
+  test("bucketed: EVERY interruption point of the partition swap recovers to the exact merged state") {
+    // exhaustive fault injection over the swap's filesystem mutations
+    // (the staging image is committed before the first one, so recovery
+    // alone — no batch re-delivery needed — must complete the merge
+    // from ANY interruption point, including a second crash inside the
+    // recovery itself)
+    final class Boom extends RuntimeException("injected crash")
+    def initial(path: String): Unit = UpsertWriter.upsertBucketed(spark, path,
+      (1L to 32L).map(i => (i, s"v$i", 1L)).toDF("id", "v", "ver"),
+      keys = Seq("id"), versionCol = "ver", numBuckets = 8)
+    // updates spread over several buckets so the swap has many steps
+    val updates = Seq((7L, "A", 2L), (8L, "B", 2L), (9L, "C", 2L),
+      (33L, "D", 1L)).toDF("id", "v", "ver")
+    def expected = ((1L to 32L).map(i => i -> s"v$i").toMap ++
+      Map(7L -> "A", 8L -> "B", 9L -> "C", 33L -> "D"))
+    def state(path: String) = spark.read.parquet(path)
+      .select($"id", $"v").as[(Long, String)].collect().toMap
+
+    // count the mutation points of a clean run
+    var count = 0
+    val ref = tmp(); initial(ref)
+    UpsertWriter.swapFault = () => count += 1
+    try UpsertWriter.upsertBucketed(spark, ref, updates,
+      keys = Seq("id"), versionCol = "ver", numBuckets = 8)
+    finally UpsertWriter.swapFault = () => ()
+    assert(state(ref) == expected)
+    assert(count >= 6, s"premise: the swap has many steps, saw $count")
+
+    for (crashAt <- 0 until count) {
+      val path = tmp(); initial(path)
+      var n = 0
+      UpsertWriter.swapFault =
+        () => { n += 1; if (n > crashAt) throw new Boom }
+      try {
+        intercept[Boom] {
+          UpsertWriter.upsertBucketed(spark, path, updates,
+            keys = Seq("id"), versionCol = "ver", numBuckets = 8)
+        }
+        // second crash: the RECOVERY itself dies one step further in
+        n = 0
+        UpsertWriter.swapFault =
+          () => { n += 1; if (n > crashAt + 1) throw new Boom }
+        try UpsertWriter.recover(path) catch { case _: Boom => }
+      } finally UpsertWriter.swapFault = () => ()
+      // eventual clean recovery must land the exact merged state
+      UpsertWriter.recover(path)
+      assert(state(path) == expected,
+        s"crash at mutation $crashAt diverged: ${state(path)}")
+    }
+  }
+
   test("bucketed: an uncommitted staging image is discarded, live table untouched") {
     val path = tmp()
     UpsertWriter.upsertBucketed(spark, path,
