@@ -91,6 +91,10 @@ object UpsertWriter {
       } else Files.move(old, live)
     }
     deleteTree(path + ".__staging")
+    // a crashed append's staging is always discarded: the appended batch
+    // regenerates it wholesale on replay (delta files are replaced by
+    // name, so no partial move can double-append)
+    deleteTree(path + ".__astaging")
     recoverPartitionSwap(path)
   }
 
@@ -328,8 +332,9 @@ object UpsertWriter {
     * stable bucket (`xxhash64(keys) % numBuckets` — a fixed published
     * algorithm, so the bucket of a key never moves between sessions or
     * executors), the bucket becomes a partition directory, and the merge
-    * rides [[upsert]]'s dynamic partition overwrite: a batch touching k
-    * buckets rewrites k·(corpus/numBuckets) rows instead of the corpus.
+    * rides [[upsert]]'s crash-atomic touched-partition swap: a batch
+    * touching k buckets rewrites k·(corpus/numBuckets) rows instead of
+    * the corpus.
     * Sized so a bucket ≈ a comfortable task (e.g. 100 TB / 64 Ki buckets
     * ≈ 1.6 GB), per-batch merge work is O(batch + k·bucket) — bounded by
     * the batch, not the table.
@@ -387,6 +392,105 @@ object UpsertWriter {
       pmod(xxhash64(keys.map(col): _*), lit(numBuckets.toLong)).cast("int"))
     upsert(spark, path, bucketed, keys, versionCol,
       partitionBy = Seq(BucketCol))
+  }
+
+  /** INSERT-ONLY bucketed append — the batch-bounded write form for rows
+    * whose keys are KNOWN ABSENT from the table (a dedup worker's fresh
+    * admissions: the vs-corpus check just proved absence). The bucketed
+    * MERGE rewrites every touched bucket, which for a firehose of fresh
+    * uniformly-hashed keys means every bucket — O(corpus) per batch once
+    * batch keys ≥ numBuckets. An append writes O(batch) regardless: each
+    * bucket's new rows land as EXTRA files in the existing bucket
+    * directory, named deterministically by `batchTag`
+    * (`delta-<tag>-<i>.parquet`), so a replayed batch REPLACES its own
+    * files instead of duplicating them (stale ones are deleted first).
+    * No existing file is read, rewritten, or deleted.
+    *
+    * Contract: the caller guarantees key-absence (violations surface as
+    * duplicate keys — exactly what INSERT without the check would do);
+    * the batch is deterministic under replay (the streaming family's
+    * re-delivery contract — same batch, same rows, same buckets); and
+    * maintenance (compact) runs only in windows where no batch can
+    * replay (the package's single-writer contract), since compaction
+    * folds delta files into ordinary ones. Keyed merges SUBSUME deltas:
+    * [[upsertBucketed]] reads whole buckets (delta files included) and
+    * its leaf swap replaces the whole directory, so mixing appends
+    * (inserts) with merges (updates) on one table stays consistent. */
+  def appendBucketed(
+      spark: SparkSession,
+      path: String,
+      rows: DataFrame,
+      keys: Seq[String],
+      batchTag: String,
+      numBuckets: Int): Unit = {
+    require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+    require(batchTag.matches("[A-Za-z0-9_-]+"),
+      s"batchTag must be filename-safe, got '$batchTag'")
+    recover(path)
+    deleteTree(path + ".__astaging") // appends regenerate on replay
+    if (Files.exists(bucketMarker(path))) {
+      val pinned = pinnedBuckets(path).get
+      require(pinned == numBuckets,
+        s"table at $path is bucketed $pinned ways; appendBucketed($numBuckets) " +
+          "would misplace keys — rewrite the table to re-bucket")
+    } else {
+      require(!exists(path),
+        s"table at $path exists unbucketed; adopting bucketing is a " +
+          "rewrite (read, bucket, write fresh), not an append")
+      Files.createDirectories(bucketMarker(path).getParent)
+      Files.write(bucketMarker(path),
+        numBuckets.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    if (exists(path)) {
+      // an append cannot GROW the schema: new-column rows would land as
+      // extra files while every other file lacks the column — the exact
+      // footer-sampling invisibility upsert's schema-growth full rewrite
+      // exists to prevent. Route schema growth through upsertBucketed.
+      val existingCols = spark.read.parquet(path).schema.fieldNames.toSet
+      val extra = rows.columns.toSet -- existingCols
+      require(extra.isEmpty,
+        s"appendBucketed cannot grow the schema of $path (new columns: " +
+          s"${extra.mkString(", ")}); use upsertBucketed — growth is a " +
+          "full rewrite")
+    }
+    val bucketed = rows.withColumn(BucketCol,
+      pmod(xxhash64(keys.map(col): _*), lit(numBuckets.toLong)).cast("int"))
+    // stage the batch image (partitioned by bucket, committed), then move
+    // each staged file into its live bucket directory under the
+    // deterministic per-batch name — deleting any same-tag leftovers of a
+    // crashed attempt first, so the replayed batch replaces itself. The
+    // root `_SUCCESS` commits LAST on the first-ever append: until then
+    // the table "does not exist" to every `_SUCCESS`-guarded reader, so
+    // no crash window exposes a partial table (and the layout stays
+    // uniform — every data file lives under a bucket directory; a
+    // root-level bootstrap file would make partition discovery
+    // ambiguous).
+    val astaging = path + ".__astaging"
+    bucketed.write.mode(SaveMode.Overwrite)
+      .partitionBy(BucketCol).parquet(astaging)
+    import scala.jdk.CollectionConverters._
+    var moved = 0
+    leafPartitionDirs(Paths.get(astaging)).foreach { rel =>
+      val liveLeaf = Paths.get(path).resolve(rel)
+      Files.createDirectories(liveLeaf)
+      val stale = Files.list(liveLeaf)
+      try stale.iterator().asScala
+        .filter(_.getFileName.toString.startsWith(s"delta-$batchTag-"))
+        .toList.foreach(Files.delete)
+      finally stale.close()
+      val staged = Files.list(Paths.get(astaging).resolve(rel))
+      val parts = try staged.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toList
+      finally staged.close()
+      parts.zipWithIndex.foreach { case (f, i) =>
+        Files.move(f, liveLeaf.resolve(s"delta-$batchTag-$i.parquet"))
+        moved += 1
+      }
+    }
+    deleteTree(astaging)
+    if (moved > 0 && !exists(path))
+      Files.createFile(Paths.get(path, "_SUCCESS"))
+    ()
   }
 
   private def dedup(unioned: DataFrame, keys: Seq[String], versionCol: String): DataFrame = {

@@ -118,13 +118,19 @@ object DedupIngest {
             val nFresh = fresh.count()
             val nBatchDupes = nIn - winners.count()
 
-            // hash-bucketed touched-bucket-only merge when stateBuckets
-            // is set (the 100 TB form — the family's shared contract,
-            // [[MultiSignalIngest]] object doc); whole-table otherwise
+            // bucketed when stateBuckets is set (the 100 TB form — the
+            // family's shared contract, [[MultiSignalIngest]] object
+            // doc). This worker's fresh set is PURE-INSERT by
+            // construction — the anti-join just proved every
+            // content_hash absent, and an admitted hash is never
+            // re-admitted — so the bucketed form is always
+            // [[UpsertWriter.appendBucketed]]: O(batch) delta files per
+            // batch, replay-idempotent by deterministic file names, no
+            // bucket ever read or rewritten on ingest.
             if (nFresh > 0) stateBuckets match {
-              case Some(b) => UpsertWriter.upsertBucketed(
+              case Some(b) => UpsertWriter.appendBucketed(
                 s, survivorsDir, fresh,
-                keys = Seq("content_hash"), versionCol = "batch_id",
+                keys = Seq("content_hash"), batchTag = s"b$batchId",
                 numBuckets = b)
               case None => UpsertWriter.upsert(s, survivorsDir, fresh,
                 keys = Seq("content_hash"), versionCol = "batch_id")

@@ -121,12 +121,26 @@ object EmbedIngest {
     val s = batch.sparkSession
     val survivorsDir = s"$warehouseDir/embed_survivors"
     val logDir = s"$warehouseDir/embed_log"
-    // survivors merge: hash-bucketed touched-bucket-only rewrite when
-    // stateBuckets is set (the 100 TB form), whole-table otherwise —
-    // the family's shared contract ([[MultiSignalIngest]] object doc).
-    // The log stays plain either way (one row per batch).
-    def mergeState(dir: String, df: DataFrame, keys: Seq[String]): Unit =
+    // survivors write, bucketed when stateBuckets is set (the 100 TB
+    // form; the log stays plain either way — one row per batch). The
+    // bucketed path splits by WRITE SHAPE, decided from the two counts
+    // the batch already computed: a pure-insert batch (every fresh row
+    // first-admitted now — the admission pipeline just PROVED the keys
+    // absent) rides [[UpsertWriter.appendBucketed]], O(batch) delta
+    // files, no bucket read or rewrite — the form that survives a
+    // firehose of fresh keys, where a touched-bucket MERGE degenerates
+    // to O(corpus) once batch keys ≥ buckets. A batch carrying any
+    // re-delivered admitted key (a content UPDATE) takes the keyed
+    // touched-bucket merge for the whole fresh set instead — mixing
+    // same-batch appends with same-batch bucket rewrites would let a
+    // replay double-apply the appended rows the rewrite had folded into
+    // the bucket base. The branch condition is replay-deterministic
+    // (both counts derive from the immutable first_admitted_batch).
+    def writeState(dir: String, df: DataFrame, keys: Seq[String],
+        pureInsert: Boolean): Unit =
       stateBuckets match {
+        case Some(b) if pureInsert => UpsertWriter.appendBucketed(
+          s, dir, df, keys, batchTag = s"b$batchId", numBuckets = b)
         case Some(b) => UpsertWriter.upsertBucketed(
           s, dir, df, keys, versionCol = "batch_id", numBuckets = b)
         case None => UpsertWriter.upsert(
@@ -287,7 +301,8 @@ object EmbedIngest {
               // path would silently serve the PRE-upsert image
               committed.foreach(_.unpersist())
               if (nFresh > 0)
-                mergeState(survivorsDir, fresh, Seq("vec_id"))
+                writeState(survivorsDir, fresh, Seq("vec_id"),
+                  pureInsert = nFresh == nAdmitted)
 
               import s.implicits._
               UpsertWriter.upsert(s, logDir,

@@ -38,18 +38,24 @@ import java.nio.file.{Files, Paths}
   * admitted count taken from the replay-deterministic batch-local
   * admit set (no per-batch corpus scan).
   *
-  * At corpus scale the keyed merges move to
-  * [[graft.sinks.UpsertWriter.upsertBucketed]] (hash-bucket partition
-  * pruning: a batch rewrites touched buckets, not the table) —
+  * At corpus scale the keyed writes move to the bucketed forms —
   * WIRED here through `stateBuckets`: `Some(b)` routes the survivors
-  * and index merges through b-way bucketed tables (the 100 TB form; a
-  * batch's write cost is O(batch + touched·bucket), not O(corpus)),
-  * `None` keeps the plain whole-table merge (the driver-fixture
-  * contract, where the whole state fits one task). The admission log
-  * stays plain either way — one row per batch, O(batches) total. The
-  * two layouts are value-identical (the bucketed gate
-  * `msb_ingest_bucketed_state` and the replay spec pin it): `__bucket`
-  * is derived layout, dropped by every serving view.
+  * and index writes through b-way bucketed tables, `None` keeps the
+  * plain whole-table merge (the driver-fixture contract, where the
+  * whole state fits one task). The bucketed path picks its shape per
+  * batch: a PURE-INSERT batch (the overwhelmingly common case — every
+  * admitted key just proved absent) APPENDS delta files
+  * ([[graft.sinks.UpsertWriter.appendBucketed]], O(batch) write cost
+  * at ANY corpus size — the form that survives a firehose of fresh
+  * keys, where even a touched-bucket merge degenerates to O(corpus)
+  * once batch keys ≥ buckets); a batch carrying a re-delivered
+  * admitted key takes the keyed touched-bucket MERGE
+  * ([[graft.sinks.UpsertWriter.upsertBucketed]]), which subsumes
+  * earlier deltas bucket by bucket. The admission log stays plain
+  * either way — one row per batch, O(batches) total. The layouts are
+  * value-identical (the bucketed gate `msb_ingest_bucketed_state` and
+  * the replay spec pin it): `__bucket` is derived layout, dropped by
+  * every serving view.
   */
 object MultiSignalIngest {
 
@@ -94,11 +100,23 @@ object MultiSignalIngest {
     val survivorsDir = s"$warehouseDir/ms_survivors"
     val indexDir = s"$warehouseDir/ms_index"
     val logDir = s"$warehouseDir/ms_log"
-    // the state-table merge: hash-bucketed (touched-bucket-only rewrite)
-    // when stateBuckets is set, whole-table otherwise — same keyed
-    // keep-latest semantics either way (see object doc)
-    def mergeState(dir: String, df: DataFrame, keys: Seq[String]): Unit =
+    // state-table write: bucketed when stateBuckets is set, whole-table
+    // otherwise — same keyed keep-latest semantics either way (see
+    // object doc). The bucketed path splits by write shape exactly as
+    // [[EmbedIngest]] does: a pure-insert batch (no re-delivered
+    // admitted key — the admit pipeline proved every key absent, and
+    // for the index the keys embed a fresh doc_id) APPENDS O(batch)
+    // delta files; a batch carrying any update takes the keyed
+    // touched-bucket merge for the whole fresh set, because mixing
+    // same-batch appends with same-batch bucket rewrites breaks replay
+    // (the rewrite folds appended rows into the bucket base; the
+    // replayed append would re-add them). Replay-deterministic branch:
+    // both counts ride the immutable first_admitted_batch.
+    def writeState(dir: String, df: DataFrame, keys: Seq[String],
+        pureInsert: Boolean): Unit =
       stateBuckets match {
+        case Some(b) if pureInsert => UpsertWriter.appendBucketed(
+          s, dir, df, keys, batchTag = s"b$batchId", numBuckets = b)
         case Some(b) => UpsertWriter.upsertBucketed(
           s, dir, df, keys, versionCol = "batch_id", numBuckets = b)
         case None => UpsertWriter.upsert(
@@ -304,12 +322,14 @@ object MultiSignalIngest {
                     // serve the PRE-upsert image
                     committed.foreach(_.unpersist())
                     if (nFresh > 0) timed(batchId, "admit-upserts") {
-                      mergeState(survivorsDir, fresh, Seq("doc_id"))
-                      mergeState(indexDir,
+                      val pureInsert = nFresh == nAdmitted
+                      writeState(survivorsDir, fresh, Seq("doc_id"),
+                        pureInsert)
+                      writeState(indexDir,
                         sigs.join(fresh.select(col("doc_id")),
                           Seq("doc_id"), "left_semi")
                           .withColumn("batch_id", lit(batchId)),
-                        Seq("band", "sig", "doc_id"))
+                        Seq("band", "sig", "doc_id"), pureInsert)
                     }
                     timed(batchId, "log-upsert") {
                       import s.implicits._

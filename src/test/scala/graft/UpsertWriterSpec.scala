@@ -6,8 +6,10 @@ import org.scalatest.funsuite.AnyFunSuite
 import java.nio.file.Files
 
 /** K1/K5 write-path round-trips through real parquet (SURVEY §2.2):
-  * keep-latest merge, update-wins ties, dynamic partition overwrite that
-  * leaves untouched partitions' files alone, and truncate. */
+  * keep-latest merge, update-wins ties, crash-atomic touched-partition
+  * merges that leave untouched partitions' files alone, hash-bucketed
+  * merges + their crash windows (exhaustive fault injection), and
+  * truncate. */
 class UpsertWriterSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
@@ -346,6 +348,48 @@ class UpsertWriterSpec extends AnyFunSuite {
     // recovery is idempotent — a second crash-after-recovery changes nothing
     UpsertWriter.recover(path)
     assert(spark.read.parquet(path).count() == 32)
+  }
+
+  test("append: insert-only delta files — replay replaces, merge subsumes, compact folds") {
+    val path = tmp()
+    // batch 0 creates the table through the append itself
+    UpsertWriter.appendBucketed(spark, path,
+      (1L to 16L).map(i => (i, s"v$i", 0L)).toDF("id", "v", "ver"),
+      keys = Seq("id"), batchTag = "b0", numBuckets = 4)
+    assert(spark.read.parquet(path).count() == 16)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(path + ".__buckets")), "append pins the layout")
+    // batch 1 appends fresh keys; every data file is a delta under a bucket
+    UpsertWriter.appendBucketed(spark, path,
+      (17L to 24L).map(i => (i, s"v$i", 1L)).toDF("id", "v", "ver"),
+      keys = Seq("id"), batchTag = "b1", numBuckets = 4)
+    def state() = spark.read.parquet(path)
+      .select($"id", $"v").as[(Long, String)].collect().toMap
+    assert(state() == (1L to 24L).map(i => i -> s"v$i").toMap)
+    // REPLAY of batch 1 (crash before checkpoint): same tag replaces its
+    // own files — no duplicates
+    UpsertWriter.appendBucketed(spark, path,
+      (17L to 24L).map(i => (i, s"v$i", 1L)).toDF("id", "v", "ver"),
+      keys = Seq("id"), batchTag = "b1", numBuckets = 4)
+    assert(spark.read.parquet(path).count() == 24,
+      "a replayed append duplicated rows")
+    // a keyed MERGE batch subsumes delta rows: update a key that lives
+    // in a delta file; its whole bucket rewrites, values exact
+    UpsertWriter.upsertBucketed(spark, path,
+      Seq((17L, "UPD", 2L)).toDF("id", "v", "ver"),
+      keys = Seq("id"), versionCol = "ver", numBuckets = 4)
+    assert(state() == ((1L to 24L).map(i => i -> s"v$i").toMap + (17L -> "UPD")))
+    assert(spark.read.parquet(path).count() == 24)
+    // compaction folds deltas into ordinary files, values untouched
+    UpsertWriter.compact(spark, path)
+    assert(state() == ((1L to 24L).map(i => i -> s"v$i").toMap + (17L -> "UPD")))
+    // schema growth through an append is refused (footer-sampling hazard)
+    val e = intercept[IllegalArgumentException] {
+      UpsertWriter.appendBucketed(spark, path,
+        Seq((99L, "x", 3L, "extra")).toDF("id", "v", "ver", "note"),
+        keys = Seq("id"), batchTag = "b2", numBuckets = 4)
+    }
+    assert(e.getMessage.contains("grow the schema"))
   }
 
   test("bucketed: EVERY interruption point of the partition swap recovers to the exact merged state") {
