@@ -442,16 +442,29 @@ object UpsertWriter {
         numBuckets.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
     if (exists(path)) {
-      // an append cannot GROW the schema: new-column rows would land as
-      // extra files while every other file lacks the column — the exact
+      // an append cannot CHANGE the schema: new-column rows would land
+      // as extra files while every other file lacks the column (the
       // footer-sampling invisibility upsert's schema-growth full rewrite
-      // exists to prevent. Route schema growth through upsertBucketed.
-      val existingCols = spark.read.parquet(path).schema.fieldNames.toSet
-      val extra = rows.columns.toSet -- existingCols
+      // exists to prevent), and a TYPE change on a shared column leaves
+      // the table unreadable outright (parquet readers refuse mixed
+      // physical types for one column). Route any schema change through
+      // upsertBucketed — the merge materializes one uniform image.
+      val existing = spark.read.parquet(path).schema
+      val existingTypes =
+        existing.fields.map(f => f.name -> f.dataType).toMap
+      val extra = rows.columns.toSet -- existingTypes.keySet
       require(extra.isEmpty,
         s"appendBucketed cannot grow the schema of $path (new columns: " +
           s"${extra.mkString(", ")}); use upsertBucketed — growth is a " +
           "full rewrite")
+      val retyped = rows.schema.fields
+        .filter(f => existingTypes.get(f.name).exists(_ != f.dataType))
+        .map(f => s"${f.name}: ${existingTypes(f.name).simpleString} -> " +
+          f.dataType.simpleString)
+      require(retyped.isEmpty,
+        s"appendBucketed cannot change column types of $path " +
+          s"(${retyped.mkString(", ")}); mixed parquet types make the " +
+          "table unreadable — use upsertBucketed to rewrite uniformly")
     }
     val bucketed = rows.withColumn(BucketCol,
       pmod(xxhash64(keys.map(col): _*), lit(numBuckets.toLong)).cast("int"))

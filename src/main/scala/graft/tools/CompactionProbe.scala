@@ -54,6 +54,17 @@ object CompactionProbe {
     UpsertWriter.upsertBucketed(spark, wh,
       src.filter(col("o_orderkey") % 2 === 1),
       keys = Seq("o_custkey"), versionCol = "__ver", numBuckets = numBuckets)
+    // one insert-only APPEND batch on top (the workers' firehose form):
+    // fresh keys outside the orders key space land as delta files (rows
+    // cloned from the source so every column type matches the base
+    // exactly — appends refuse type drift), and the compaction below
+    // must fold them in losslessly
+    UpsertWriter.appendBucketed(spark, wh,
+      src.filter(col("o_orderkey") % 100 === 0)
+        .withColumn("o_custkey", col("o_custkey") + 10000000L)
+        .dropDuplicates("o_custkey"), // appends insert DISTINCT new keys
+      keys = Seq("o_custkey"), batchTag = "probe-append",
+      numBuckets = numBuckets)
 
     def parquetFilesPerBucket(): Map[String, Int] = {
       import scala.jdk.CollectionConverters._

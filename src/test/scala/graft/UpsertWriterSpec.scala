@@ -390,6 +390,14 @@ class UpsertWriterSpec extends AnyFunSuite {
         keys = Seq("id"), batchTag = "b2", numBuckets = 4)
     }
     assert(e.getMessage.contains("grow the schema"))
+    // so is a TYPE change on a shared column (mixed parquet physical
+    // types make the table unreadable outright)
+    val e2 = intercept[IllegalArgumentException] {
+      UpsertWriter.appendBucketed(spark, path,
+        Seq((99L, 123, 3L)).toDF("id", "v", "ver"), // v: int, table has string
+        keys = Seq("id"), batchTag = "b3", numBuckets = 4)
+    }
+    assert(e2.getMessage.contains("change column types"))
   }
 
   test("bucketed: EVERY interruption point of the partition swap recovers to the exact merged state") {
