@@ -457,8 +457,24 @@ object UpsertWriter {
         s"appendBucketed cannot grow the schema of $path (new columns: " +
           s"${extra.mkString(", ")}); use upsertBucketed — growth is a " +
           "full rewrite")
+      // nullability-normalized compare: an in-memory batch often carries
+      // containsNull/nullable = false where the parquet read reports
+      // true — same physical type, not drift
+      def norm(dt: org.apache.spark.sql.types.DataType)
+          : org.apache.spark.sql.types.DataType = dt match {
+        case org.apache.spark.sql.types.ArrayType(e, _) =>
+          org.apache.spark.sql.types.ArrayType(norm(e), containsNull = true)
+        case org.apache.spark.sql.types.MapType(k, v, _) =>
+          org.apache.spark.sql.types.MapType(norm(k), norm(v),
+            valueContainsNull = true)
+        case org.apache.spark.sql.types.StructType(fs) =>
+          org.apache.spark.sql.types.StructType(fs.map(f =>
+            f.copy(dataType = norm(f.dataType), nullable = true)))
+        case other => other
+      }
       val retyped = rows.schema.fields
-        .filter(f => existingTypes.get(f.name).exists(_ != f.dataType))
+        .filter(f => existingTypes.get(f.name)
+          .exists(t => norm(t) != norm(f.dataType)))
         .map(f => s"${f.name}: ${existingTypes(f.name).simpleString} -> " +
           f.dataType.simpleString)
       require(retyped.isEmpty,
