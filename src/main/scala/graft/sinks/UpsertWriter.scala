@@ -534,9 +534,19 @@ object UpsertWriter {
   /** K5: truncate = overwrite the table with an empty slice of itself.
     * mergeSchema on the read for the same reason as [[compact]]: the
     * empty replacement must keep the UNION schema, not one sampled
-    * file's. */
+    * file's. REFUSED on a bucket-pinned table: the empty image is
+    * necessarily unpartitioned (an empty partitioned write leaves no
+    * readable file), so `__bucket` would survive only as a DATA column
+    * — NULL for every later row the mixed layout serves — and the next
+    * bucket-pruned merge's scope join would silently drop keys. Empty a
+    * bucketed table by deleting the directory and its `.__buckets` pin,
+    * then recreate. */
   def truncate(spark: SparkSession, path: String): Unit = {
     recover(path)
+    require(pinnedBuckets(path).isEmpty,
+      s"truncate on the bucket-pinned table at $path would poison later " +
+        "bucket-pruned merges; delete the table directory and its " +
+        ".__buckets pin instead")
     val empty = spark.read.option("mergeSchema", "true").parquet(path).limit(0)
     swapIn(path) { staging =>
       empty.write.mode(SaveMode.Overwrite).parquet(staging)
@@ -574,7 +584,7 @@ object UpsertWriter {
     * A partitioned or bucketed layout is PRESERVED: the rewrite
     * re-partitions on the physical partition columns and writes them
     * back as directories. Flattening them (the naive rewrite) is not a
-    * cosmetic loss — a later dynamic-partition-overwrite merge would
+    * cosmetic loss — a later touched-partition merge's leaf swap would
     * replace only the partition directories it touches and leave the
     * flattened root files in place, silently duplicating every key they
     * hold. Rows co-locate per partition value, so a partition compacts

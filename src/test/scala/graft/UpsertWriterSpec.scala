@@ -533,6 +533,18 @@ class UpsertWriterSpec extends AnyFunSuite {
     assert(state == Map(3L -> "z"), "truncated rows resurfaced or the read broke")
   }
 
+  test("K5: truncate on a bucket-pinned table is refused (flat empty image would poison pruned merges)") {
+    val path = tmp()
+    UpsertWriter.upsertBucketed(spark, path,
+      Seq((1L, "a", 1L)).toDF("id", "v", "ver"),
+      keys = Seq("id"), versionCol = "ver", numBuckets = 4)
+    val e = intercept[IllegalArgumentException] {
+      UpsertWriter.truncate(spark, path)
+    }
+    assert(e.getMessage.contains("bucket-pinned"))
+    assert(spark.read.parquet(path).count() == 1, "refusal must not mutate")
+  }
+
   test("K5: truncate leaves an empty table with the same schema") {
     val path = tmp()
     UpsertWriter.upsert(spark, path,
