@@ -80,7 +80,11 @@ object AnnIngest {
             // postings merge: hash-bucketed touched-bucket-only rewrite
             // when stateBuckets is set (the family's shared 100 TB
             // contract, [[MultiSignalIngest]] object doc); the k-row
-            // centroid table and the one-row-per-batch log stay plain
+            // centroid table and the one-row-per-batch log stay plain.
+            // MERGE-only (no appendBucketed branch): assignment never
+            // reads the index, so telling a fresh vec_id from a re-sent
+            // one would ADD a corpus-key lookup this worker otherwise
+            // never pays — the keyed merge is correct for both shapes
             stateBuckets match {
               case Some(b) => UpsertWriter.upsertBucketed(s, indexDir,
                 assigned, keys = Seq("vec_id"), versionCol = "batch_id",

@@ -86,7 +86,14 @@ object NearDupIngest {
     val logDir = s"$warehouseDir/neardup_log"
     // state-table merge: hash-bucketed touched-bucket-only rewrite when
     // stateBuckets is set (the 100 TB form), whole-table otherwise —
-    // the family's shared contract ([[MultiSignalIngest]] object doc)
+    // the family's shared contract ([[MultiSignalIngest]] object doc).
+    // MERGE-only (no [[graft.sinks.UpsertWriter.appendBucketed]] branch
+    // like Embed/MultiSignal take): this worker has no immutable
+    // first-admission column, so telling a fresh INSERT from a
+    // re-delivered survivor's content UPDATE would cost a corpus-key
+    // lookup per batch — the merge is already correct for both, and
+    // adding the discriminator is the price of adopting the
+    // first_admitted_batch contract here, not of the write path
     def mergeState(dir: String, df: DataFrame, keys: Seq[String]): Unit =
       stateBuckets match {
         case Some(b) => UpsertWriter.upsertBucketed(
