@@ -172,6 +172,58 @@ class UpsertWriterSpec extends AnyFunSuite {
     assert(after == before, "compaction must not change values")
   }
 
+  test("property: random append/merge sequences with replays match the keep-latest model") {
+    // the combinatorial space the engineered crash specs cannot cover:
+    // interleaved insert-only appends and keyed merges over one bucketed
+    // table, each batch possibly REPLAYED (the streaming re-delivery
+    // contract — same batch applied again), including an insert batch
+    // appending into a bucket a later merge rewrote and vice versa.
+    // Model: keep-latest per key; inserts always carry NEW keys (the
+    // append contract), merges touch existing keys with a higher version.
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val steps = Gen.listOfN(4, for {
+      isInsert <- Gen.oneOf(true, false)
+      n <- Gen.chooseNum(1, 6)
+      replay <- Gen.oneOf(true, false)
+    } yield (isInsert, n, replay))
+    val prop = Prop.forAll(steps) { plan =>
+      val path = tmp()
+      val model = scala.collection.mutable.Map.empty[Long, String]
+      var nextKey = 1L
+      var ver = 0L
+      for (((isInsert, n, replay), i) <- plan.zipWithIndex) {
+        ver += 1
+        if (isInsert || model.isEmpty) {
+          val rows = (0 until n).map { k =>
+            val id = nextKey + k; (id, s"ins$i-$id", ver)
+          }
+          nextKey += n
+          def apply(): Unit = UpsertWriter.appendBucketed(spark, path,
+            rows.toDF("id", "v", "ver"),
+            keys = Seq("id"), batchTag = s"b$i", numBuckets = 4)
+          apply(); if (replay) apply()
+          rows.foreach { case (id, v, _) => model(id) = v }
+        } else {
+          val existing = model.keys.toSeq.sorted
+          val touched = existing.take(math.min(n, existing.size))
+          val rows = touched.map(id => (id, s"upd$i-$id", ver))
+          def apply(): Unit = UpsertWriter.upsertBucketed(spark, path,
+            rows.toDF("id", "v", "ver"),
+            keys = Seq("id"), versionCol = "ver", numBuckets = 4)
+          apply(); if (replay) apply()
+          rows.foreach { case (id, v, _) => model(id) = v }
+        }
+      }
+      val state = spark.read.parquet(path)
+        .select($"id", $"v").as[(Long, String)].collect()
+      val asMap = state.toMap
+      state.length == model.size && asMap == model.toMap
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(6), prop)
+    assert(result.passed, result.status.toString)
+  }
+
   test("property: table state == sequential row-by-row apply model") {
     // The reference applies rows one at a time (ON DUPLICATE KEY UPDATE)
     // with keep-highest-version semantics; the distributed merge must
