@@ -30,6 +30,14 @@ def main(sf_dir, out_dir, json_out=None):
     # fallback never fires (a positional mismatch stays a FAIL)
     sk_path = f"{out_dir}/sort_keys.json"
     sort_keys = json.load(open(sk_path)) if os.path.exists(sk_path) else None
+    if sort_keys is None:
+        # make a later FAIL on this output dir attributable: without the
+        # sidecar (any verify dir produced before it existed) the
+        # order-tie multiset fallback can never fire, so a positional
+        # mismatch that would have been reported ORDER-TIE reports FAIL
+        print(f"NOTE: {sk_path} missing (pre-sidecar verify output); "
+              "order-tie fallback disabled — positional mismatches on "
+              "tied sort keys will report FAIL")
     n_pass = n_fail = 0
     for name in sorted(oracles):
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
@@ -147,6 +155,7 @@ def main(sf_dir, out_dir, json_out=None):
     print(f"\n{n_pass} pass, {n_fail} fail")
     if json_out:
         json.dump({"sf_dir": sf_dir, "n_pass": n_pass, "n_fail": n_fail,
+                   "sort_keys_sidecar_present": sort_keys is not None,
                    "queries": results},
                   open(json_out, "w"), indent=1, sort_keys=True)
     return 1 if n_fail else 0

@@ -95,7 +95,44 @@ object UpsertWriter {
     // regenerates it wholesale on replay (delta files are replaced by
     // name, so no partial move can double-append)
     deleteTree(path + ".__astaging")
+    quarantineTornAppends(path)
     recoverPartitionSwap(path)
+  }
+
+  /** Quarantine the delta files of any append whose in-flight marker
+    * survived a crash ([[appendBucketed]] writes `<table>.__apending-
+    * <tag>` before its first move and deletes it after the last): the
+    * marker present means the batch's file moves may be TORN — some
+    * delta files live, some not — so the whole tag is deleted and the
+    * table returns to its pre-batch state (all-or-nothing visibility;
+    * the streaming replay re-appends the batch wholesale, delta names
+    * are deterministic). Marker deletion comes LAST so a crash inside
+    * the quarantine itself simply re-runs it. */
+  private def quarantineTornAppends(path: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val table = Paths.get(path)
+    val parent = table.toAbsolutePath.getParent
+    val prefix = table.getFileName.toString + ".__apending-"
+    if (parent == null || !Files.isDirectory(parent)) return
+    val list = Files.list(parent)
+    val markers =
+      try list.iterator().asScala
+        .filter(_.getFileName.toString.startsWith(prefix)).toList
+      finally list.close()
+    markers.foreach { marker =>
+      val tag = marker.getFileName.toString.stripPrefix(prefix)
+      if (Files.isDirectory(table)) {
+        val walk = Files.walk(table)
+        val torn =
+          try walk.iterator().asScala
+            .filter(p => Files.isRegularFile(p) &&
+              p.getFileName.toString.startsWith(s"delta-$tag-")).toList
+          finally walk.close()
+        torn.foreach { f => swapFault(); Files.delete(f) }
+      }
+      swapFault()
+      Files.delete(marker)
+    }
   }
 
   /** Leaf `col=value` partition directories under `root`, as paths
@@ -315,16 +352,41 @@ object UpsertWriter {
   private def bucketMarker(path: String) =
     Paths.get(path + ".__buckets")
 
+  /** Pin the bucket count marker ATOMICALLY: temp sibling + same-dir
+    * rename. A plain `Files.write` can crash mid-write and leave an
+    * empty/partial marker that wedges every later call on an
+    * unparseable pin — the one file of the crash protocol that was not
+    * itself crash-safe. */
+  private def pinBuckets(path: String, numBuckets: Int): Unit = {
+    val marker = bucketMarker(path)
+    Files.createDirectories(marker.getParent)
+    val tmp = marker.resolveSibling(marker.getFileName.toString + ".tmp")
+    Files.write(tmp,
+      numBuckets.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.move(tmp, marker,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
   /** The bucket count pinned at `path` by a previous [[upsertBucketed]],
     * if any — how a maintenance pass (e.g. [[graft.streaming.AnnIngest
     * .refit]]) discovers that a table it is about to rewrite keyed must
     * ride the bucketed merge. The marker, not the directory layout, is
-    * authoritative: it survives compaction and truncation. */
+    * authoritative: it survives compaction and truncation. A marker
+    * that does not parse as a positive int is surfaced as corruption
+    * with the recovery action, not as a bare NumberFormatException. */
   def pinnedBuckets(path: String): Option[Int] =
     if (!Files.exists(bucketMarker(path))) None
-    else Some(new String(
-      Files.readAllBytes(bucketMarker(path)),
-      java.nio.charset.StandardCharsets.UTF_8).trim.toInt)
+    else {
+      val raw = new String(
+        Files.readAllBytes(bucketMarker(path)),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      val parsed = raw.toIntOption.filter(_ > 0)
+      require(parsed.isDefined,
+        s"corrupt bucket pin at ${bucketMarker(path)} (content: '$raw'); " +
+          "restore it to the table's original bucket count (an integer), " +
+          "or rewrite the table fresh to re-pin")
+      parsed
+    }
 
   /** Keyed upsert with HASH-BUCKET pruning — the 100 TB form of [[upsert]]
     * for tables whose natural key has no time/partition structure (dedup
@@ -362,9 +424,7 @@ object UpsertWriter {
     require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
     recover(path)
     if (Files.exists(bucketMarker(path))) {
-      val pinned = new String(
-        Files.readAllBytes(bucketMarker(path)),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toInt
+      val pinned = pinnedBuckets(path).get
       require(pinned == numBuckets,
         s"table at $path is bucketed $pinned ways; upsertBucketed($numBuckets) " +
           "would strand keys in unscoped buckets — rewrite the table to re-bucket")
@@ -384,9 +444,7 @@ object UpsertWriter {
       // data — the exact stranding this guard exists to refuse. The
       // inverse crash (marker written, write never committed) merely
       // pins the count early for a table that is still empty.
-      Files.createDirectories(bucketMarker(path).getParent)
-      Files.write(bucketMarker(path),
-        numBuckets.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      pinBuckets(path, numBuckets)
     }
     val bucketed = updates.withColumn(BucketCol,
       pmod(xxhash64(keys.map(col): _*), lit(numBuckets.toLong)).cast("int"))
@@ -437,11 +495,9 @@ object UpsertWriter {
       require(!exists(path),
         s"table at $path exists unbucketed; adopting bucketing is a " +
           "rewrite (read, bucket, write fresh), not an append")
-      Files.createDirectories(bucketMarker(path).getParent)
-      Files.write(bucketMarker(path),
-        numBuckets.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      pinBuckets(path, numBuckets)
     }
-    if (exists(path)) {
+    val padded = if (!exists(path)) rows else {
       // an append cannot CHANGE the schema: new-column rows would land
       // as extra files while every other file lacks the column (the
       // footer-sampling invisibility upsert's schema-growth full rewrite
@@ -481,44 +537,74 @@ object UpsertWriter {
         s"appendBucketed cannot change column types of $path " +
           s"(${retyped.mkString(", ")}); mixed parquet types make the " +
           "table unreadable — use upsertBucketed to rewrite uniformly")
+      // a batch MISSING columns the table has is padded with typed
+      // NULLs, never written narrow: a narrow-schema delta file in a
+      // live bucket directory makes every plain (non-mergeSchema) read
+      // of the package lose the column whenever footer sampling lands
+      // on it — the exact invisibility the schema-growth full rewrite
+      // exists to prevent — and a later full-schema append would be
+      // spuriously refused as "growing the schema" off the same sample.
+      // Padding mirrors upsert's full-row-replace semantics (a merge's
+      // surviving row reads NULL in columns the batch omitted).
+      val missing = existing.fields.filter(f =>
+        f.name != BucketCol && !rows.columns.contains(f.name))
+      missing.foldLeft(rows)((df, f) =>
+        df.withColumn(f.name, lit(null).cast(f.dataType)))
     }
-    val bucketed = rows.withColumn(BucketCol,
+    val bucketed = padded.withColumn(BucketCol,
       pmod(xxhash64(keys.map(col): _*), lit(numBuckets.toLong)).cast("int"))
     // stage the batch image (partitioned by bucket, committed), then move
     // each staged file into its live bucket directory under the
     // deterministic per-batch name — deleting any same-tag leftovers of a
     // crashed attempt first, so the replayed batch replaces itself. The
-    // root `_SUCCESS` commits LAST on the first-ever append: until then
-    // the table "does not exist" to every `_SUCCESS`-guarded reader, so
-    // no crash window exposes a partial table (and the layout stays
-    // uniform — every data file lives under a bucket directory; a
-    // root-level bootstrap file would make partition discovery
-    // ambiguous).
+    // moves are bracketed by an IN-FLIGHT MARKER (`<table>.__apending-
+    // <tag>`, written before the first move, deleted after the last):
+    // a crash mid-move leaves some delta files live and some not — a
+    // torn batch a concurrent reader must never be left with — and the
+    // surviving marker makes the next [[recover]] quarantine the whole
+    // tag, restoring the pre-batch table until the replay re-appends it
+    // (all-or-nothing visibility). The root `_SUCCESS` commits LAST on
+    // the first-ever append — after the marker delete, so a quarantine
+    // can never leave a committed-but-fileless table: until then the
+    // table "does not exist" to every `_SUCCESS`-guarded reader (and
+    // the layout stays uniform — every data file lives under a bucket
+    // directory; a root-level bootstrap file would make partition
+    // discovery ambiguous).
     val astaging = path + ".__astaging"
     bucketed.write.mode(SaveMode.Overwrite)
       .partitionBy(BucketCol).parquet(astaging)
+    val marker = Paths.get(path + ".__apending-" + batchTag)
+    swapFault()
+    Files.createFile(marker)
     import scala.jdk.CollectionConverters._
     var moved = 0
     leafPartitionDirs(Paths.get(astaging)).foreach { rel =>
       val liveLeaf = Paths.get(path).resolve(rel)
       Files.createDirectories(liveLeaf)
       val stale = Files.list(liveLeaf)
-      try stale.iterator().asScala
+      val leftovers = try stale.iterator().asScala
         .filter(_.getFileName.toString.startsWith(s"delta-$batchTag-"))
-        .toList.foreach(Files.delete)
+        .toList
       finally stale.close()
+      leftovers.foreach { f => swapFault(); Files.delete(f) }
       val staged = Files.list(Paths.get(astaging).resolve(rel))
       val parts = try staged.iterator().asScala
         .filter(_.getFileName.toString.endsWith(".parquet")).toList
       finally staged.close()
       parts.zipWithIndex.foreach { case (f, i) =>
+        swapFault()
         Files.move(f, liveLeaf.resolve(s"delta-$batchTag-$i.parquet"))
         moved += 1
       }
     }
+    swapFault()
     deleteTree(astaging)
-    if (moved > 0 && !exists(path))
+    swapFault()
+    Files.delete(marker)
+    if (moved > 0 && !exists(path)) {
+      swapFault()
       Files.createFile(Paths.get(path, "_SUCCESS"))
+    }
     ()
   }
 

@@ -113,19 +113,29 @@ object CompactionProbe {
     val untouchedBucket = filesAfter.keySet
       .find(_ != s"${UpsertWriter.BucketCol}=$touched").get
     val untouchedDir = new java.io.File(s"$wh/$untouchedBucket")
-    val beforeMtimes = untouchedDir.listFiles()
-      .map(f => f.getName -> f.lastModified).toMap
+    // identity = (name, size, filesystem fileKey/inode): mtime is a weak
+    // proxy for "not rewritten" — coarse (1s) mtime granularity would
+    // false-pass a same-second rewrite, and a same-content rewrite under
+    // a new part- name would false-fail. A rewrite (the leaf swap
+    // replaces the whole directory) always allocates new inodes, so the
+    // fileKey changes even when name, size, and content are identical.
+    def fileIdentity(dir: java.io.File): Map[String, (Long, String)] =
+      dir.listFiles().map { f =>
+        val attrs = Files.readAttributes(f.toPath,
+          classOf[java.nio.file.attribute.BasicFileAttributes])
+        f.getName -> ((attrs.size(), String.valueOf(attrs.fileKey())))
+      }.toMap
+    val beforeIds = fileIdentity(untouchedDir)
     UpsertWriter.upsertBucketed(spark, wh,
       spark.range(1).select(lit(probeKey).as("o_custkey"),
         lit(-1L).as("o_orderkey"), lit("2099-12-31").as("o_orderdate"),
         lit(0.0).as("o_totalprice"), lit(Long.MaxValue).as("__ver")),
       keys = Seq("o_custkey"), versionCol = "__ver", numBuckets = numBuckets)
-    val afterMtimes = untouchedDir.listFiles()
-      .map(f => f.getName -> f.lastModified).toMap
+    val afterIds = fileIdentity(untouchedDir)
     val mergeVal = spark.read.parquet(wh)
       .filter(col("o_custkey") === probeKey)
       .select(col("o_orderkey")).head().getLong(0)
-    val liveOk = beforeMtimes == afterMtimes && mergeVal == -1L &&
+    val liveOk = beforeIds == afterIds && mergeVal == -1L &&
       spark.read.parquet(wh).count() == nAfter
 
     val ok = contentOk && layoutOk && compactedOk && liveOk

@@ -597,6 +597,106 @@ class UpsertWriterSpec extends AnyFunSuite {
     assert(spark.read.parquet(path).count() == 1, "refusal must not mutate")
   }
 
+  test("append: a batch missing table columns is padded with typed NULLs, never written narrow") {
+    // a narrow-schema delta file in a live bucket dir makes every plain
+    // read of the table lose the column whenever footer sampling lands
+    // on it, and a later full-schema append would be spuriously refused
+    // as schema growth off the same sample
+    val path = tmp()
+    UpsertWriter.appendBucketed(spark, path,
+      Seq((1L, "a", 1L, "n1"), (2L, "b", 1L, "n2"))
+        .toDF("id", "v", "ver", "note"),
+      keys = Seq("id"), batchTag = "b0", numBuckets = 4)
+    // batch 1 omits `note`
+    UpsertWriter.appendBucketed(spark, path,
+      Seq((3L, "c", 2L), (4L, "d", 2L)).toDF("id", "v", "ver"),
+      keys = Seq("id"), batchTag = "b1", numBuckets = 4)
+    val df = spark.read.parquet(path)
+    assert(df.columns.contains("note"),
+      "plain read must still surface the full schema after a narrow batch")
+    val notes = df.select($"id", $"note").as[(Long, Option[String])]
+      .collect().toMap
+    assert(notes == Map(1L -> Some("n1"), 2L -> Some("n2"),
+      3L -> None, 4L -> None))
+    // a later FULL-schema append must not be refused as schema growth
+    // (it would be, had the narrow batch written narrow delta footers)
+    UpsertWriter.appendBucketed(spark, path,
+      Seq((5L, "e", 3L, "n5")).toDF("id", "v", "ver", "note"),
+      keys = Seq("id"), batchTag = "b2", numBuckets = 4)
+    assert(spark.read.parquet(path).count() == 5)
+  }
+
+  test("append: EVERY interruption point recovers to all-or-nothing batch visibility") {
+    // exhaustive fault injection over the append path's filesystem
+    // mutations (marker write, per-file stale deletes and moves, marker
+    // delete, _SUCCESS): after a crash at ANY point, recover() must
+    // leave a reader seeing either the whole batch or none of it —
+    // never a torn prefix — and the replayed append must land the
+    // exact final state.
+    final class Boom extends RuntimeException("injected crash")
+    def b0(path: String): Unit = UpsertWriter.appendBucketed(spark, path,
+      (1L to 16L).map(i => (i, s"v$i", 0L)).toDF("id", "v", "ver"),
+      keys = Seq("id"), batchTag = "b0", numBuckets = 4)
+    def b1(path: String): Unit = UpsertWriter.appendBucketed(spark, path,
+      (17L to 24L).map(i => (i, s"v$i", 1L)).toDF("id", "v", "ver"),
+      keys = Seq("id"), batchTag = "b1", numBuckets = 4)
+    val preState = (1L to 16L).map(i => i -> s"v$i").toMap
+    val fullState = (1L to 24L).map(i => i -> s"v$i").toMap
+    def state(path: String) = spark.read.parquet(path)
+      .select($"id", $"v").as[(Long, String)].collect().toMap
+
+    // count the mutation points of a clean run
+    var count = 0
+    val ref = tmp(); b0(ref)
+    UpsertWriter.swapFault = () => count += 1
+    try b1(ref) finally UpsertWriter.swapFault = () => ()
+    assert(state(ref) == fullState)
+    assert(count >= 6, s"premise: the append has many steps, saw $count")
+
+    for (crashAt <- 0 until count) {
+      val path = tmp(); b0(path)
+      var n = 0
+      UpsertWriter.swapFault =
+        () => { n += 1; if (n > crashAt) throw new Boom }
+      try {
+        intercept[Boom] { b1(path) }
+        // second crash: the RECOVERY (quarantine) dies one step further
+        n = 0
+        UpsertWriter.swapFault =
+          () => { n += 1; if (n > crashAt + 1) throw new Boom }
+        try UpsertWriter.recover(path) catch { case _: Boom => }
+      } finally UpsertWriter.swapFault = () => ()
+      // clean recovery: a reader must see ALL of b1 or NONE of it
+      UpsertWriter.recover(path)
+      val s0 = state(path)
+      assert(s0 == preState || s0 == fullState,
+        s"crash at mutation $crashAt left a torn batch visible: $s0")
+      // the streaming replay re-delivers the batch; final state exact
+      b1(path)
+      assert(state(path) == fullState,
+        s"crash at mutation $crashAt diverged after replay: ${state(path)}")
+    }
+  }
+
+  test("bucket pin: a corrupt marker is refused with an actionable message, and the pin write is atomic") {
+    val path = tmp()
+    UpsertWriter.upsertBucketed(spark, path,
+      Seq((1L, "a", 1L)).toDF("id", "v", "ver"),
+      keys = Seq("id"), versionCol = "ver", numBuckets = 4)
+    // simulate a crash mid-write of the marker (empty/partial file)
+    Files.write(java.nio.file.Paths.get(path + ".__buckets"),
+      Array.emptyByteArray)
+    val e = intercept[IllegalArgumentException] {
+      UpsertWriter.upsertBucketed(spark, path,
+        Seq((2L, "b", 2L)).toDF("id", "v", "ver"),
+        keys = Seq("id"), versionCol = "ver", numBuckets = 4)
+    }
+    assert(e.getMessage.contains("corrupt bucket pin"))
+    assert(!Files.exists(
+      java.nio.file.Paths.get(path + ".__buckets.tmp")),
+      "the atomic pin write must not leave its temp file behind")
+  }
+
   test("K5: truncate leaves an empty table with the same schema") {
     val path = tmp()
     UpsertWriter.upsert(spark, path,
