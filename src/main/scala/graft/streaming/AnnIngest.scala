@@ -77,22 +77,74 @@ object AnnIngest {
             val assigned = nearestCell(vecs, cents)
               .select(col("cell"), col("vec_id"), col("label"),
                 col("v"), col("norm"), lit(batchId).as("batch_id"))
-            // postings merge: hash-bucketed touched-bucket-only rewrite
-            // when stateBuckets is set (the family's shared 100 TB
-            // contract, [[MultiSignalIngest]] object doc); the k-row
-            // centroid table and the one-row-per-batch log stay plain.
-            // MERGE-only (no appendBucketed branch): assignment never
-            // reads the index, so telling a fresh vec_id from a re-sent
-            // one would ADD a corpus-key lookup this worker otherwise
-            // never pays — the keyed merge is correct for both shapes
-            stateBuckets match {
-              case Some(b) => UpsertWriter.upsertBucketed(s, indexDir,
-                assigned, keys = Seq("vec_id"), versionCol = "batch_id",
-                numBuckets = b)
-              case None => UpsertWriter.upsert(s, indexDir, assigned,
-                keys = Seq("vec_id"), versionCol = "batch_id")
-            }
-            // batch stats for the log, in ONE audit pass over the
+            // first_admitted_batch lookup — the append-vs-merge
+            // discriminator this worker was merge-only without: the
+            // committed index is probed for the batch's keys, BUCKET-
+            // PRUNED to the batch's touched buckets when the layout is
+            // bucketed (partition pruning on the literal bucket list —
+            // the lookup reads O(batch·bucket), never the index), and
+            // filtered on the IMMUTABLE first_admitted_batch < batchId
+            // so a crashed attempt's own rows are invisible and the
+            // replay recomputes the identical branch ([[EmbedIngest]]'s
+            // replay anchor). `assigned` is one row per vec_id
+            // (nearestCell's argmax window collapses same-batch
+            // duplicates), so a pure-insert batch satisfies
+            // appendBucketed's distinct-keys contract by construction.
+            val priorFab =
+              if (!Files.exists(Paths.get(indexDir, "_SUCCESS"))) None
+              else {
+                val raw = EmbedIngest.withFirstAdmitted(
+                  s.read.parquet(indexDir))
+                val pruned = stateBuckets match {
+                  case Some(b)
+                      if raw.columns.contains(UpsertWriter.BucketCol) =>
+                    val touched = vecs.select(
+                      pmod(xxhash64(col("vec_id")), lit(b.toLong))
+                        .cast("int").as("__b"))
+                      .distinct().collect().map(_.getInt(0)).toSeq
+                    raw.filter(
+                      col(UpsertWriter.BucketCol).isin(touched: _*))
+                  case _ => raw
+                }
+                Some(pruned
+                  .filter(col("first_admitted_batch") < batchId)
+                  .select(col("vec_id"),
+                    col("first_admitted_batch").as("__fab")))
+              }
+            val withFab = (priorFab match {
+              case None => assigned
+                .withColumn("first_admitted_batch", lit(batchId))
+              case Some(corp) => assigned
+                .join(corp, Seq("vec_id"), "left")
+                .withColumn("first_admitted_batch",
+                  coalesce(col("__fab"), lit(batchId)))
+                .drop("__fab")
+            }).persist()
+            val audit = try {
+              val fcnt = withFab.agg(count(lit(1)),
+                count(when(col("first_admitted_batch") === batchId,
+                  lit(1)))).head()
+              val pureInsert = fcnt.getLong(0) == fcnt.getLong(1)
+              // postings write: hash-bucketed when stateBuckets is set
+              // (the family's shared 100 TB contract); a pure-insert
+              // batch (every key first-admitted now) APPENDS O(batch)
+              // delta files, a batch carrying any re-sent key takes the
+              // keyed touched-bucket merge for the whole set (mixing
+              // same-batch appends with rewrites breaks replay). The
+              // k-row centroid table and one-row-per-batch log stay
+              // plain.
+              stateBuckets match {
+                case Some(b) if pureInsert =>
+                  UpsertWriter.appendBucketed(s, indexDir, withFab,
+                    keys = Seq("vec_id"), batchTag = s"b$batchId",
+                    numBuckets = b)
+                case Some(b) => UpsertWriter.upsertBucketed(s, indexDir,
+                  withFab, keys = Seq("vec_id"), versionCol = "batch_id",
+                  numBuckets = b)
+                case None => UpsertWriter.upsert(s, indexDir, withFab,
+                  keys = Seq("vec_id"), versionCol = "batch_id")
+              }
+              // batch stats for the log, in ONE audit pass over the
             // BATCH-LOCAL assignment (replay-deterministic: assignment
             // is a pure function of the cached batch and the frozen
             // centroids, and post-upsert the table's batch_id rows ARE
@@ -108,7 +160,9 @@ object AnnIngest {
             // instead of discovering degraded recall downstream (the
             // quantizer itself stays frozen — a retrain is a deliberate
             // new table, never a silent re-fit).
-            SkewTools.audit(assigned, "cell")
+              SkewTools.audit(withFab, "cell")
+            } finally withFab.unpersist()
+            audit
           } else SkewTools.SkewAudit("cell", 0L, 0L, 0L)
           import s.implicits._
           UpsertWriter.upsert(s, logDir,
@@ -420,13 +474,19 @@ object AnnIngest {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else spark.read.parquet(dir)
 
-  /** Serving view: the postings index (cell, vec_id, v, norm). */
+  /** Serving view: the postings index (cell, vec_id, v, norm).
+    * `batch_id` is the LAST batch that wrote the row (bumped by a
+    * re-sent key's update); `first_admitted_batch` the batch that first
+    * indexed the key (immutable — the append-vs-merge discriminator;
+    * backfilled to `batch_id` for pre-upgrade tables). */
   def index(spark: SparkSession, warehouseDir: String): DataFrame =
-    tableOrEmpty(spark, s"$warehouseDir/ann_index", StructType(Seq(
-      StructField("cell", IntegerType), StructField("vec_id", LongType),
-      StructField("label", IntegerType),
-      StructField("v", ArrayType(DoubleType)),
-      StructField("norm", DoubleType), StructField("batch_id", LongType))))
+    EmbedIngest.withFirstAdmitted(
+      tableOrEmpty(spark, s"$warehouseDir/ann_index", StructType(Seq(
+        StructField("cell", IntegerType), StructField("vec_id", LongType),
+        StructField("label", IntegerType),
+        StructField("v", ArrayType(DoubleType)),
+        StructField("norm", DoubleType), StructField("batch_id", LongType),
+        StructField("first_admitted_batch", LongType)))))
       .drop(graft.sinks.UpsertWriter.BucketCol) // layout, not data
 
   /** Serving view: the per-batch ingest log. `cell_max_share` is the

@@ -84,18 +84,30 @@ object NearDupIngest {
     val survivorsDir = s"$warehouseDir/neardup_survivors"
     val indexDir = s"$warehouseDir/neardup_index"
     val logDir = s"$warehouseDir/neardup_log"
-    // state-table merge: hash-bucketed touched-bucket-only rewrite when
-    // stateBuckets is set (the 100 TB form), whole-table otherwise —
-    // the family's shared contract ([[MultiSignalIngest]] object doc).
-    // MERGE-only (no [[graft.sinks.UpsertWriter.appendBucketed]] branch
-    // like Embed/MultiSignal take): this worker has no immutable
-    // first-admission column, so telling a fresh INSERT from a
-    // re-delivered survivor's content UPDATE would cost a corpus-key
-    // lookup per batch — the merge is already correct for both, and
-    // adding the discriminator is the price of adopting the
-    // first_admitted_batch contract here, not of the write path
-    def mergeState(dir: String, df: DataFrame, keys: Seq[String]): Unit =
+    // state-table write: hash-bucketed when stateBuckets is set (the
+    // 100 TB form), whole-table otherwise — the family's shared
+    // contract ([[MultiSignalIngest]] object doc). The bucketed path
+    // picks its shape per batch exactly as Embed/MultiSignal do: a
+    // PURE-INSERT batch (every fresh row first-admitted now — the
+    // vs-corpus check just proved the keys absent) APPENDS O(batch)
+    // delta files ([[UpsertWriter.appendBucketed]] — the form that
+    // survives a firehose of fresh keys, where a touched-bucket merge
+    // degenerates to O(corpus) once batch keys ≥ buckets); a batch
+    // carrying any re-delivered admitted key (a content UPDATE) takes
+    // the keyed touched-bucket MERGE for the whole fresh set, because
+    // mixing same-batch appends with same-batch bucket rewrites breaks
+    // replay (the rewrite folds appended rows into the bucket base; the
+    // replayed append would re-add them). The branch condition is
+    // replay-deterministic: both counts ride the IMMUTABLE
+    // `first_admitted_batch` — set at a key's first admission, never
+    // bumped by the keyed upsert ([[EmbedIngest]]'s replay anchor,
+    // adopted here to unlock the append path this worker was merge-only
+    // without).
+    def writeState(dir: String, df: DataFrame, keys: Seq[String],
+        pureInsert: Boolean): Unit =
       stateBuckets match {
+        case Some(b) if pureInsert => UpsertWriter.appendBucketed(
+          s, dir, df, keys, batchTag = s"b$batchId", numBuckets = b)
         case Some(b) => UpsertWriter.upsertBucketed(
           s, dir, df, keys, versionCol = "batch_id", numBuckets = b)
         case None => UpsertWriter.upsert(
@@ -133,7 +145,19 @@ object NearDupIngest {
               call_function("word_shingles", col("text"), lit(3)).as("shingles"))
             .persist()
           val sigs = DedupOps.bandSigs(sets, numHashes, bandRows).persist()
+          // the committed survivors table, read ONCE per batch: the
+          // prior corpus (first_admitted_batch < batchId — rows first
+          // admitted by EARLIER batches; a crashed attempt's own
+          // admissions carry == batchId and are invisible) and the
+          // first_admitted_batch lookup for the admit write both derive
+          // from it ([[EmbedIngest]]'s contract verbatim)
+          val committed =
+            if (!Files.exists(Paths.get(survivorsDir, "_SUCCESS"))) None
+            else Some(EmbedIngest.withFirstAdmitted(
+              s.read.parquet(survivorsDir)).persist())
           try {
+            val prior = committed.map(
+              _.filter(col("first_admitted_batch") < batchId))
             // 1. within-batch clusters → one winner per cluster
             val candIn = sigs.as("x").hint("shuffle_hash")
               .join(sigs.as("y").hint("shuffle_hash"),
@@ -168,12 +192,15 @@ object NearDupIngest {
               val nWinners = timed(batchId, "winners")(winners.count())
 
               // 2. winners vs the stored corpus, candidates from the
-              // index table only; self-matches (a crashed attempt's own
-              // rows) are filtered on doc_id
-              val dupVsCorpus =
-                if (!Files.exists(Paths.get(indexDir, "_SUCCESS")))
-                  winners.limit(0).select(col("doc_id"))
-                else {
+              // index table only; the verify texts come from the PRIOR
+              // corpus (first_admitted_batch < batchId), so a crashed
+              // attempt's own rows — index and survivors alike — can
+              // never veto a replayed winner (they carry == batchId and
+              // yield no verify text; the index collision alone drops
+              // nothing without a Jaccard-verified pair)
+              val dupVsCorpus = prior match {
+                case Some(corp)
+                    if Files.exists(Paths.get(indexDir, "_SUCCESS")) =>
                   val idx = s.read.parquet(indexDir)
                     .select(col("band"), col("sig"), col("doc_id").as("doc_b"))
                   val candX = sigs
@@ -187,7 +214,7 @@ object NearDupIngest {
                   // rows for one id into the verify relation (batch text
                   // + stored text), double-joining the intersection
                   // count; the batch version wins the verify
-                  val oldSets = s.read.parquet(survivorsDir)
+                  val oldSets = corp
                     .join(candX.select(col("doc_b").as("doc_id")).distinct(),
                       Seq("doc_id"), "left_semi")
                     .join(sets.select(col("doc_id")), Seq("doc_id"), "left_anti")
@@ -197,34 +224,64 @@ object NearDupIngest {
                   DedupOps.jaccardPairs(
                       candX, sets.unionByName(oldSets), thresh)
                     .select(col("doc_a").as("doc_id")).distinct()
-                }
+                case _ => winners.limit(0).select(col("doc_id"))
+              }
 
-              // 3. admit fresh winners: survivors row + index signatures
-              val fresh = winners
+              // 3. admit fresh winners: survivors row + index signatures.
+              // first_admitted_batch: this batch for keys the table has
+              // never seen, the stored row's value for a re-delivered
+              // already-admitted key — set once, NEVER bumped (the
+              // replay-determinism anchor; [[EmbedIngest]]'s contract)
+              val freshBase = winners
                 .join(dupVsCorpus, Seq("doc_id"), "left_anti")
                 .withColumn("batch_id", lit(batchId))
-                .persist()
+              val fresh = (committed match {
+                case None =>
+                  freshBase.withColumn("first_admitted_batch", lit(batchId))
+                case Some(corp) =>
+                  freshBase
+                    .join(corp.select(col("doc_id"),
+                      col("first_admitted_batch").as("__fab")),
+                      Seq("doc_id"), "left")
+                    .withColumn("first_admitted_batch",
+                      coalesce(col("__fab"), lit(batchId)))
+                    .drop("__fab")
+              }).persist()
               try {
-                val nFresh = timed(batchId, "corpus-check")(fresh.count())
+                // one aggregation answers the fresh-row count AND this
+                // batch's first-admissions count — the replay-
+                // deterministic append-vs-merge discriminator and the
+                // log's attempt-invariant n_admitted (a re-delivered
+                // admitted key keeps its stored earlier value through
+                // the coalesce above, so it books under n_corpus_dupes,
+                // not as a new admission)
+                val fcnt = timed(batchId, "corpus-check")(fresh.agg(
+                  count(lit(1)),
+                  count(when(col("first_admitted_batch") === batchId,
+                    lit(1)))).head())
+                val (nFresh, nAdmitted) = (fcnt.getLong(0), fcnt.getLong(1))
+                // release the bare-scan cache BEFORE the writes: the
+                // cache manager substitutes cached plan fragments by
+                // equality, so a later read of the same path would
+                // serve the PRE-upsert image
+                committed.foreach(_.unpersist())
                 if (nFresh > 0) timed(batchId, "admit-upserts") {
-                  mergeState(survivorsDir, fresh, Seq("doc_id"))
-                  mergeState(indexDir,
+                  val pureInsert = nFresh == nAdmitted
+                  writeState(survivorsDir, fresh, Seq("doc_id"), pureInsert)
+                  // the index keys embed the doc_id, so a pure-insert
+                  // batch's index rows are fresh keys too
+                  writeState(indexDir,
                     sigs.join(fresh.select(col("doc_id")), Seq("doc_id"), "left_semi")
                       .withColumn("batch_id", lit(batchId)),
-                    Seq("band", "sig", "doc_id"))
+                    Seq("band", "sig", "doc_id"), pureInsert)
                 }
 
-                // log LAST; admissions = the fresh set itself. The table
-                // re-scan this replaces counted `batch_id === batchId`
-                // rows, which post-upsert are exactly `fresh`'s (every
-                // fresh row lands with this batch_id; no other row can
-                // carry it — later batches run only after this one
-                // commits). Attempt-invariant: a replay recomputes the
-                // identical fresh set (the corpus check excludes a
-                // winner's own crashed-attempt rows by doc_id, and
-                // near-dup winners of the same attempt were already
-                // collapsed in-batch, so no crashed row can veto one).
-                val nAdmitted = nFresh
+                // log LAST; both counts derive from the persisted
+                // batch-local fresh set (no per-batch corpus scan) and
+                // are attempt-invariant: a replay recomputes the
+                // identical fresh set (the prior filter rides the
+                // immutable first_admitted_batch, so a crashed
+                // attempt's own admissions are invisible to it)
                 import s.implicits._
                 UpsertWriter.upsert(s, logDir,
                   Seq((batchId, nIn, nIn - nWinners, nWinners - nAdmitted,
@@ -234,7 +291,10 @@ object NearDupIngest {
                   keys = Seq("batch_id"), versionCol = "batch_id")
               } finally fresh.unpersist()
             } finally winners.unpersist()
-          } finally { sigs.unpersist(); sets.unpersist() }
+          } finally {
+            committed.foreach(_.unpersist())
+            sigs.unpersist(); sets.unpersist()
+          }
           } finally docs.unpersist()
         } finally arrivals.unpersist()
     ()
@@ -278,12 +338,18 @@ object NearDupIngest {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else spark.read.parquet(dir)
 
-  /** Serving view: every admitted (near-dup-unique) document. Empty —
-    * not an error — before the first admitting batch. */
+  /** Serving view: every admitted (near-dup-unique) document.
+    * `batch_id` is the LAST batch that wrote the row (content version);
+    * `first_admitted_batch` the batch that first admitted the key
+    * (immutable — the replay anchor; backfilled to `batch_id` for
+    * pre-upgrade tables). Empty — not an error — before the first
+    * admitting batch. */
   def survivors(spark: SparkSession, warehouseDir: String): DataFrame =
-    tableOrEmpty(spark, s"$warehouseDir/neardup_survivors", StructType(Seq(
-      StructField("doc_id", LongType), StructField("text", StringType),
-      StructField("batch_id", LongType))))
+    EmbedIngest.withFirstAdmitted(
+      tableOrEmpty(spark, s"$warehouseDir/neardup_survivors", StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("batch_id", LongType),
+        StructField("first_admitted_batch", LongType)))))
       .drop(UpsertWriter.BucketCol) // derived layout, not data (no-op unbucketed)
 
   /** Serving view: the stored band-signature index. */

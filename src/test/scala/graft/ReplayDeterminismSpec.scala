@@ -181,6 +181,66 @@ class ReplayDeterminismSpec extends AnyFunSuite {
     st
   }
 
+  test("NearDupIngest BUCKETED: crash replay over the append/merge split restates identical state; fresh batches ride the append path") {
+    import graft.streaming.NearDupIngest
+    def tx(i: Long): String =
+      (1 to 10).map(k => s"w${i}x$k").mkString(" ") // disjoint vocabularies
+    // b0: six distinct docs — a PURE-INSERT batch (the append path)
+    val b0 = (0L until 6L).map(i => (i, tx(i))).toDF("doc_id", "text")
+    // b1: re-delivers admitted key 0 (unchanged content → an update, the
+    // merge path), a corpus near-dup of doc 5, an in-batch identical
+    // pair (106/107), and one fresh unique doc
+    val b1 = Seq((0L, tx(0)), (105L, tx(5)), (106L, tx(106)),
+      (107L, tx(106)), (108L, tx(108))).toDF("doc_id", "text")
+
+    def state(wh: String) = (
+      NearDupIngest.survivors(spark, wh)
+        .select(col("doc_id"), col("batch_id"), col("first_admitted_batch"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet,
+      NearDupIngest.index(spark, wh)
+        .select(col("doc_id"), col("band"), col("sig"), col("batch_id"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+          r.getLong(3))).toSet,
+      NearDupIngest.ingestLog(spark, wh).orderBy(col("batch_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSeq)
+
+    def drive(tag: String, crash: Boolean): String = {
+      val wh = Files.createTempDirectory(s"graft-replay-nd-$tag").toString
+      NearDupIngest.processBatch(b0, 0, wh, stateBuckets = Some(4))
+      if (crash) // append-batch replay: delta files replaced by name
+        NearDupIngest.processBatch(b0, 0, wh, stateBuckets = Some(4))
+      NearDupIngest.processBatch(b1, 1, wh, stateBuckets = Some(4))
+      if (crash) // merge-batch replay after full state was written
+        NearDupIngest.processBatch(b1, 1, wh, stateBuckets = Some(4))
+      wh
+    }
+    val whClean = drive("clean", crash = false)
+    // the pure-insert batch must actually ride appendBucketed: its
+    // delta files live under the bucket dirs until a merge subsumes them
+    val deltaB0 = java.nio.file.Files
+      .walk(java.nio.file.Paths.get(s"$whClean/neardup_survivors"))
+      .filter(p => p.getFileName.toString.startsWith("delta-b0-"))
+      .count()
+    assert(deltaB0 > 0,
+      "pure-insert batch 0 did not land as appendBucketed delta files")
+    val whCrash = drive("crash", crash = true)
+    assert(state(whCrash) == state(whClean),
+      s"replay diverged:\n${state(whCrash)}\nvs\n${state(whClean)}")
+
+    val (surv, _, log) = state(whClean)
+    assert(surv.map(_._1) ==
+      Set(0L, 1L, 2L, 3L, 4L, 5L, 106L, 108L),
+      s"survivor set wrong: $surv")
+    assert(surv.contains((0L, 1L, 0L)),
+      s"re-delivered key lost its immutable first_admitted_batch: $surv")
+    // b1: 5 in, 1 batch dupe (107 collapsed into 106), corpus dupes = 2
+    // (105 dropped vs doc 5; key 0's re-delivery is an update, not a
+    // new admission), 2 first admissions (106, 108)
+    assert(log == Seq((0L, 6L, 0L, 0L, 6L), (1L, 5L, 1L, 2L, 2L)),
+      s"admission log diverged: $log")
+  }
+
   test("MultiSignalIngest: crash between upsert and checkpoint with a re-delivered admitted key — replay restates identical state") {
     plainMsState = Some(msReplayScenario("ms", None))
   }
