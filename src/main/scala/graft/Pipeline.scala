@@ -179,13 +179,24 @@ object Pipeline {
       filesPerTrigger: Int = 1,
       driftThreshold: Double = 0.5,
       drainTimeoutMs: Long = 300000L): Option[streaming.AnnIngest.RefitReport] = {
-    val q = runAnnIngest(
-      spark, vecsDir, warehouseDir, checkpointDir, filesPerTrigger)
-    if (!q.awaitTermination(drainTimeoutMs)) {
-      q.stop()
-      throw new IllegalStateException(
-        s"ANN drain did not finish within ${drainTimeoutMs}ms; " +
-          "skipping maintenance (refit must never run beside a live drain)")
+    // CHECKED drain window ([[sinks.TableLease]]): while the drain is
+    // live, a maintenance pass (compact/refit — this cycle's own or a
+    // concurrently scheduled one, same process or not) is refused
+    // instead of racing the drain's replayable batches; the leases
+    // release when the drain finishes, which is exactly when the
+    // maintenance window opens. The timeout path releases too (the
+    // query was stopped), and the cycle still fails loudly.
+    graft.sinks.TableLease.withDrain(
+        Seq(s"$warehouseDir/ann_index", s"$warehouseDir/ann_centroids"),
+        s"ann-drain:pid${ProcessHandle.current().pid()}") {
+      val q = runAnnIngest(
+        spark, vecsDir, warehouseDir, checkpointDir, filesPerTrigger)
+      if (!q.awaitTermination(drainTimeoutMs)) {
+        q.stop()
+        throw new IllegalStateException(
+          s"ANN drain did not finish within ${drainTimeoutMs}ms; " +
+            "skipping maintenance (refit must never run beside a live drain)")
+      }
     }
     streaming.AnnIngest.refitIfDrifted(spark, warehouseDir, driftThreshold)
   }

@@ -50,6 +50,10 @@ import java.nio.file.{Files, Paths}
   */
 object UpsertWriter {
 
+  /** Diagnostic lease-holder id for this process's maintenance ops. */
+  private def maintHolder(op: String): String =
+    s"$op:pid${ProcessHandle.current().pid()}"
+
   /** A table "exists" only when its last write COMMITTED (_SUCCESS
     * marker). A directory left by a crashed partial write is treated as
     * absent and re-initialized rather than merged — the crash-safe
@@ -266,6 +270,7 @@ object UpsertWriter {
       s"table at $path is pinned ${pinnedBuckets(path).getOrElse(0)}-way " +
         "bucketed; merge it through upsertBucketed, not a plain upsert")
 
+    TableLease.requireNoForeignMaintenance(path)
     recover(path)
 
     // __seq: within-batch arrival order (partition-major), the tertiary
@@ -367,6 +372,36 @@ object UpsertWriter {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
+  private def foldedMarker(path: String) =
+    Paths.get(path + ".__folded-tags")
+
+  /** Batch tags whose delta files a [[compact]] has folded into
+    * ordinary files — the sidecar that makes a replayed
+    * [[appendBucketed]] idempotent ACROSS a compaction: the lease
+    * closes the live race, but a batch that crashed before its
+    * checkpoint commit replays after nothing was running, and without
+    * this record it would re-append rows the fold already merged. */
+  private[graft] def foldedTags(path: String): Set[String] =
+    if (!Files.exists(foldedMarker(path))) Set.empty
+    else new String(Files.readAllBytes(foldedMarker(path)),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n").map(_.trim).filter(_.nonEmpty).toSet
+
+  /** Record tags as folded, atomically (temp + rename), BEFORE the
+    * compaction swap: if the fold crashes after this write the delta
+    * files still exist and a skipped replay loses nothing — the rows
+    * are present either as the original deltas or as the folded image,
+    * never twice. */
+  private def recordFoldedTags(path: String, tags: Set[String]): Unit = {
+    val all = foldedTags(path) ++ tags
+    val tmp = foldedMarker(path)
+      .resolveSibling(foldedMarker(path).getFileName.toString + ".tmp")
+    Files.write(tmp, all.toSeq.sorted.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.move(tmp, foldedMarker(path),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
   /** The bucket count pinned at `path` by a previous [[upsertBucketed]],
     * if any — how a maintenance pass (e.g. [[graft.streaming.AnnIngest
     * .refit]]) discovers that a table it is about to rewrite keyed must
@@ -422,6 +457,7 @@ object UpsertWriter {
       versionCol: String,
       numBuckets: Int): Unit = {
     require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+    TableLease.requireNoForeignMaintenance(path)
     recover(path)
     if (Files.exists(bucketMarker(path))) {
       val pinned = pinnedBuckets(path).get
@@ -484,8 +520,15 @@ object UpsertWriter {
     require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
     require(batchTag.matches("[A-Za-z0-9_-]+"),
       s"batchTag must be filename-safe, got '$batchTag'")
+    TableLease.requireNoForeignMaintenance(path)
     recover(path)
-    deleteTree(path + ".__astaging") // appends regenerate on replay
+    // a tag a compaction already FOLDED is a crashed batch whose rows
+    // are merged into ordinary files: the replayed append is a NO-OP —
+    // re-appending would duplicate every row (the one replay hazard the
+    // lease cannot see, because nothing is running between the crash
+    // and the replay). Tags are each batch's identity and never reused
+    // on one table (reuse already clobbers files by name today).
+    if (foldedTags(path).contains(batchTag)) return
     if (Files.exists(bucketMarker(path))) {
       val pinned = pinnedBuckets(path).get
       require(pinned == numBuckets,
@@ -627,7 +670,8 @@ object UpsertWriter {
     * bucket-pruned merge's scope join would silently drop keys. Empty a
     * bucketed table by deleting the directory and its `.__buckets` pin,
     * then recreate. */
-  def truncate(spark: SparkSession, path: String): Unit = {
+  def truncate(spark: SparkSession, path: String): Unit =
+      TableLease.withMaintenance(Seq(path), maintHolder("truncate")) {
     recover(path)
     require(pinnedBuckets(path).isEmpty,
       s"truncate on the bucket-pinned table at $path would poison later " +
@@ -680,16 +724,28 @@ object UpsertWriter {
   def compact(
       spark: SparkSession,
       path: String,
-      targetBytes: Long = 128L << 20): Unit = {
+      targetBytes: Long = 128L << 20): Unit =
+      TableLease.withMaintenance(Seq(path), maintHolder("compact")) {
     recover(path)
     require(exists(path), s"no committed table at $path")
     import scala.jdk.CollectionConverters._
     val walk = Files.walk(Paths.get(path))
-    val bytes =
-      try walk.iterator().asScala
-        .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
-        .map(Files.size).sum
-      finally walk.close()
+    val (bytes, deltaTags) = {
+      val files =
+        try walk.iterator().asScala
+          .filter(p => p.toString.endsWith(".parquet") &&
+            Files.isRegularFile(p)).toList
+        finally walk.close()
+      (files.map(Files.size).sum,
+        files.map(_.getFileName.toString)
+          .filter(_.startsWith("delta-"))
+          .map(_.stripPrefix("delta-").replaceAll("-\\d+\\.parquet$", ""))
+          .toSet)
+    }
+    // record folded append tags BEFORE the rewrite (see [[foldedTags]]):
+    // a replayed append whose deltas this fold subsumes must become a
+    // no-op, not a duplicate
+    if (deltaTags.nonEmpty) recordFoldedTags(path, deltaTags)
     val parts = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     val partCols = partitionColsOf(path)
     // mergeSchema: a table whose partitions carry mixed schemas (written
@@ -731,7 +787,8 @@ object UpsertWriter {
       spark: SparkSession,
       path: String,
       partitionCol: String,
-      cutoff: String): Int = {
+      cutoff: String): Int =
+      TableLease.withMaintenance(Seq(path), maintHolder("retainFrom")) {
     val iso = "\\d{4}-\\d{2}-\\d{2}".r
     require(iso.matches(cutoff),
       s"retainFrom cutoff must be an ISO yyyy-MM-dd date, got '$cutoff'")

@@ -283,7 +283,13 @@ object AnnIngest {
     require(Files.exists(Paths.get(indexDir, "_SUCCESS")) &&
         Files.exists(Paths.get(centroidsDir, "_SUCCESS")),
       s"refit needs a committed index and centroids under $warehouseDir")
-
+    // checked maintenance window ([[graft.sinks.TableLease]]): a drain
+    // bracketed in withDrain is refused here instead of raced — the
+    // session-scoped requireNoActiveDrain above cannot see another
+    // process's drain; the lease can
+    graft.sinks.TableLease.withMaintenance(
+        Seq(centroidsDir, indexDir), s"refit:pid${
+          ProcessHandle.current().pid()}") {
     val idx = spark.read.parquet(indexDir).persist()
     val (pre, asOf, nMoved) = try {
       val pre = SkewTools.audit(idx, "cell")
@@ -301,6 +307,7 @@ object AnnIngest {
       idx.unpersist(blocking = true); ()
     }
     logRefit(spark, warehouseDir, pre, asOf, nMoved)
+    }
   }
 
   /** Runtime teeth for the SINGLE-WRITER contract (the doc alone was the
@@ -404,7 +411,9 @@ object AnnIngest {
     requireNoActiveDrain(spark)
     if (!Files.exists(Paths.get(indexDir, "_SUCCESS")) ||
         !Files.exists(Paths.get(centroidsDir, "_SUCCESS"))) None
-    else {
+    else graft.sinks.TableLease.withMaintenance(
+        Seq(centroidsDir, indexDir), s"refit:pid${
+          ProcessHandle.current().pid()}") {
       val idx = spark.read.parquet(indexDir).persist()
       val fired = try {
         val a = SkewTools.audit(idx, "cell")

@@ -1,0 +1,122 @@
+package graft
+
+import graft.sinks.{TableLease, UpsertWriter}
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+
+/** The checked single-writer/maintenance-window contract
+  * ([[graft.sinks.TableLease]]): maintenance refuses while a drain
+  * window is open, writers refuse while a foreign maintenance window is
+  * open, a crashed lease holder recovers after the TTL, and — the one
+  * hazard no lease can see — a replayed append whose delta files a
+  * compaction already folded is a no-op, never a duplicate. */
+class TableLeaseSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-lease").resolve("t").toString
+
+  private def mkTable(path: String): Unit =
+    UpsertWriter.appendBucketed(spark, path,
+      (1L to 16L).map(i => (i, s"v$i", 0L)).toDF("id", "v", "ver"),
+      keys = Seq("id"), batchTag = "b0", numBuckets = 4)
+
+  test("compact during an open drain window is refused; after the window closes it runs") {
+    val path = tmp(); mkTable(path)
+    val filesBefore = Files.list(Paths.get(path)).count()
+    TableLease.acquire(path, TableLease.Drain, "test-drain")
+    val e = intercept[IllegalStateException] {
+      UpsertWriter.compact(spark, path)
+    }
+    assert(e.getMessage.contains("Drain lease is held"))
+    assert(Files.list(Paths.get(path)).count() == filesBefore,
+      "a refused compact must not mutate the table")
+    TableLease.release(path, TableLease.Drain, "test-drain")
+    UpsertWriter.compact(spark, path) // window closed: runs clean
+    assert(spark.read.parquet(path).count() == 16)
+  }
+
+  test("a crashed drain holder recovers: the stale lease is stolen, maintenance proceeds") {
+    val path = tmp(); mkTable(path)
+    // a lease written long ago — the holder crashed without releasing
+    Files.write(Paths.get(path + ".__drain-lease"),
+      s"dead-drain\n${System.currentTimeMillis() - 3600_000L}"
+        .getBytes("UTF-8"))
+    UpsertWriter.compact(spark, path) // stale: stolen, not wedged
+    assert(spark.read.parquet(path).count() == 16)
+    assert(!Files.exists(Paths.get(path + ".__drain-lease")),
+      "the stale lease must be cleaned up")
+  }
+
+  test("a worker merge during an open maintenance window is refused; the pass's own writes pass") {
+    val path = tmp(); mkTable(path)
+    TableLease.acquire(path, TableLease.Maintenance, "test-maint")
+    val e = intercept[IllegalStateException] {
+      UpsertWriter.upsertBucketed(spark, path,
+        Seq((1L, "RACE", 9L)).toDF("id", "v", "ver"),
+        keys = Seq("id"), versionCol = "ver", numBuckets = 4)
+    }
+    assert(e.getMessage.contains("maintenance window is open"))
+    val e2 = intercept[IllegalStateException] {
+      UpsertWriter.appendBucketed(spark, path,
+        Seq((99L, "RACE", 9L)).toDF("id", "v", "ver"),
+        keys = Seq("id"), batchTag = "race", numBuckets = 4)
+    }
+    assert(e2.getMessage.contains("maintenance window is open"))
+    TableLease.release(path, TableLease.Maintenance, "test-maint")
+    // compact holds its own maintenance lease and its internal rewrite
+    // passes its own gate (thread-local ownership)
+    UpsertWriter.compact(spark, path)
+    assert(spark.read.parquet(path)
+      .filter($"v" === "RACE").count() == 0, "refused writes must not land")
+  }
+
+  test("a second maintenance holder is refused; an unreadable lease is fresh, not stolen") {
+    val path = tmp(); mkTable(path)
+    TableLease.acquire(path, TableLease.Maintenance, "holder-a")
+    intercept[IllegalStateException] {
+      TableLease.acquire(path, TableLease.Maintenance, "holder-b")
+    }
+    // same holder refreshes without error
+    TableLease.acquire(path, TableLease.Maintenance, "holder-a")
+    TableLease.release(path, TableLease.Maintenance, "holder-a")
+    // garbage lease content: treated as fresh (refuse, don't steal)
+    Files.write(Paths.get(path + ".__drain-lease"),
+      "not a lease".getBytes("UTF-8"))
+    intercept[IllegalStateException] {
+      UpsertWriter.compact(spark, path)
+    }
+    Files.delete(Paths.get(path + ".__drain-lease"))
+  }
+
+  test("withDrain releases on exception; withMaintenance nests its own writes") {
+    val path = tmp(); mkTable(path)
+    intercept[RuntimeException] {
+      TableLease.withDrain(Seq(path), "d1") { throw new RuntimeException("boom") }
+    }
+    UpsertWriter.compact(spark, path) // lease released despite the throw
+  }
+
+  test("a replayed append whose tag a compaction folded is a no-op, never a duplicate") {
+    val path = tmp(); mkTable(path)
+    def b1(): Unit = UpsertWriter.appendBucketed(spark, path,
+      (17L to 24L).map(i => (i, s"v$i", 1L)).toDF("id", "v", "ver"),
+      keys = Seq("id"), batchTag = "b1", numBuckets = 4)
+    b1() // the batch lands… (checkpoint never commits)
+    assert(spark.read.parquet(path).count() == 24)
+    UpsertWriter.compact(spark, path) // maintenance folds the deltas
+    assert(UpsertWriter.foldedTags(path) == Set("b0", "b1"))
+    b1() // …the drain restarts and replays the batch
+    val state = spark.read.parquet(path)
+      .select($"id", $"v").as[(Long, String)].collect()
+    assert(state.length == 24,
+      s"replay after compaction duplicated rows: ${state.length}")
+    assert(state.toMap == (1L to 24L).map(i => i -> s"v$i").toMap)
+    // a genuinely NEW batch still appends normally
+    UpsertWriter.appendBucketed(spark, path,
+      Seq((25L, "v25", 2L)).toDF("id", "v", "ver"),
+      keys = Seq("id"), batchTag = "b2", numBuckets = 4)
+    assert(spark.read.parquet(path).count() == 25)
+  }
+}
