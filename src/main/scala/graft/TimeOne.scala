@@ -19,15 +19,55 @@ object TimeOne {
     Sessions.tune(spark)
     spark.sparkContext.setLogLevel("WARN")
     Fixtures.ensureAll(spark, sfDir)
+    // GRAFT_JOB_COUNT=1: per-query scheduled-job/stage tally — the
+    // denominator of the fixed-overhead analysis (a micro-batch gate's
+    // cost is jobs × scheduling floor, not data)
+    val jobCounter =
+      if (!sys.env.contains("GRAFT_JOB_COUNT")) None
+      else {
+        val c = new org.apache.spark.scheduler.SparkListener {
+          val jobs = new java.util.concurrent.atomic.AtomicLong
+          val stages = new java.util.concurrent.atomic.AtomicLong
+          val tasks = new java.util.concurrent.atomic.AtomicLong
+          override def onJobStart(
+              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            jobs.incrementAndGet()
+            if (sys.env.get("GRAFT_JOB_COUNT").contains("2"))
+              Console.err.println(s"[timeone-job] ${j.jobId} " +
+                s"stages=${j.stageInfos.size} " +
+                Option(j.properties)
+                  .flatMap(p => Option(p.getProperty("spark.job.description")))
+                  .getOrElse("").take(140))
+            ()
+          }
+          override def onStageCompleted(
+              s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            stages.incrementAndGet()
+            tasks.addAndGet(s.stageInfo.numTasks); ()
+          }
+        }
+        spark.sparkContext.addSparkListener(c)
+        Some(c)
+      }
     for (name <- args) {
       val fn = SparkEntry.queries(name)
       fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
       spark.catalog.clearCache()
       val times = (1 to 3).map { _ =>
+        jobCounter.foreach { c =>
+          c.jobs.set(0); c.stages.set(0); c.tasks.set(0)
+        }
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         spark.catalog.clearCache()
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        jobCounter.foreach { c =>
+          // listener bus is async; give it a beat before reading
+          Thread.sleep(300)
+          Console.err.println(s"[timeone-jobs] $name jobs=${c.jobs.get} " +
+            s"stages=${c.stages.get} tasks=${c.tasks.get}")
+        }
+        dt
       }
       println(f"[timeone] $name: ${times.map(t => f"$t%.2f").mkString(" ")} s")
       // machine-readable twin of the line above — [[Bench]]'s isolated

@@ -624,15 +624,21 @@ object DedupOps extends OpModule {
     * @param maxRounds safety bound; CC converges in O(diameter) rounds
     * @param smallGraphMax edge-count ceiling for the single-task path;
     *        0 disables it (specs pin the iterative rounds that way)
+    * @param knownEdgeCount edge count the CALLER already has (e.g. the
+    *        streaming workers materialize their pair cache with a count
+    *        anyway) — skips the probe job the size gate would otherwise
+    *        schedule; the branch taken is identical
     * @return (doc_id, cluster_id, is_survivor, rounds) — `rounds` is the
     *         number of propagation rounds actually run (constant
     *         column; 0 marks the single-task path)
     */
   def survivorsToFixpoint(
       docs: DataFrame, edges: DataFrame, maxRounds: Int = 50,
-      smallGraphMax: Long = 500000L): DataFrame = {
-    if (smallGraphMax > 0 &&
-        edges.limit((smallGraphMax + 1).toInt).count() <= smallGraphMax) {
+      smallGraphMax: Long = 500000L,
+      knownEdgeCount: Option[Long] = None): DataFrame = {
+    if (smallGraphMax > 0 && knownEdgeCount.fold(
+        edges.limit((smallGraphMax + 1).toInt).count() <= smallGraphMax)(
+        _ <= smallGraphMax)) {
       import org.apache.spark.sql.Encoders
       val labeled = edges
         .select(col("src").cast(LongType), col("dst").cast(LongType))

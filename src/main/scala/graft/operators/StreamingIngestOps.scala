@@ -33,23 +33,6 @@ import java.nio.file.{Files, Path}
   */
 object StreamingIngestOps extends OpModule {
 
-  /** Land `df` as ONE parquet file in `flat`, with an explicit
-    * modification time — the file source processes the initial listing
-    * oldest-first, so the mtimes ARE the batch order (main-source twin
-    * of the test helper `StreamFiles.landOne`, plus the explicit
-    * clock). */
-  private def land(df: DataFrame, base: Path, flat: String, name: String,
-      mtime: Long): Unit = {
-    val tmp = base.resolve(name + ".tmp").toString
-    df.coalesce(1).write.parquet(tmp)
-    val part = new java.io.File(tmp).listFiles()
-      .filter(_.getName.endsWith(".parquet")).head
-    val target = new java.io.File(s"$flat/$name.parquet")
-    Files.move(part.toPath, target.toPath)
-    target.setLastModified(mtime)
-    ()
-  }
-
   /** Fresh (flat-input, warehouse, checkpoint) dirs for one drain. */
   private def dirs(tag: String): (Path, String, String, String) = {
     val base = Files.createTempDirectory(s"graft-gate-$tag")
@@ -93,10 +76,33 @@ object StreamingIngestOps extends OpModule {
         org.apache.spark.sql.streaming.StreamingQuery): String = {
     val (base, flat, wh, ckpt) = dirs(tag)
     val t0 = System.currentTimeMillis() - 120000
-    land(rows.filter(col(idCol) % 2 === 0), base, flat, "b0", t0)
-    land(rows.filter(col(idCol) % 2 === 1), base, flat, "b1", t0 + 60000)
+    // both batch files land from ONE job: the parity split writes as a
+    // partition column (range-partitioned so each parity is exactly one
+    // task → one file), then the two files move into the flat source
+    // dir with the mtimes that encode batch order. The per-batch land()
+    // form scheduled the upstream read/join twice.
+    val tmp = base.resolve("land.tmp").toString
+    rows.withColumn("__par", pmod(col(idCol), lit(2)).cast("int"))
+      .repartitionByRange(2, col("__par"))
+      .write.partitionBy("__par").parquet(tmp)
+    for ((par, name, mtime) <- Seq((0, "b0", t0), (1, "b1", t0 + 60000))) {
+      val dir = new java.io.File(s"$tmp/__par=$par")
+      require(dir.isDirectory,
+        s"gate '$tag': parity $par landed no file (empty batch)")
+      val part = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+      require(part.length == 1,
+        s"gate '$tag': parity $par landed ${part.length} files, expected 1")
+      val target = new java.io.File(s"$flat/$name.parquet")
+      Files.move(part.head.toPath, target.toPath)
+      target.setLastModified(mtime)
+    }
     val prev = s.conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
     s.conf.set("spark.sql.shuffle.partitions", "2")
+    // AQE off inside the drain window, same reasoning as
+    // [[driveTwoBatches]]: per-exchange stage jobs are the gate's
+    // dominant fixed cost at micro-batch sizes
+    s.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val q = run(s, flat, wh, ckpt)
       // awaitTermination(timeout) returns FALSE on timeout with the drain
@@ -111,7 +117,10 @@ object StreamingIngestOps extends OpModule {
           s"streaming gate '$tag' did not drain within 300s; failing " +
             "instead of reading a partial warehouse")
       }
-    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prev)
+      s.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
     wh
   }
 
@@ -130,11 +139,30 @@ object StreamingIngestOps extends OpModule {
     val wh = Files.createTempDirectory("graft-gate-direct")
       .resolve("wh").toString
     val prev = s.conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
     s.conf.set("spark.sql.shuffle.partitions", "2")
+    // AQE off for the drive window: at 2 shuffle partitions there is
+    // nothing for it to coalesce, and its per-exchange stage
+    // materialization schedules every tiny shuffle as its own job —
+    // measured as pure driver overhead at micro-batch state sizes
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    // the two parity batches derive from one cached upstream read
+    // instead of recomputing the source scan/join per batch. The
+    // narrow coalesce caps the cached partition count at the drive
+    // window's shuffle size: the fixture loaders spread single-file
+    // tables to defaultParallelism (right for the big batch queries),
+    // and every downstream cache scan here would otherwise schedule 32
+    // near-empty tasks per job — a real stream's micro-batch arrives as
+    // one file and never has this shape.
+    val cached = rows.coalesce(2).persist()
     try {
-      run(rows.filter(col(idCol) % 2 === 0), 0L, wh)
-      run(rows.filter(col(idCol) % 2 === 1), 1L, wh)
-    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      run(cached.filter(col(idCol) % 2 === 0), 0L, wh)
+      run(cached.filter(col(idCol) % 2 === 1), 1L, wh)
+    } finally {
+      cached.unpersist()
+      s.conf.set("spark.sql.shuffle.partitions", prev)
+      s.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
     wh
   }
 

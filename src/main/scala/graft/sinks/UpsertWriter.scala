@@ -54,6 +54,20 @@ object UpsertWriter {
   private def maintHolder(op: String): String =
     s"$op:pid${ProcessHandle.current().pid()}"
 
+  /** Memoized table schema for [[append]]/[[appendBucketed]]'s
+    * compatibility check: a streaming worker appends the SAME schema
+    * every batch, and re-listing the table + sampling a footer per
+    * append is pure fixed overhead (measured ~0.1 s/call at gate
+    * scale). An append never changes the table schema (narrow batches
+    * are padded, growth is refused), so the entry stays valid across
+    * appends; every schema-changing write ([[upsert]], [[truncate]],
+    * [[compact]]) invalidates it at entry. Same-process only — which is
+    * exactly the single-writer contract's scope; a foreign writer
+    * changing the schema mid-stream is already excluded. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, org.apache.spark.sql.types.StructType]()
+
   /** A table "exists" only when its last write COMMITTED (_SUCCESS
     * marker). A directory left by a crashed partial write is treated as
     * absent and re-initialized rather than merged — the crash-safe
@@ -271,6 +285,7 @@ object UpsertWriter {
         "bucketed; merge it through upsertBucketed, not a plain upsert")
 
     TableLease.requireNoForeignMaintenance(path)
+    schemaCache.remove(path) // a merge may grow the table schema
     recover(path)
 
     // __seq: within-batch arrival order (partition-major), the tertiary
@@ -518,8 +533,41 @@ object UpsertWriter {
       batchTag: String,
       numBuckets: Int): Unit = {
     require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+    appendInternal(spark, path, rows, keys, batchTag, Some(numBuckets))
+  }
+
+  /** UNBUCKETED insert-only append — [[appendBucketed]]'s contract and
+    * crash posture (deterministic `delta-<tag>-<i>.parquet` names,
+    * replay replaces, in-flight marker + quarantine, folded-tag no-op)
+    * with the delta files landing at the table root. The batch-bounded
+    * write form for PLAIN keyed tables the workers maintain at fixture
+    * scale: a pure-insert batch appends O(batch) instead of paying the
+    * whole-table read + window + staged rewrite of [[upsert]] — the
+    * same read/merge/compact interop (a keyed merge's swap replaces the
+    * whole directory, deltas included; [[compact]] folds them). */
+  def append(
+      spark: SparkSession,
+      path: String,
+      rows: DataFrame,
+      keys: Seq[String],
+      batchTag: String): Unit =
+    appendInternal(spark, path, rows, keys, batchTag, None)
+
+  private def appendInternal(
+      spark: SparkSession,
+      path: String,
+      rows: DataFrame,
+      keys: Seq[String],
+      batchTag: String,
+      numBuckets: Option[Int]): Unit = {
     require(batchTag.matches("[A-Za-z0-9_-]+"),
       s"batchTag must be filename-safe, got '$batchTag'")
+    // an unbucketed append is refused on a bucket-pinned table (its
+    // root-level delta files would sit outside every bucket directory,
+    // invisible to the pruned merge's leaf swap — permanent duplicates)
+    if (numBuckets.isEmpty)
+      require(pinnedBuckets(path).isEmpty,
+        s"table at $path is bucket-pinned; append through appendBucketed")
     TableLease.requireNoForeignMaintenance(path)
     recover(path)
     // a tag a compaction already FOLDED is a crashed batch whose rows
@@ -529,16 +577,18 @@ object UpsertWriter {
     // and the replay). Tags are each batch's identity and never reused
     // on one table (reuse already clobbers files by name today).
     if (foldedTags(path).contains(batchTag)) return
-    if (Files.exists(bucketMarker(path))) {
-      val pinned = pinnedBuckets(path).get
-      require(pinned == numBuckets,
-        s"table at $path is bucketed $pinned ways; appendBucketed($numBuckets) " +
-          "would misplace keys — rewrite the table to re-bucket")
-    } else {
-      require(!exists(path),
-        s"table at $path exists unbucketed; adopting bucketing is a " +
-          "rewrite (read, bucket, write fresh), not an append")
-      pinBuckets(path, numBuckets)
+    numBuckets.foreach { nb =>
+      if (Files.exists(bucketMarker(path))) {
+        val pinned = pinnedBuckets(path).get
+        require(pinned == nb,
+          s"table at $path is bucketed $pinned ways; appendBucketed($nb) " +
+            "would misplace keys — rewrite the table to re-bucket")
+      } else {
+        require(!exists(path),
+          s"table at $path exists unbucketed; adopting bucketing is a " +
+            "rewrite (read, bucket, write fresh), not an append")
+        pinBuckets(path, nb)
+      }
     }
     val padded = if (!exists(path)) rows else {
       // an append cannot CHANGE the schema: new-column rows would land
@@ -548,7 +598,8 @@ object UpsertWriter {
       // the table unreadable outright (parquet readers refuse mixed
       // physical types for one column). Route any schema change through
       // upsertBucketed — the merge materializes one uniform image.
-      val existing = spark.read.parquet(path).schema
+      val existing = schemaCache.computeIfAbsent(path,
+        p => spark.read.parquet(p).schema)
       val existingTypes =
         existing.fields.map(f => f.name -> f.dataType).toMap
       val extra = rows.columns.toSet -- existingTypes.keySet
@@ -594,8 +645,11 @@ object UpsertWriter {
       missing.foldLeft(rows)((df, f) =>
         df.withColumn(f.name, lit(null).cast(f.dataType)))
     }
-    val bucketed = padded.withColumn(BucketCol,
-      pmod(xxhash64(keys.map(col): _*), lit(numBuckets.toLong)).cast("int"))
+    val bucketed = numBuckets match {
+      case Some(nb) => padded.withColumn(BucketCol,
+        pmod(xxhash64(keys.map(col): _*), lit(nb.toLong)).cast("int"))
+      case None => padded
+    }
     // stage the batch image (partitioned by bucket, committed), then move
     // each staged file into its live bucket directory under the
     // deterministic per-batch name — deleting any same-tag leftovers of a
@@ -614,14 +668,22 @@ object UpsertWriter {
     // directory; a root-level bootstrap file would make partition
     // discovery ambiguous).
     val astaging = path + ".__astaging"
-    bucketed.write.mode(SaveMode.Overwrite)
-      .partitionBy(BucketCol).parquet(astaging)
+    numBuckets match {
+      case Some(_) => bucketed.write.mode(SaveMode.Overwrite)
+        .partitionBy(BucketCol).parquet(astaging)
+      case None => bucketed.write.mode(SaveMode.Overwrite).parquet(astaging)
+    }
     val marker = Paths.get(path + ".__apending-" + batchTag)
     swapFault()
     Files.createFile(marker)
     import scala.jdk.CollectionConverters._
     var moved = 0
-    leafPartitionDirs(Paths.get(astaging)).foreach { rel =>
+    // bucketed: staged leaf partition dirs map onto live bucket dirs;
+    // unbucketed: the staged root maps onto the table root
+    val stagedDirs =
+      if (numBuckets.isDefined) leafPartitionDirs(Paths.get(astaging))
+      else Seq(Paths.get(""))
+    stagedDirs.foreach { rel =>
       val liveLeaf = Paths.get(path).resolve(rel)
       Files.createDirectories(liveLeaf)
       val stale = Files.list(liveLeaf)
@@ -672,6 +734,7 @@ object UpsertWriter {
     * then recreate. */
   def truncate(spark: SparkSession, path: String): Unit =
       TableLease.withMaintenance(Seq(path), maintHolder("truncate")) {
+    schemaCache.remove(path)
     recover(path)
     require(pinnedBuckets(path).isEmpty,
       s"truncate on the bucket-pinned table at $path would poison later " +
@@ -726,6 +789,7 @@ object UpsertWriter {
       path: String,
       targetBytes: Long = 128L << 20): Unit =
       TableLease.withMaintenance(Seq(path), maintHolder("compact")) {
+    schemaCache.remove(path) // mergeSchema may surface a union schema
     recover(path)
     require(exists(path), s"no committed table at $path")
     import scala.jdk.CollectionConverters._

@@ -141,6 +141,10 @@ object AnnIngest {
                 case Some(b) => UpsertWriter.upsertBucketed(s, indexDir,
                   withFab, keys = Seq("vec_id"), versionCol = "batch_id",
                   numBuckets = b)
+                // plain layout: same insert/update split — pure-insert
+                // batches append root delta files, O(batch)
+                case None if pureInsert => UpsertWriter.append(s, indexDir,
+                  withFab, keys = Seq("vec_id"), batchTag = s"b$batchId")
                 case None => UpsertWriter.upsert(s, indexDir, withFab,
                   keys = Seq("vec_id"), versionCol = "batch_id")
               }
@@ -165,12 +169,15 @@ object AnnIngest {
             audit
           } else SkewTools.SkewAudit("cell", 0L, 0L, 0L)
           import s.implicits._
-          UpsertWriter.upsert(s, logDir,
+          // keyed by batch_id, only ever written by its own batch: the
+          // delta append restates on replay by tag, without a
+          // read+window+swap merge per batch
+          UpsertWriter.append(s, logDir,
             Seq((batchId, nIn, cellAudit.totalRows, cellAudit.nKeys,
                 cellAudit.maxShare))
               .toDF("batch_id", "n_in", "n_indexed", "n_cells_touched",
                 "cell_max_share"),
-            keys = Seq("batch_id"), versionCol = "batch_id")
+            keys = Seq("batch_id"), batchTag = s"b$batchId")
         } finally vecs.unpersist()
     ()
   }

@@ -110,13 +110,19 @@ object DedupIngest {
             else s.read.parquet(survivorsDir)
               .filter(col("batch_id") < batchId)
               .select(col("content_hash"))
+          // the winners count folds into the fresh count's job via the
+          // Observation API (every winner row flows through the anti
+          // join's left side exactly once) instead of scheduling its
+          // own job — at micro-batch sizes per-job overhead dominates
+          val winObs = org.apache.spark.sql.Observation()
           val fresh = winners
+            .observe(winObs, count(lit(1)).as("n"))
             .join(seen, Seq("content_hash"), "left_anti")
             .withColumn("batch_id", lit(batchId))
             .persist()
           try {
             val nFresh = fresh.count()
-            val nBatchDupes = nIn - winners.count()
+            val nBatchDupes = nIn - winObs.get("n").asInstanceOf[Long]
 
             // bucketed when stateBuckets is set (the 100 TB form — the
             // family's shared contract, [[MultiSignalIngest]] object
@@ -132,8 +138,11 @@ object DedupIngest {
                 s, survivorsDir, fresh,
                 keys = Seq("content_hash"), batchTag = s"b$batchId",
                 numBuckets = b)
-              case None => UpsertWriter.upsert(s, survivorsDir, fresh,
-                keys = Seq("content_hash"), versionCol = "batch_id")
+              // the plain layout appends too — the fresh set is pure-
+              // insert by construction, so the whole-table read +
+              // window + staged rewrite bought nothing
+              case None => UpsertWriter.append(s, survivorsDir, fresh,
+                keys = Seq("content_hash"), batchTag = s"b$batchId")
             }
 
             // admissions = nFresh, attempt-invariant because `seen`
@@ -147,12 +156,15 @@ object DedupIngest {
             // LAST, so a crash between the writes replays the batch into
             // the identical split
             import s.implicits._
-            UpsertWriter.upsert(s, logDir,
+            // keyed by batch_id and only ever written by its own batch:
+            // the delta append restates on replay by tag, without the
+            // read+window+swap a keyed merge pays per batch
+            UpsertWriter.append(s, logDir,
               Seq((batchId, nIn, nBatchDupes, nIn - nBatchDupes - nAdmitted,
                 nAdmitted))
                 .toDF("batch_id", "n_in", "n_batch_dupes", "n_seen_before",
                   "n_admitted"),
-              keys = Seq("batch_id"), versionCol = "batch_id")
+              keys = Seq("batch_id"), batchTag = s"b$batchId")
           } finally fresh.unpersist()
         } finally hashed.unpersist()
         ()

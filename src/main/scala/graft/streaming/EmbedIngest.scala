@@ -143,6 +143,11 @@ object EmbedIngest {
           s, dir, df, keys, batchTag = s"b$batchId", numBuckets = b)
         case Some(b) => UpsertWriter.upsertBucketed(
           s, dir, df, keys, versionCol = "batch_id", numBuckets = b)
+        // the plain layout takes the same insert/update split: a pure-
+        // insert batch appends O(batch) root delta files instead of a
+        // whole-table read + window + staged rewrite
+        case None if pureInsert => UpsertWriter.append(
+          s, dir, df, keys, batchTag = s"b$batchId")
         case None => UpsertWriter.upsert(
           s, dir, df, keys, versionCol = "batch_id")
       }
@@ -150,19 +155,37 @@ object EmbedIngest {
       .withColumn("__seq", monotonically_increasing_id())
       .persist()
     try {
-      // one aggregation answers both log counts: rows in, and distinct
-      // keys (= the keep-latest survivors the window below retains)
-      val cnt = arrivals
-        .agg(count(lit(1)), countDistinct(col("vec_id"))).head()
-      val (nIn, nBatch) = (cnt.getLong(0), cnt.getLong(1))
+      // ONE aggregation job answers all three driver-side counts: rows
+      // in, distinct keys (= the keep-latest survivors), and the prior-
+      // corpus size from the admission log (sum of n_admitted over
+      // batches < batchId — first admissions only, rows never deleted,
+      // every prior batch's log row committed before this batch runs).
+      // The log unions in as a second one-row aggregate instead of its
+      // own job — at micro-batch sizes per-job overhead dominates.
+      val arrAgg = arrivals
+        .agg(count(lit(1)).as("a"), countDistinct(col("vec_id")).as("b"))
+        .withColumn("c", lit(0L))
+      val cnt = (
+        if (!Files.exists(Paths.get(logDir, "_SUCCESS"))) arrAgg
+        else arrAgg.unionByName(s.read.parquet(logDir)
+          .filter(col("batch_id") < batchId)
+          .agg(coalesce(sum(col("n_admitted")), lit(0L)).as("c"))
+          .select(lit(0L).as("a"), lit(0L).as("b"), col("c"))))
+        .agg(sum(col("a")), sum(col("b")), sum(col("c"))).head()
+      val (nIn, nBatch, nPrior) =
+        (cnt.getLong(0), cnt.getLong(1), cnt.getLong(2))
       // keep-latest per vec_id BEFORE any counting ([[NearDupIngest]]'s
       // same-batch re-delivery rule): the keyed upsert would collapse
       // the rows anyway, and counting both as winners would book the
       // collapse as a phantom corpus dupe. Highest arrival order wins,
-      // matching UpsertWriter's within-batch tie-break.
+      // matching UpsertWriter's within-batch tie-break. SKIPPED (no
+      // window shuffle) when the batch provably has no duplicate keys —
+      // both counts are of the delivered batch, so the branch replays
+      // deterministically.
       val wVec = Window.partitionBy(col("vec_id")).orderBy(col("__seq").desc)
       val sigged = DedupOps.embeddingSigged(
-        arrivals
+        if (nIn == nBatch) arrivals.drop("__seq")
+        else arrivals
           .withColumn("__rn", row_number().over(wVec))
           .filter(col("__rn") === 1)
           .drop("__seq", "__rn"))
@@ -180,18 +203,6 @@ object EmbedIngest {
         try {
           val prior = committed.map(
             _.filter(col("first_admitted_batch") < batchId))
-          // prior-corpus COUNT from the log (one row per batch), not a
-          // corpus scan: sum(n_admitted) over batches < batchId equals
-          // count(first_admitted_batch < batchId) — first admissions
-          // only, rows never deleted, and every prior batch's log row
-          // is committed before this batch runs (a crashed batch
-          // replays first)
-          val nPrior =
-            if (!Files.exists(Paths.get(logDir, "_SUCCESS"))) 0L
-            else s.read.parquet(logDir)
-              .filter(col("batch_id") < batchId)
-              .agg(coalesce(sum(col("n_admitted")), lit(0L)))
-              .head().getLong(0)
           val mask = DedupOps.cellMaskFor(nPrior + nBatch)
           val cells = sigged
             .withColumn("cell", col("sig").bitwiseAND(lit(mask)))
@@ -222,21 +233,27 @@ object EmbedIngest {
               col("va"), col("na"), col("vb"), col("nb")) >= thresh)
             .select(col("va_id").as("src"), col("vb_id").as("dst"))
             .persist()
+          // the count that materializes the cache doubles as the
+          // fixpoint's size gate (skips its probe job)
+          val nPairs = pairsP.count()
           val edges = pairsP.unionByName(
             pairsP.select(col("dst").as("src"), col("src").as("dst")))
           val labels =
             try
               DedupOps.survivorsToFixpoint(
-                sigged.select(col("vec_id").as("doc_id")), edges)
+                sigged.select(col("vec_id").as("doc_id")), edges,
+                knownEdgeCount = Some(2L * nPairs))
             finally pairsP.unpersist()
           val winners = cells.join(
             labels.filter(col("is_survivor"))
               .select(col("doc_id").as("vec_id")),
             Seq("vec_id"), "left_semi")
             .persist()
+          // nWinners folds into the fresh-count job via Observation
+          // (every winner row flows through freshBase's anti-join left
+          // side exactly once) instead of its own count job
+          val winObs = org.apache.spark.sql.Observation()
           try {
-            val nWinners = winners.count()
-
             // 2. winners vs the stored corpus under the SAME mask —
             // stored rows re-mask their full signatures at read time;
             // winners probe their Hamming-1 ring (the same admit
@@ -257,7 +274,9 @@ object EmbedIngest {
                     col("probe") === col("cb") && col("vec_id") =!= col("vb_id"))
                   .filter(DedupOps.quantCos(
                     col("v"), col("norm"), col("vb"), col("nb")) >= thresh)
-                  .select(col("vec_id")).distinct()
+                  // no distinct: the only consumer is a left_anti join,
+                  // which ignores right-side duplicates
+                  .select(col("vec_id"))
             }
 
             // 3. admit fresh winners (full arrival row + signature).
@@ -265,7 +284,9 @@ object EmbedIngest {
             // never seen, the stored row's value for a re-delivered
             // already-admitted key — set once, NEVER bumped (the
             // replay-determinism anchor documented above)
-            val freshBase = winners.drop("v", "norm", "cell")
+            val freshBase = winners
+              .observe(winObs, count(lit(1)).as("n"))
+              .drop("v", "norm", "cell")
               .join(dupVsCorpus, Seq("vec_id"), "left_anti")
               .withColumn("batch_id", lit(batchId))
             val fresh = (committed match {
@@ -295,6 +316,7 @@ object EmbedIngest {
                 count(when(col("first_admitted_batch") === batchId,
                   lit(1)))).head()
               val (nFresh, nAdmitted) = (fcnt.getLong(0), fcnt.getLong(1))
+              val nWinners = winObs.get("n").asInstanceOf[Long]
               // `committed` caches the BARE table scan; release it BEFORE
               // the upsert — Spark's cache manager substitutes a cached
               // plan fragment by equality, so a later read of the same
@@ -305,12 +327,14 @@ object EmbedIngest {
                   pureInsert = nFresh == nAdmitted)
 
               import s.implicits._
-              UpsertWriter.upsert(s, logDir,
+              // keyed by batch_id, only ever written by its own batch:
+              // the delta append restates on replay by tag
+              UpsertWriter.append(s, logDir,
                 Seq((batchId, nIn, nIn - nWinners, nWinners - nAdmitted,
                   nAdmitted))
                   .toDF("batch_id", "n_in", "n_batch_dupes",
                     "n_corpus_dupes", "n_admitted"),
-                keys = Seq("batch_id"), versionCol = "batch_id")
+                keys = Seq("batch_id"), batchTag = s"b$batchId")
             } finally fresh.unpersist()
           } finally winners.unpersist()
         } finally committed.foreach(_.unpersist())

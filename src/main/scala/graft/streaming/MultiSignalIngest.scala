@@ -119,6 +119,12 @@ object MultiSignalIngest {
           s, dir, df, keys, batchTag = s"b$batchId", numBuckets = b)
         case Some(b) => UpsertWriter.upsertBucketed(
           s, dir, df, keys, versionCol = "batch_id", numBuckets = b)
+        // the plain layout takes the same insert/update split: a pure-
+        // insert batch appends O(batch) delta files at the table root
+        // instead of paying the whole-table read + window + staged
+        // rewrite — same replay contract, merge subsumption, compaction
+        case None if pureInsert => UpsertWriter.append(
+          s, dir, df, keys, batchTag = s"b$batchId")
         case None => UpsertWriter.upsert(
           s, dir, df, keys, versionCol = "batch_id")
       }
@@ -127,19 +133,39 @@ object MultiSignalIngest {
       .withColumn("__seq", monotonically_increasing_id())
       .persist()
         try {
-          // one aggregation answers both log counts: rows in, and
-          // distinct keys (= the keep-latest survivors the window
-          // below retains) — two scheduled jobs fused into one
-          val cnt = timed(batchId, "in-count")(arrivals
-            .agg(count(lit(1)), countDistinct(col("doc_id"))).head())
-          val (nIn, nBatch) = (cnt.getLong(0), cnt.getLong(1))
+          // ONE aggregation job answers all three driver-side counts:
+          // rows in, distinct keys (= the keep-latest survivors), and
+          // the prior-corpus size from the admission log (sum of
+          // n_admitted over batches < batchId — first admissions only,
+          // rows never deleted, every prior batch's log row committed
+          // before this batch runs). The log side unions in as a second
+          // one-row aggregate instead of scheduling its own job: at
+          // gate scale per-job overhead dominates, and the log is one
+          // row per batch either way.
+          val arrAgg = arrivals
+            .agg(count(lit(1)).as("a"), countDistinct(col("doc_id")).as("b"))
+            .withColumn("c", lit(0L))
+          val cnt = timed(batchId, "in-count")((
+            if (!Files.exists(Paths.get(logDir, "_SUCCESS"))) arrAgg
+            else arrAgg.unionByName(s.read.parquet(logDir)
+              .filter(col("batch_id") < batchId)
+              .agg(coalesce(sum(col("n_admitted")), lit(0L)).as("c"))
+              .select(lit(0L).as("a"), lit(0L).as("b"), col("c"))))
+            .agg(sum(col("a")), sum(col("b")), sum(col("c"))).head())
+          val (nIn, nBatch, nPrior) =
+            (cnt.getLong(0), cnt.getLong(1), cnt.getLong(2))
+          // keep-latest per doc_id — SKIPPED (no window shuffle) when
+          // the batch provably has no duplicate keys (nIn == nBatch,
+          // both counts of the delivered batch, so the branch replays
+          // deterministically); a same-batch re-delivery pays it
           val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("__seq").desc)
-          val docs = DedupOps.embeddingSigged(
-            arrivals
+          val deduped =
+            if (nIn == nBatch) arrivals.drop("__seq")
+            else arrivals
               .withColumn("__rn", row_number().over(wDoc))
               .filter(col("__rn") === 1)
-              .drop("__seq", "__rn"))
-            .persist()
+              .drop("__seq", "__rn")
+          val docs = DedupOps.embeddingSigged(deduped).persist()
           try {
             val committed =
               if (!Files.exists(Paths.get(survivorsDir, "_SUCCESS"))) None
@@ -148,20 +174,6 @@ object MultiSignalIngest {
             try {
               val prior = committed.map(
                 _.filter(col("first_admitted_batch") < batchId))
-              // prior-corpus COUNT from the log, not a corpus scan:
-              // sum(n_admitted) over batches < batchId equals
-              // count(first_admitted_batch < batchId) — first
-              // admissions only, rows never deleted, and every prior
-              // batch's log row is committed (the log lands before the
-              // checkpoint, so a crashed batch replays before this one
-              // runs). The log is one row per batch; the corpus scan
-              // this replaces grows with the corpus.
-              val nPrior = timed(batchId, "prior-count")(
-                if (!Files.exists(Paths.get(logDir, "_SUCCESS"))) 0L
-                else s.read.parquet(logDir)
-                  .filter(col("batch_id") < batchId)
-                  .agg(coalesce(sum(col("n_admitted")), lit(0L)))
-                  .head().getLong(0))
               val mask = DedupOps.cellMaskFor(nPrior + nBatch)
 
               // lexical machinery over the batch
@@ -202,22 +214,31 @@ object MultiSignalIngest {
                     col("va"), col("na"), col("vb"), col("nb")) >= cosThresh)
                   .select(col("va_id").as("src"), col("vb_id").as("dst"))
                 // persist the DIRECTED pair union; symmetric union = two
-                // cache scans (the family's measured fix)
+                // cache scans (the family's measured fix). The count
+                // that materializes the cache doubles as the fixpoint's
+                // size gate (knownEdgeCount — the probe job the gate
+                // would otherwise schedule is skipped).
                 val pairsP = lexPairs.unionByName(semPairs).persist()
-                if (stageTiming) timed(batchId, "pairs-mat")(pairsP.count())
+                val nPairs = timed(batchId, "pairs-mat")(pairsP.count())
                 val edges = pairsP.unionByName(
                   pairsP.select(col("dst").as("src"), col("src").as("dst")))
                 val labels = timed(batchId, "cluster-fixpt")(
                   try
                     DedupOps.survivorsToFixpoint(
-                      docs.select(col("doc_id")), edges)
+                      docs.select(col("doc_id")), edges,
+                      knownEdgeCount = Some(2L * nPairs))
                   finally pairsP.unpersist())
                 val winners = cells.join(
                   labels.filter(col("is_survivor")).select(col("doc_id")),
                   Seq("doc_id"), "left_semi")
                   .persist()
+                // nWinners folds into the fresh-count job below via the
+                // Observation API instead of scheduling its own count:
+                // the observe node sits above the winners cache on the
+                // freshBase path, so every winner row flows through it
+                // exactly once when `fresh` materializes
+                val winObs = org.apache.spark.sql.Observation()
                 try {
-                  val nWinners = timed(batchId, "winners")(winners.count())
 
                   // 2. winners vs the corpus: EITHER signal drops.
                   // Lexical — via the stored band index, verified by
@@ -276,14 +297,19 @@ object MultiSignalIngest {
                         .select(col("doc_id"))
                     case None => none
                   }
-                  val dupVsCorpus = lexDrop.unionByName(semDrop).distinct()
+                  // no distinct: the only consumer is a left_anti join,
+                  // whose semantics ignore right-side duplicates — the
+                  // distinct was one more shuffle for nothing
+                  val dupVsCorpus = lexDrop.unionByName(semDrop)
 
                   // 3. admit fresh winners: full row + signature into the
                   // survivors table, band rows into the lexical index.
                   // first_admitted_batch: this batch for never-seen keys,
                   // the stored value for a re-delivered admitted key —
                   // set once, NEVER bumped (the replay anchor)
-                  val freshBase = winners.drop("v", "norm", "cell")
+                  val freshBase = winners
+                    .observe(winObs, count(lit(1)).as("n"))
+                    .drop("v", "norm", "cell")
                     .join(dupVsCorpus, Seq("doc_id"), "left_anti")
                     .withColumn("batch_id", lit(batchId))
                   val fresh = (committed match {
@@ -316,6 +342,8 @@ object MultiSignalIngest {
                       count(when(col("first_admitted_batch") === batchId,
                         lit(1)))).head())
                     val (nFresh, nAdmitted) = (fcnt.getLong(0), fcnt.getLong(1))
+                    val nWinners = timed(batchId, "winners")(
+                      winObs.get("n").asInstanceOf[Long])
                     // release the bare-scan cache BEFORE the upsert: the
                     // cache manager substitutes cached plan fragments by
                     // equality, so a later read of the same path would
@@ -333,12 +361,17 @@ object MultiSignalIngest {
                     }
                     timed(batchId, "log-upsert") {
                       import s.implicits._
-                      UpsertWriter.upsert(s, logDir,
+                      // the log row is keyed by batch_id and only ever
+                      // written by its own batch — insert-by-
+                      // construction, so it rides the delta append (a
+                      // replay replaces its own file by tag) instead of
+                      // a read+window+swap merge per batch
+                      UpsertWriter.append(s, logDir,
                         Seq((batchId, nIn, nIn - nWinners,
                           nWinners - nAdmitted, nAdmitted))
                           .toDF("batch_id", "n_in", "n_batch_dupes",
                             "n_corpus_dupes", "n_admitted"),
-                        keys = Seq("batch_id"), versionCol = "batch_id")
+                        keys = Seq("batch_id"), batchTag = s"b$batchId")
                     }
                   } finally fresh.unpersist()
                 } finally winners.unpersist()

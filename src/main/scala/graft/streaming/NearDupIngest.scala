@@ -121,7 +121,13 @@ object NearDupIngest {
           .withColumn("__seq", monotonically_increasing_id())
           .persist()
         try {
-          val nIn = timed(batchId, "in-count")(arrivals.count())
+          // one job answers rows-in AND distinct keys; the keep-latest
+          // window is then SKIPPED (no shuffle) when the batch provably
+          // has no duplicate keys — both counts are of the delivered
+          // batch, so the branch replays deterministically
+          val cnt = timed(batchId, "in-count")(arrivals
+            .agg(count(lit(1)), countDistinct(col("doc_id"))).head())
+          val (nIn, nBatch) = (cnt.getLong(0), cnt.getLong(1))
           // keep-latest per doc_id BEFORE any counting: two rows sharing
           // a doc_id in one micro-batch (a same-batch re-delivery) would
           // otherwise both survive clustering — the self-pair is excluded
@@ -134,10 +140,12 @@ object NearDupIngest {
           // counted where it belongs, in n_batch_dupes.
           val wDoc = org.apache.spark.sql.expressions.Window
             .partitionBy(col("doc_id")).orderBy(col("__seq").desc)
-          val docs = arrivals
-            .withColumn("__rn", row_number().over(wDoc))
-            .filter(col("__rn") === 1)
-            .drop("__seq", "__rn")
+          val docs = (
+            if (nIn == nBatch) arrivals.drop("__seq")
+            else arrivals
+              .withColumn("__rn", row_number().over(wDoc))
+              .filter(col("__rn") === 1)
+              .drop("__seq", "__rn"))
             .persist()
           try {
           val sets = docs
@@ -178,18 +186,24 @@ object NearDupIngest {
             val pairsP = DedupOps.jaccardPairs(candIn, sets, thresh)
               .select(col("doc_a").as("src"), col("doc_b").as("dst"))
               .persist()
-            if (stageTiming) timed(batchId, "pairs-mat")(pairsP.count())
+            // the count that materializes the cache doubles as the
+            // fixpoint's size gate (skips its probe job)
+            val nPairs = timed(batchId, "pairs-mat")(pairsP.count())
             val edges = pairsP.unionByName(
               pairsP.select(col("dst").as("src"), col("src").as("dst")))
             val labels = timed(batchId, "cluster-fixpt")(try
-              DedupOps.survivorsToFixpoint(docs.select(col("doc_id")), edges)
+              DedupOps.survivorsToFixpoint(docs.select(col("doc_id")), edges,
+                knownEdgeCount = Some(2L * nPairs))
             finally pairsP.unpersist())
             val winners = docs.join(
               labels.filter(col("is_survivor")).select(col("doc_id")),
               Seq("doc_id"), "left_semi")
               .persist()
+            // nWinners folds into the fresh-count job via Observation
+            // (every winner row flows through freshBase's anti-join left
+            // side exactly once) instead of its own count job
+            val winObs = org.apache.spark.sql.Observation()
             try {
-              val nWinners = timed(batchId, "winners")(winners.count())
 
               // 2. winners vs the stored corpus, candidates from the
               // index table only; the verify texts come from the PRIOR
@@ -221,9 +235,11 @@ object NearDupIngest {
                     .select(col("doc_id"),
                       call_function("word_shingles", col("text"), lit(3))
                         .as("shingles"))
+                  // no distinct: the only consumer is a left_anti join,
+                  // which ignores right-side duplicates
                   DedupOps.jaccardPairs(
                       candX, sets.unionByName(oldSets), thresh)
-                    .select(col("doc_a").as("doc_id")).distinct()
+                    .select(col("doc_a").as("doc_id"))
                 case _ => winners.limit(0).select(col("doc_id"))
               }
 
@@ -233,6 +249,7 @@ object NearDupIngest {
               // already-admitted key — set once, NEVER bumped (the
               // replay-determinism anchor; [[EmbedIngest]]'s contract)
               val freshBase = winners
+                .observe(winObs, count(lit(1)).as("n"))
                 .join(dupVsCorpus, Seq("doc_id"), "left_anti")
                 .withColumn("batch_id", lit(batchId))
               val fresh = (committed match {
@@ -260,6 +277,8 @@ object NearDupIngest {
                   count(when(col("first_admitted_batch") === batchId,
                     lit(1)))).head())
                 val (nFresh, nAdmitted) = (fcnt.getLong(0), fcnt.getLong(1))
+                val nWinners = timed(batchId, "winners")(
+                  winObs.get("n").asInstanceOf[Long])
                 // release the bare-scan cache BEFORE the writes: the
                 // cache manager substitutes cached plan fragments by
                 // equality, so a later read of the same path would
@@ -283,12 +302,15 @@ object NearDupIngest {
                 // immutable first_admitted_batch, so a crashed
                 // attempt's own admissions are invisible to it)
                 import s.implicits._
-                UpsertWriter.upsert(s, logDir,
+                // keyed by batch_id, only ever written by its own batch:
+                // the delta append restates on replay by tag, without a
+                // read+window+swap merge per batch
+                UpsertWriter.append(s, logDir,
                   Seq((batchId, nIn, nIn - nWinners, nWinners - nAdmitted,
                     nAdmitted))
                     .toDF("batch_id", "n_in", "n_batch_dupes",
                       "n_corpus_dupes", "n_admitted"),
-                  keys = Seq("batch_id"), versionCol = "batch_id")
+                  keys = Seq("batch_id"), batchTag = s"b$batchId")
               } finally fresh.unpersist()
             } finally winners.unpersist()
           } finally {
