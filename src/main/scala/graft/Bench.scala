@@ -201,15 +201,18 @@ object Bench {
         "\"" + k + "\":[" + ts.map(t =>
           "%.3f".formatLocal(java.util.Locale.ROOT, t)).mkString(",") + "]"
       }.mkString("{", ",", "}")
-    // Trust flag per isolated query (the r6 verdict's bench directive):
-    // sample spread as a percent of the min, and a boolean at the 25%
-    // threshold. Sub-2 s queries are fresh-JVM-JIT-dominated and swing
-    // far past it — the reader takes `reliable:false` as "rank by the
-    // session number instead", machine-readable instead of re-derived.
+    // Trust flag per isolated query (the r6 verdict's bench directive,
+    // stabilized per r11's): the spread of the 3 FASTEST samples as a
+    // percent of the min — the stability of the min-estimator the
+    // comparison ranks by, not of the whole sample (a fresh JVM's first
+    // run is JIT-dominated by construction; TimeOne now runs adaptively
+    // to 6 samples until the fast tail settles). reliable:false still
+    // means "rank by the session number instead".
     val isoSpread: Seq[(String, Double)] =
       topNames.flatMap(n => isolated.get(n).map { case (min, ts) =>
-        n -> (if (min <= 0 || ts.isEmpty) 0.0
-              else (ts.max - ts.min) / min * 100.0)
+        val fast = ts.sorted.take(3)
+        n -> (if (min <= 0 || fast.isEmpty) 0.0
+              else (fast.max - fast.min) / min * 100.0)
       })
     def isoVar: String = isoSpread.map { case (k, v) =>
       "\"" + k + "\":" + "%.1f".formatLocal(java.util.Locale.ROOT, v)
@@ -232,7 +235,7 @@ object Bench {
       },"shuffle_mb":${jmap(_._2)},"spill_mb":${jmap(_._3)},""" +
         s""""isolated":$isoMap,"isolated_times":$isoTimes,""" +
         s""""isolated_variance_pct":$isoVar,"isolated_reliable":$isoReliable,""" +
-        s""""isolated_note":"fresh-JVM min-of-3 for the ${topNames.size} slowest; variance_pct = sample spread / min; reliable=false (spread > 25%) means JIT-dominated — rank by the session number instead",""" +
+        s""""isolated_note":"fresh-JVM adaptive min (3-6 runs until the fast tail settles) for the ${topNames.size} slowest; variance_pct = spread of the 3 fastest / min; reliable=false (spread > 25%) means JIT-dominated — rank by the session number instead",""" +
         s""""sf":"$sfDir","failed":${failed.size}}"""
     // The recorder keeps only the last ~2 KB of output: with 100+ queries
     // the compact full-map line overflows that window and gets cut
