@@ -130,13 +130,29 @@ object TableLease {
     override def initialValue(): Set[String] = Set.empty
   }
 
+  /** Acquire `kind` on every path, ROLLING BACK the ones already taken
+    * if a later acquire is refused — without this, a two-table window
+    * refused on its second table would leak the first table's lease
+    * until the TTL steals it, wedging that table's opposite class for
+    * the whole window. */
+  private def acquireAll(
+      paths: Seq[String], kind: Kind, holder: String, ttlMs: Long): Unit = {
+    val taken = scala.collection.mutable.ListBuffer.empty[String]
+    try paths.foreach { p => acquire(p, kind, holder, ttlMs); taken += p }
+    catch {
+      case e: Throwable =>
+        taken.foreach(release(_, kind, holder))
+        throw e
+    }
+  }
+
   /** Run `body` inside a maintenance window over `paths`: refuse if any
-    * has a fresh drain lease, take maintenance leases on all, mark them
-    * owned for this thread, and always release. */
+    * has a fresh drain lease, take maintenance leases on all (all-or-
+    * nothing), mark them owned for this thread, and always release. */
   def withMaintenance[A](
       paths: Seq[String], holder: String,
       ttlMs: Long = DefaultTtlMs)(body: => A): A = {
-    paths.foreach(acquire(_, Maintenance, holder, ttlMs))
+    acquireAll(paths, Maintenance, holder, ttlMs)
     val prev = ownMaintenance.get()
     ownMaintenance.set(prev ++ paths)
     try body
@@ -149,11 +165,12 @@ object TableLease {
   /** Run `body` inside a drain window over `paths` — the bracket an
     * orchestrator puts around a drain-and-stop streaming cycle so a
     * concurrently scheduled maintenance pass is refused instead of
-    * racing the drain's replayable batches. */
+    * racing the drain's replayable batches. Acquisition is
+    * all-or-nothing, like [[withMaintenance]]. */
   def withDrain[A](
       paths: Seq[String], holder: String,
       ttlMs: Long = DefaultTtlMs)(body: => A): A = {
-    paths.foreach(acquire(_, Drain, holder, ttlMs))
+    acquireAll(paths, Drain, holder, ttlMs)
     try body
     finally paths.foreach(release(_, Drain, holder))
   }

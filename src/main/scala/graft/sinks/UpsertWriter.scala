@@ -297,6 +297,18 @@ object UpsertWriter {
       .withColumn("__upd", lit(1))
       .withColumn("__seq", monotonically_increasing_id())
 
+    // LAYOUT ADOPTION: a partitioned merge over a table whose PHYSICAL
+    // layout differs (unpartitioned — e.g. freshly truncated — or
+    // partitioned by other columns) cannot ride the touched-leaf swap:
+    // the swap only replaces `col=value` directories matching the new
+    // scheme, so every pre-existing root/other-scheme data file would
+    // survive NEXT TO the rewritten image — silently duplicating each
+    // scoped key. Such a merge becomes a FULL rewrite through the
+    // whole-directory swap instead (correct, one-off; the next merge
+    // prunes normally against the adopted layout).
+    val adopting = exists(path) && partitionBy.nonEmpty &&
+      partitionColsOf(path) != partitionBy
+
     val merged: DataFrame = if (!exists(path)) {
       dedup(seqd, keys, versionCol)
     } else {
@@ -314,7 +326,7 @@ object UpsertWriter {
       val schemaGrew =
         (updates.columns.toSet -- existing.columns).nonEmpty
       val scoped =
-        if (partitionBy.isEmpty || schemaGrew) existing
+        if (partitionBy.isEmpty || schemaGrew || adopting) existing
         else {
           // only partitions the updates touch participate in the
           // rewrite. NULL-SAFE equality (<=>), not a plain equi-join: a
@@ -342,7 +354,15 @@ object UpsertWriter {
         keys, versionCol)
     }
 
-    if (partitionBy.nonEmpty && exists(path)) {
+    if (partitionBy.nonEmpty && exists(path) && adopting) {
+      // layout adoption (see above): the merged image is the FULL
+      // table; the whole-directory swap replaces the old layout's
+      // files, which the touched-leaf swap would have left in place
+      swapIn(path) { staging =>
+        merged.write.mode(SaveMode.Overwrite)
+          .partitionBy(partitionBy: _*).parquet(staging)
+      }
+    } else if (partitionBy.nonEmpty && exists(path)) {
       // Touched-partitions-only merge through a committed staging image
       // + per-leaf rename swap ([[completePartitionSwap]]). `merged`
       // holds exactly the touched partitions (the left-semi scope
@@ -562,12 +582,19 @@ object UpsertWriter {
       numBuckets: Option[Int]): Unit = {
     require(batchTag.matches("[A-Za-z0-9_-]+"),
       s"batchTag must be filename-safe, got '$batchTag'")
-    // an unbucketed append is refused on a bucket-pinned table (its
-    // root-level delta files would sit outside every bucket directory,
-    // invisible to the pruned merge's leaf swap — permanent duplicates)
-    if (numBuckets.isEmpty)
+    // an unbucketed append is refused on a bucket-pinned or physically
+    // partitioned table (its root-level delta files would sit outside
+    // every partition directory, invisible to the pruned merge's leaf
+    // swap — permanent duplicates once a merge rewrites the leaves)
+    if (numBuckets.isEmpty) {
       require(pinnedBuckets(path).isEmpty,
         s"table at $path is bucket-pinned; append through appendBucketed")
+      require(!exists(path) || partitionColsOf(path).isEmpty,
+        s"table at $path is partitioned by " +
+          s"[${partitionColsOf(path).mkString(", ")}]; root-level delta " +
+          "appends would sit outside the partition layout — merge " +
+          "through upsert instead")
+    }
     TableLease.requireNoForeignMaintenance(path)
     recover(path)
     // a tag a compaction already FOLDED is a crashed batch whose rows
@@ -735,6 +762,11 @@ object UpsertWriter {
   def truncate(spark: SparkSession, path: String): Unit =
       TableLease.withMaintenance(Seq(path), maintHolder("truncate")) {
     schemaCache.remove(path)
+    // a truncate resets the table's content history: folded-tag records
+    // must not survive it, or a post-truncate ingest reusing a tag
+    // (e.g. a fresh checkpoint restarting at batch 0) would have its
+    // appends silently skipped as "already folded"
+    Files.deleteIfExists(foldedMarker(path))
     recover(path)
     require(pinnedBuckets(path).isEmpty,
       s"truncate on the bucket-pinned table at $path would poison later " +

@@ -98,6 +98,39 @@ class TableLeaseSpec extends AnyFunSuite {
     UpsertWriter.compact(spark, path) // lease released despite the throw
   }
 
+  test("a refused multi-table window rolls back the leases it already took") {
+    val p1 = tmp(); mkTable(p1)
+    val p2 = tmp(); mkTable(p2)
+    // a drain holds table 2 — a maintenance window over (p1, p2) must
+    // be refused AND must not leave a maintenance lease behind on p1
+    TableLease.acquire(p2, TableLease.Drain, "drain-2")
+    intercept[IllegalStateException] {
+      TableLease.withMaintenance(Seq(p1, p2), "maint") { fail("must not run") }
+    }
+    // p1 must be writable immediately, not wedged until a TTL steal
+    UpsertWriter.appendBucketed(spark, p1,
+      Seq((99L, "ok", 1L)).toDF("id", "v", "ver"),
+      keys = Seq("id"), batchTag = "b9", numBuckets = 4)
+    assert(spark.read.parquet(p1).count() == 17)
+    TableLease.release(p2, TableLease.Drain, "drain-2")
+  }
+
+  test("truncate forgets folded tags: a post-reset ingest reusing a tag is not skipped") {
+    val path = tmp()
+    UpsertWriter.append(spark, path,
+      Seq((1L, "a", 0L)).toDF("id", "v", "ver"),
+      keys = Seq("id"), batchTag = "b0")
+    UpsertWriter.compact(spark, path) // folds tag b0
+    assert(UpsertWriter.foldedTags(path) == Set("b0"))
+    UpsertWriter.truncate(spark, path) // explicit content reset
+    UpsertWriter.append(spark, path,   // fresh checkpoint restarts at b0
+      Seq((2L, "b", 0L)).toDF("id", "v", "ver"),
+      keys = Seq("id"), batchTag = "b0")
+    assert(spark.read.parquet(path)
+      .select($"id").as[Long].collect().toSet == Set(2L),
+      "a reused tag after truncate must append, not be skipped as folded")
+  }
+
   test("a replayed append whose tag a compaction folded is a no-op, never a duplicate") {
     val path = tmp(); mkTable(path)
     def b1(): Unit = UpsertWriter.appendBucketed(spark, path,

@@ -571,6 +571,66 @@ class UpsertWriterSpec extends AnyFunSuite {
       s"null-partition keys were lost or not updated: $state")
   }
 
+  test("partitioned: adopting partitioning over an existing unpartitioned table never duplicates") {
+    // the touched-leaf swap only replaces `col=value` directories, so a
+    // partitioned merge over a table whose files live at the ROOT would
+    // leave those files next to the new leaves — every scoped key twice.
+    // Adoption must be a full whole-directory rewrite instead.
+    val path = tmp()
+    UpsertWriter.upsert(spark, path,
+      Seq((1L, "2024-01-01", "x"), (2L, "2024-01-02", "y"))
+        .toDF("id", "dia", "v"),
+      keys = Seq("id"), versionCol = "id") // UNpartitioned layout
+    UpsertWriter.upsert(spark, path,
+      Seq((2L, "2024-01-02", "y2")).toDF("id", "dia", "v"),
+      keys = Seq("id"), versionCol = "id", partitionBy = Seq("dia"))
+    val rows = spark.read.parquet(path)
+      .select($"id", $"v").as[(Long, String)].collect()
+    assert(rows.length == 2, s"adoption duplicated rows: ${rows.toSeq}")
+    assert(rows.toMap == Map(1L -> "x", 2L -> "y2"))
+    assert(new java.io.File(s"$path/dia=2024-01-01").isDirectory,
+      "adoption must leave the table physically partitioned")
+    // the NEXT merge prunes normally against the adopted layout
+    val untouched = new java.io.File(s"$path/dia=2024-01-01")
+      .listFiles().map(_.getName).toSet
+    UpsertWriter.upsert(spark, path,
+      Seq((2L, "2024-01-02", "y3")).toDF("id", "dia", "v"),
+      keys = Seq("id"), versionCol = "id", partitionBy = Seq("dia"))
+    assert(new java.io.File(s"$path/dia=2024-01-01")
+      .listFiles().map(_.getName).toSet == untouched,
+      "post-adoption merges must prune untouched partitions again")
+  }
+
+  test("partitioned: changing the partition columns is a full rewrite, never a duplication") {
+    val path = tmp()
+    UpsertWriter.upsert(spark, path,
+      Seq((1L, "2024-01-01", "a", "x"), (2L, "2024-01-02", "b", "y"))
+        .toDF("id", "dia", "cat", "v"),
+      keys = Seq("id"), versionCol = "id", partitionBy = Seq("dia"))
+    UpsertWriter.upsert(spark, path,
+      Seq((2L, "2024-01-02", "b", "y2")).toDF("id", "dia", "cat", "v"),
+      keys = Seq("id"), versionCol = "id", partitionBy = Seq("cat"))
+    val rows = spark.read.parquet(path)
+      .select($"id", $"v").as[(Long, String)].collect()
+    assert(rows.length == 2, s"re-partitioning duplicated rows: ${rows.toSeq}")
+    assert(rows.toMap == Map(1L -> "x", 2L -> "y2"))
+    assert(!new java.io.File(s"$path/dia=2024-01-01").exists,
+      "the old layout's directories must not survive a re-partitioning")
+  }
+
+  test("append: refused on a physically partitioned table (root deltas would escape the leaf swap)") {
+    val path = tmp()
+    UpsertWriter.upsert(spark, path,
+      Seq((1L, "2024-01-01", "x")).toDF("id", "dia", "v"),
+      keys = Seq("id"), versionCol = "id", partitionBy = Seq("dia"))
+    val e = intercept[IllegalArgumentException] {
+      UpsertWriter.append(spark, path,
+        Seq((2L, "2024-01-02", "y")).toDF("id", "dia", "v"),
+        keys = Seq("id"), batchTag = "b0")
+    }
+    assert(e.getMessage.contains("partitioned"))
+  }
+
   test("K5 then K1 partitioned: an upsert after truncate rebuilds a clean layout") {
     val path = tmp()
     UpsertWriter.upsert(spark, path,
