@@ -98,6 +98,12 @@ object AnnIngest {
                 val pruned = stateBuckets match {
                   case Some(b)
                       if raw.columns.contains(UpsertWriter.BucketCol) =>
+                    // deliberate bounded collect — NOT a driver-side
+                    // data loop: partition pruning only reaches the
+                    // scan as LITERAL filter values, and this list is
+                    // the batch's distinct bucket ids (≤ numBuckets
+                    // ints, computed on the cached batch), never rows.
+                    // A semi-join here would read the whole index.
                     val touched = vecs.select(
                       pmod(xxhash64(col("vec_id")), lit(b.toLong))
                         .cast("int").as("__b"))
