@@ -354,10 +354,22 @@ object UpsertWriter {
         keys, versionCol)
     }
 
+    // A merge whose swap SUBSUMES delta files must record their tags as
+    // folded, exactly like [[compact]]: the one merge that can legally
+    // fold an UNCOMMITTED batch's deltas is a full-table maintenance
+    // rewrite ([[graft.streaming.AnnIngest.refit]] — it runs in the
+    // maintenance window a crashed drain's batch replays AFTER), and
+    // without the record the replayed append would re-add every row the
+    // rewrite already merged. Committed batches' tags are recorded too —
+    // harmless (they never replay) and cheaper than telling them apart.
+    // Recording happens BEFORE the swap: a crash in between leaves the
+    // deltas live, so the skipped replay still serves every row.
     if (partitionBy.nonEmpty && exists(path) && adopting) {
       // layout adoption (see above): the merged image is the FULL
       // table; the whole-directory swap replaces the old layout's
       // files, which the touched-leaf swap would have left in place
+      val folded = deltaTagsUnder(Paths.get(path))
+      if (folded.nonEmpty) recordFoldedTags(path, folded)
       swapIn(path) { staging =>
         merged.write.mode(SaveMode.Overwrite)
           .partitionBy(partitionBy: _*).parquet(staging)
@@ -373,11 +385,24 @@ object UpsertWriter {
       // partition, then promote files) does not give.
       merged.write.mode(SaveMode.Overwrite)
         .partitionBy(partitionBy: _*).parquet(path + ".__pstaging")
+      // tags folded by THIS swap = delta files in the touched leaves
+      // (the staging image's leaf set). A tag spanning untouched leaves
+      // keeps those files — safe either way: a tag that can still
+      // replay belongs to an uncommitted batch, and the only legal
+      // merge in its replay window is a FULL rewrite (every leaf
+      // touched), so a partial fold only ever happens to tags that
+      // will never replay.
+      val folded = leafPartitionDirs(Paths.get(path + ".__pstaging"))
+        .map(rel => deltaTagsUnder(Paths.get(path).resolve(rel)))
+        .foldLeft(Set.empty[String])(_ ++ _)
+      if (folded.nonEmpty) recordFoldedTags(path, folded)
       completePartitionSwap(path)
     } else if (partitionBy.nonEmpty) {
       merged.write.mode(SaveMode.Overwrite)
         .partitionBy(partitionBy: _*).parquet(path)
     } else {
+      val folded = deltaTagsUnder(Paths.get(path))
+      if (folded.nonEmpty) recordFoldedTags(path, folded)
       swapIn(path) { staging =>
         merged.write.mode(SaveMode.Overwrite).parquet(staging)
       }
@@ -422,8 +447,21 @@ object UpsertWriter {
       java.nio.charset.StandardCharsets.UTF_8)
       .split("\n").map(_.trim).filter(_.nonEmpty).toSet
 
+  /** Append-batch tags of the delta files under `dir` (recursively). */
+  private def deltaTagsUnder(dir: java.nio.file.Path): Set[String] = {
+    import scala.jdk.CollectionConverters._
+    if (!Files.isDirectory(dir)) return Set.empty
+    val walk = Files.walk(dir)
+    try walk.iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.startsWith("delta-") && n.endsWith(".parquet"))
+      .map(_.stripPrefix("delta-").replaceAll("-\\d+\\.parquet$", ""))
+      .toSet
+    finally walk.close()
+  }
+
   /** Record tags as folded, atomically (temp + rename), BEFORE the
-    * compaction swap: if the fold crashes after this write the delta
+    * fold's swap: if the fold crashes after this write the delta
     * files still exist and a skipped replay loses nothing — the rows
     * are present either as the original deltas or as the folded image,
     * never twice. */

@@ -131,6 +131,35 @@ class TableLeaseSpec extends AnyFunSuite {
       "a reused tag after truncate must append, not be skipped as folded")
   }
 
+  test("a replayed append whose deltas a full-table MERGE subsumed is a no-op, never a duplicate") {
+    // the refit-shaped hazard: batch b1 appends and crashes before its
+    // checkpoint commits; a maintenance rewrite (here: a keyed merge
+    // updating every key — every bucket touched, like AnnIngest.refit)
+    // subsumes b1's delta files; the drain restarts and replays b1.
+    // Without the merge recording the folded tags, the replay would
+    // re-append every row the rewrite already merged.
+    val path = tmp(); mkTable(path)
+    UpsertWriter.appendBucketed(spark, path,
+      (17L to 24L).map(i => (i, s"v$i", 1L)).toDF("id", "v", "ver"),
+      keys = Seq("id"), batchTag = "b1", numBuckets = 4) // crashed batch
+    // full rewrite: every key updated, every bucket touched
+    UpsertWriter.upsertBucketed(spark, path,
+      (1L to 24L).map(i => (i, s"R$i", 9L)).toDF("id", "v", "ver"),
+      keys = Seq("id"), versionCol = "ver", numBuckets = 4)
+    assert(UpsertWriter.foldedTags(path).contains("b1"),
+      "the merge must record the delta tags its swap subsumed")
+    // the drain restarts: b1 replays with its ORIGINAL content
+    UpsertWriter.appendBucketed(spark, path,
+      (17L to 24L).map(i => (i, s"v$i", 1L)).toDF("id", "v", "ver"),
+      keys = Seq("id"), batchTag = "b1", numBuckets = 4)
+    val state = spark.read.parquet(path)
+      .select($"id", $"v").as[(Long, String)].collect()
+    assert(state.length == 24,
+      s"replay after a subsuming merge duplicated rows: ${state.length}")
+    assert(state.toMap == (1L to 24L).map(i => i -> s"R$i").toMap,
+      "the merged content must win — the replayed stale append is a no-op")
+  }
+
   test("a replayed append whose tag a compaction folded is a no-op, never a duplicate") {
     val path = tmp(); mkTable(path)
     def b1(): Unit = UpsertWriter.appendBucketed(spark, path,
