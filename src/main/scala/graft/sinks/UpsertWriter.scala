@@ -230,6 +230,25 @@ object UpsertWriter {
     val pstaging = Paths.get(path + ".__pstaging")
     val oldparts = Paths.get(path + ".__oldparts")
     if (Files.exists(pstaging.resolve("_SUCCESS"))) {
+      // Re-derive the folded-tag record BEFORE completing the swap: a
+      // crash in [[upsert]] between the staging commit and its
+      // recordFoldedTags call leaves a completable staging whose
+      // subsumed delta files were never recorded — completing it bare
+      // would fold an uncommitted batch's deltas silently, and the
+      // replayed append would re-add every row the swap already merged
+      // (the refit-crashes-in-a-drain's-replay-window hazard the
+      // sidecar exists to close). The tags are re-derivable here:
+      // the deltas this swap subsumes are exactly the delta files
+      // still live in the staging image's leaf set. Idempotent when
+      // the normal path already recorded (set union); leaves already
+      // promoted by a crashed completePartitionSwap carry no delta
+      // files (the staging image is ordinary part files), so a
+      // mid-swap re-run records the not-yet-swapped subset — already
+      // in the sidecar from the normal path's pre-swap record.
+      val folded = leafPartitionDirs(pstaging)
+        .map(rel => deltaTagsUnder(Paths.get(path).resolve(rel)))
+        .foldLeft(Set.empty[String])(_ ++ _)
+      if (folded.nonEmpty) recordFoldedTags(path, folded)
       completePartitionSwap(path)
     } else {
       if (Files.exists(oldparts)) {
@@ -385,6 +404,10 @@ object UpsertWriter {
       // partition, then promote files) does not give.
       merged.write.mode(SaveMode.Overwrite)
         .partitionBy(partitionBy: _*).parquet(path + ".__pstaging")
+      // fault point for the staging-committed-but-tags-unrecorded
+      // window: recoverPartitionSwap re-derives the record before it
+      // completes the swap, and the spec kills here to prove it
+      swapFault()
       // tags folded by THIS swap = delta files in the touched leaves
       // (the staging image's leaf set). A tag spanning untouched leaves
       // keeps those files — safe either way: a tag that can still
@@ -582,14 +605,25 @@ object UpsertWriter {
     * folds delta files into ordinary ones. Keyed merges SUBSUME deltas:
     * [[upsertBucketed]] reads whole buckets (delta files included) and
     * its leaf swap replaces the whole directory, so mixing appends
-    * (inserts) with merges (updates) on one table stays consistent. */
+    * (inserts) with merges (updates) on one table stays consistent.
+    *
+    * Returns true when the batch was written, false when it was
+    * SKIPPED as already-folded (its tag is in the sidecar — a crashed
+    * batch a compaction folded, replaying as a no-op). A false on a
+    * tag that never legitimately ran means tag REUSE over a table
+    * whose history wasn't reset: a fresh checkpoint restarted over an
+    * existing warehouse (tags restart at b0) has its appends silently
+    * skipped — reset state with [[truncate]] (which clears the
+    * sidecar) or a fresh table directory, never by deleting the
+    * checkpoint alone. The skip also warns on stderr, so the loss has
+    * a signal even when the caller drops the return value. */
   def appendBucketed(
       spark: SparkSession,
       path: String,
       rows: DataFrame,
       keys: Seq[String],
       batchTag: String,
-      numBuckets: Int): Unit = {
+      numBuckets: Int): Boolean = {
     require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
     appendInternal(spark, path, rows, keys, batchTag, Some(numBuckets))
   }
@@ -602,13 +636,15 @@ object UpsertWriter {
     * scale: a pure-insert batch appends O(batch) instead of paying the
     * whole-table read + window + staged rewrite of [[upsert]] — the
     * same read/merge/compact interop (a keyed merge's swap replaces the
-    * whole directory, deltas included; [[compact]] folds them). */
+    * whole directory, deltas included; [[compact]] folds them). Returns
+    * false when skipped as already-folded ([[appendBucketed]]'s
+    * contract — see its tag-reuse warning). */
   def append(
       spark: SparkSession,
       path: String,
       rows: DataFrame,
       keys: Seq[String],
-      batchTag: String): Unit =
+      batchTag: String): Boolean =
     appendInternal(spark, path, rows, keys, batchTag, None)
 
   private def appendInternal(
@@ -617,7 +653,7 @@ object UpsertWriter {
       rows: DataFrame,
       keys: Seq[String],
       batchTag: String,
-      numBuckets: Option[Int]): Unit = {
+      numBuckets: Option[Int]): Boolean = {
     require(batchTag.matches("[A-Za-z0-9_-]+"),
       s"batchTag must be filename-safe, got '$batchTag'")
     // an unbucketed append is refused on a bucket-pinned or physically
@@ -640,8 +676,22 @@ object UpsertWriter {
     // re-appending would duplicate every row (the one replay hazard the
     // lease cannot see, because nothing is running between the crash
     // and the replay). Tags are each batch's identity and never reused
-    // on one table (reuse already clobbers files by name today).
-    if (foldedTags(path).contains(batchTag)) return
+    // on one table — a skip on a tag that never crashed means someone
+    // restarted a FRESH checkpoint (tags back at b0) over a warehouse
+    // whose history wasn't reset, and this batch is being silently
+    // dropped: warn LOUDLY (the return value carries the same signal)
+    // and reset state through truncate()/a fresh directory, never by
+    // deleting the checkpoint alone.
+    if (foldedTags(path).contains(batchTag)) {
+      System.err.println(
+        s"[upsert-writer] WARNING: append of batch tag '$batchTag' to " +
+          s"$path SKIPPED: the tag is recorded as folded by an earlier " +
+          "compaction/rewrite. Legitimate only as a crashed batch's " +
+          "replay; if this tag is a NEW batch (checkpoint reset over an " +
+          "existing table), its rows are being dropped - reset the table " +
+          "with truncate() or a fresh directory before reusing tags.")
+      return false
+    }
     numBuckets.foreach { nb =>
       if (Files.exists(bucketMarker(path))) {
         val pinned = pinnedBuckets(path).get
@@ -775,7 +825,7 @@ object UpsertWriter {
       swapFault()
       Files.createFile(Paths.get(path, "_SUCCESS"))
     }
-    ()
+    true
   }
 
   private def dedup(unioned: DataFrame, keys: Seq[String], versionCol: String): DataFrame = {

@@ -738,6 +738,50 @@ class UpsertWriterSpec extends AnyFunSuite {
     }
   }
 
+  test("merge crash between staging commit and folded-tag record: recovery records before completing, replayed append is a no-op") {
+    // the one window the normal path's record-before-swap ordering
+    // can't cover: the touched-leaf merge must WRITE the staging image
+    // first (it reads the live table), so a crash after the staging
+    // `_SUCCESS` but before recordFoldedTags leaves a completable swap
+    // whose subsumed delta files were never recorded. recover() then
+    // completes the swap — and must re-derive the record first, or the
+    // crashed batch's replayed append re-adds every row the swap merged.
+    final class Boom extends RuntimeException("injected crash")
+    val path = tmp()
+    UpsertWriter.upsertBucketed(spark, path,
+      (1L to 16L).map(i => (i, s"v$i", 0L)).toDF("id", "v", "ver"),
+      keys = Seq("id"), versionCol = "ver", numBuckets = 4)
+    // an UNCOMMITTED batch's delta files (the streaming worker crashed
+    // before its checkpoint commit; tag b1 will replay)
+    def replayB1() = UpsertWriter.appendBucketed(spark, path,
+      (17L to 24L).map(i => (i, s"v$i", 1L)).toDF("id", "v", "ver"),
+      keys = Seq("id"), batchTag = "b1", numBuckets = 4)
+    replayB1()
+    // a maintenance-window merge rewrites the delta keys (refit's shape)
+    // and crashes at the FIRST fault point — staging committed, tags
+    // not yet recorded
+    var n = 0
+    UpsertWriter.swapFault = () => { n += 1; if (n >= 1) throw new Boom }
+    try intercept[Boom] {
+      UpsertWriter.upsertBucketed(spark, path,
+        (17L to 24L).map(i => (i, s"V${i}r", 2L)).toDF("id", "v", "ver"),
+        keys = Seq("id"), versionCol = "ver", numBuckets = 4)
+    } finally UpsertWriter.swapFault = () => ()
+    assert(!UpsertWriter.foldedTags(path).contains("b1"),
+      "premise: the crash hit before the normal path's record")
+    UpsertWriter.recover(path)
+    assert(UpsertWriter.foldedTags(path).contains("b1"),
+      "recovery must record the subsumed tags before completing the swap")
+    // the crashed batch replays — must be a skipped no-op, not duplicates
+    assert(!replayB1(), "replayed append of a folded tag must report skipped")
+    val state = spark.read.parquet(path)
+      .select($"id", $"v").as[(Long, String)].collect()
+    assert(state.length == 24, s"duplicated rows after replay: ${state.length}")
+    val m = state.toMap
+    assert((17L to 24L).forall(i => m(i) == s"V${i}r"),
+      "the merged image must win over the replayed delta rows")
+  }
+
   test("bucket pin: a corrupt marker is refused with an actionable message, and the pin write is atomic") {
     val path = tmp()
     UpsertWriter.upsertBucketed(spark, path,
