@@ -90,11 +90,15 @@ object AnnIngest {
             // (nearestCell's argmax window collapses same-batch
             // duplicates), so a pure-insert batch satisfies
             // appendBucketed's distinct-keys contract by construction.
-            val priorFab =
+            val idxRaw =
               if (!Files.exists(Paths.get(indexDir, "_SUCCESS"))) None
-              else {
-                val raw = EmbedIngest.withFirstAdmitted(
-                  s.read.parquet(indexDir))
+              else Some(s.read.parquet(indexDir))
+            // PHYSICAL-schema append gate, decided before the read-time
+            // backfill masks a pre-upgrade table
+            // ([[EmbedIngest.canAppendFirstAdmitted]])
+            val idxCanAppend = EmbedIngest.canAppendFirstAdmitted(idxRaw)
+            val priorFab = idxRaw.map { rawIdx =>
+                val raw = EmbedIngest.withFirstAdmitted(rawIdx)
                 val pruned = stateBuckets match {
                   case Some(b)
                       if raw.columns.contains(UpsertWriter.BucketCol) =>
@@ -112,10 +116,10 @@ object AnnIngest {
                       col(UpsertWriter.BucketCol).isin(touched: _*))
                   case _ => raw
                 }
-                Some(pruned
+                pruned
                   .filter(col("first_admitted_batch") < batchId)
                   .select(col("vec_id"),
-                    col("first_admitted_batch").as("__fab")))
+                    col("first_admitted_batch").as("__fab"))
               }
             val withFab = (priorFab match {
               case None => assigned
@@ -139,8 +143,12 @@ object AnnIngest {
               // same-batch appends with rewrites breaks replay). The
               // k-row centroid table and one-row-per-batch log stay
               // plain.
+              // the append shape additionally gates on the PHYSICAL
+              // schema carrying first_admitted_batch: a pre-upgrade
+              // index takes ONE schema-growing merge (which adopts the
+              // column table-wide), then appends
               stateBuckets match {
-                case Some(b) if pureInsert =>
+                case Some(b) if pureInsert && idxCanAppend =>
                   UpsertWriter.appendBucketed(s, indexDir, withFab,
                     keys = Seq("vec_id"), batchTag = s"b$batchId",
                     numBuckets = b)
@@ -149,8 +157,9 @@ object AnnIngest {
                   numBuckets = b)
                 // plain layout: same insert/update split — pure-insert
                 // batches append root delta files, O(batch)
-                case None if pureInsert => UpsertWriter.append(s, indexDir,
-                  withFab, keys = Seq("vec_id"), batchTag = s"b$batchId")
+                case None if pureInsert && idxCanAppend =>
+                  UpsertWriter.append(s, indexDir,
+                    withFab, keys = Seq("vec_id"), batchTag = s"b$batchId")
                 case None => UpsertWriter.upsert(s, indexDir, withFab,
                   keys = Seq("vec_id"), versionCol = "batch_id")
               }

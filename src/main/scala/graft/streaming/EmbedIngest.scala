@@ -101,11 +101,40 @@ object EmbedIngest {
     * `batch_id` restates exactly the old filter's semantics. New tables
     * pass through untouched; without this, resuming a drain over a
     * pre-upgrade warehouse would throw AnalysisException on the first
-    * `first_admitted_batch` reference. Shared by the whole worker
-    * family ([[MultiSignalIngest]] uses it too). */
+    * `first_admitted_batch` reference.
+    *
+    * NULL values are repaired the same way, not just the missing
+    * column: once a schema-growing merge ADOPTS the column on a
+    * pre-upgrade table, the surviving old rows carry it physically as
+    * NULL (additive evolution — the merge can't know this worker's
+    * backfill rule), and a bare pass-through would silently drop them
+    * from every `first_admitted_batch < batchId` prior filter (NULL
+    * comparisons are never true) — the stored corpus would stop
+    * vetoing near-dups of its own oldest rows. Shared by the whole
+    * worker family ([[MultiSignalIngest]] uses it too). */
   private[streaming] def withFirstAdmitted(df: DataFrame): DataFrame =
-    if (df.columns.contains("first_admitted_batch")) df
+    if (df.columns.contains("first_admitted_batch"))
+      df.withColumn("first_admitted_batch",
+        coalesce(col("first_admitted_batch"), col("batch_id")))
     else df.withColumn("first_admitted_batch", col("batch_id"))
+
+  /** Whether a worker may take the APPEND write shape on this table:
+    * the admit set carries `first_admitted_batch`, and an append can
+    * never grow the physical schema ([[UpsertWriter]] refuses it — a
+    * new-column delta file would be invisible to footer-sampled reads).
+    * On a PRE-upgrade table (written before the column existed,
+    * backfilled only at read time by [[withFirstAdmitted]]) the first
+    * pure-insert batch would therefore throw — deterministically, on
+    * every replay: the stream wedges permanently, since only a merge
+    * performs the schema-growing full rewrite and a pure-insert batch
+    * never takes one. Gating the append shape on the PHYSICAL schema
+    * routes exactly that first batch through the merge (which adopts
+    * the column table-wide); every later batch appends. `raw` is the
+    * table's plain read BEFORE the read-time backfill; an absent table
+    * appends freely (its first write creates the full schema). */
+  private[streaming] def canAppendFirstAdmitted(
+      raw: Option[DataFrame]): Boolean =
+    raw.forall(_.columns.contains("first_admitted_batch"))
 
   /** One micro-batch of the drain, exactly as [[start]]'s foreachBatch
     * runs it — exposed (package-private) so the crash-replay specs can
@@ -197,9 +226,13 @@ object EmbedIngest {
         // first_admitted_batch == batchId and are invisible) and the
         // first_admitted_batch lookup for the admit upsert both derive
         // from it
-        val committed =
+        val committedRaw =
           if (!Files.exists(Paths.get(survivorsDir, "_SUCCESS"))) None
-          else Some(withFirstAdmitted(s.read.parquet(survivorsDir)).persist())
+          else Some(s.read.parquet(survivorsDir))
+        // PHYSICAL-schema append gate, decided before the read-time
+        // backfill masks a pre-upgrade table ([[canAppendFirstAdmitted]])
+        val survCanAppend = canAppendFirstAdmitted(committedRaw)
+        val committed = committedRaw.map(r => withFirstAdmitted(r).persist())
         try {
           val prior = committed.map(
             _.filter(col("first_admitted_batch") < batchId))
@@ -324,7 +357,7 @@ object EmbedIngest {
               committed.foreach(_.unpersist())
               if (nFresh > 0)
                 writeState(survivorsDir, fresh, Seq("vec_id"),
-                  pureInsert = nFresh == nAdmitted)
+                  pureInsert = nFresh == nAdmitted && survCanAppend)
 
               import s.implicits._
               // keyed by batch_id, only ever written by its own batch:

@@ -167,10 +167,16 @@ object MultiSignalIngest {
               .drop("__seq", "__rn")
           val docs = DedupOps.embeddingSigged(deduped).persist()
           try {
-            val committed =
+            val committedRaw =
               if (!Files.exists(Paths.get(survivorsDir, "_SUCCESS"))) None
-              else Some(EmbedIngest.withFirstAdmitted(
-                s.read.parquet(survivorsDir)).persist())
+              else Some(s.read.parquet(survivorsDir))
+            // PHYSICAL-schema append gate, decided before the read-time
+            // backfill masks a pre-upgrade table
+            // ([[EmbedIngest.canAppendFirstAdmitted]])
+            val survCanAppend =
+              EmbedIngest.canAppendFirstAdmitted(committedRaw)
+            val committed = committedRaw.map(r =>
+              EmbedIngest.withFirstAdmitted(r).persist())
             try {
               val prior = committed.map(
                 _.filter(col("first_admitted_batch") < batchId))
@@ -351,8 +357,13 @@ object MultiSignalIngest {
                     committed.foreach(_.unpersist())
                     if (nFresh > 0) timed(batchId, "admit-upserts") {
                       val pureInsert = nFresh == nAdmitted
+                      // survivors additionally gate on the physical
+                      // schema carrying first_admitted_batch (a
+                      // pre-upgrade table takes ONE schema-growing
+                      // merge, then appends); the index row carries no
+                      // such column — no gate
                       writeState(survivorsDir, fresh, Seq("doc_id"),
-                        pureInsert)
+                        pureInsert && survCanAppend)
                       writeState(indexDir,
                         sigs.join(fresh.select(col("doc_id")),
                           Seq("doc_id"), "left_semi")

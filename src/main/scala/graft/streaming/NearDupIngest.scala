@@ -159,10 +159,15 @@ object NearDupIngest {
           // admissions carry == batchId and are invisible) and the
           // first_admitted_batch lookup for the admit write both derive
           // from it ([[EmbedIngest]]'s contract verbatim)
-          val committed =
+          val committedRaw =
             if (!Files.exists(Paths.get(survivorsDir, "_SUCCESS"))) None
-            else Some(EmbedIngest.withFirstAdmitted(
-              s.read.parquet(survivorsDir)).persist())
+            else Some(s.read.parquet(survivorsDir))
+          // PHYSICAL-schema append gate, decided before the read-time
+          // backfill masks a pre-upgrade table
+          // ([[EmbedIngest.canAppendFirstAdmitted]])
+          val survCanAppend = EmbedIngest.canAppendFirstAdmitted(committedRaw)
+          val committed = committedRaw.map(r =>
+            EmbedIngest.withFirstAdmitted(r).persist())
           try {
             val prior = committed.map(
               _.filter(col("first_admitted_batch") < batchId))
@@ -286,9 +291,14 @@ object NearDupIngest {
                 committed.foreach(_.unpersist())
                 if (nFresh > 0) timed(batchId, "admit-upserts") {
                   val pureInsert = nFresh == nAdmitted
-                  writeState(survivorsDir, fresh, Seq("doc_id"), pureInsert)
+                  // survivors additionally gate on the physical schema
+                  // carrying first_admitted_batch (pre-upgrade tables
+                  // take ONE schema-growing merge, then append)
+                  writeState(survivorsDir, fresh, Seq("doc_id"),
+                    pureInsert && survCanAppend)
                   // the index keys embed the doc_id, so a pure-insert
-                  // batch's index rows are fresh keys too
+                  // batch's index rows are fresh keys too (its row
+                  // carries no first_admitted_batch — no schema gate)
                   writeState(indexDir,
                     sigs.join(fresh.select(col("doc_id")), Seq("doc_id"), "left_semi")
                       .withColumn("batch_id", lit(batchId)),
