@@ -77,37 +77,130 @@ object TableLease {
     }
   }
 
+  /** Atomically CLAIM a stale lease file: rename it to a unique tomb,
+    * VERIFY the tombed content is actually stale, then drop the tomb.
+    * The rename is the claim's linearization point — of N concurrent
+    * claimants exactly one rename succeeds; a loser's throws
+    * NoSuchFileException (the file is already gone — claimed; report
+    * success, the creation race downstream decides the winner). The
+    * verify step closes the ABA window between the caller's read and
+    * the rename: if the crashed holder's lease was meanwhile replaced
+    * by someone ELSE's fresh lease, the rename tombed a LIVE window —
+    * restore it and report failure so the caller refuses instead of
+    * proceeding. (The previous form — deleteIfExists + REPLACE_EXISTING
+    * write — let a slow loser delete the winner's fresh lease and
+    * overwrite it: two "exclusive" windows open at once, the exact race
+    * the lease exists to close.) */
+  private def claimStale(f: Path, ttlMs: Long): Boolean = {
+    val tomb = f.resolveSibling(f.getFileName.toString +
+      s".tomb-${ProcessHandle.current().pid()}-" +
+      s"${Thread.currentThread().getId}-${System.nanoTime()}")
+    try Files.move(f, tomb)
+    catch { case _: java.nio.file.NoSuchFileException => return true }
+    val now = System.currentTimeMillis()
+    val ageMs =
+      try {
+        val lines = new String(Files.readAllBytes(tomb), UTF_8).split("\n")
+        now - lines(1).trim.toLong
+      } catch {
+        // unreadable content: age by mtime (preserved by the rename),
+        // exactly like [[read]] does for a garbled lease
+        case _: Exception =>
+          try now - Files.getLastModifiedTime(tomb).toMillis
+          catch { case _: Exception => 0L }
+      }
+    if (ageMs <= ttlMs) {
+      // tombed a LIVE lease (refreshed/re-created between the caller's
+      // read and the rename): put it back and fail the claim. If a new
+      // lease already appeared where it was, the restore loses — drop
+      // the tomb (that new lease now owns the window) and still fail.
+      try Files.move(tomb, f)
+      catch { case _: Exception => Files.deleteIfExists(tomb) }
+      false
+    } else {
+      Files.deleteIfExists(tomb)
+      true
+    }
+  }
+
+  /** Atomic first acquisition: CREATE_NEW open — exactly one creator
+    * wins; losers see FileAlreadyExistsException. (A rename without
+    * REPLACE_EXISTING is NOT atomic on POSIX — the existence check is
+    * separate from the rename — so creation, not rename, is the
+    * primitive here. A reader racing the content write sees a partial
+    * file, which [[read]] already treats as fresh-unreadable: it
+    * refuses rather than steals.) */
+  private def tryCreate(f: Path, holder: String): Boolean = {
+    if (f.getParent != null) Files.createDirectories(f.getParent)
+    try {
+      Files.write(f,
+        s"$holder\n${System.currentTimeMillis()}".getBytes(UTF_8),
+        java.nio.file.StandardOpenOption.CREATE_NEW)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    }
+  }
+
   /** Take the `kind` lease on `path` for `holder`, refusing loudly if
     * the OPPOSITE kind is held fresh, or the SAME kind is held fresh by
     * a different holder. A stale lease (older than `ttlMs`) is a
-    * crashed holder and is stolen; re-acquiring one's own lease
-    * refreshes its timestamp. */
+    * crashed holder and is stolen — atomically: concurrent stealers
+    * race a tomb-rename + CREATE_NEW create, and exactly one wins (the
+    * losers are refused, never silently co-admitted). Re-acquiring
+    * one's own FRESH lease refreshes its timestamp — the heartbeat a
+    * long drain rides ([[renewIfDraining]]). */
   def acquire(
       path: String, kind: Kind, holder: String,
       ttlMs: Long = DefaultTtlMs): Unit = {
     val opposite = if (kind == Drain) Maintenance else Drain
+    def refuseOpposite(h: String, age: Long): Nothing =
+      throw new IllegalStateException(
+        s"cannot open a $kind window on $path: a $opposite lease is " +
+          s"held by '$h' (${age / 1000}s old, ttl ${ttlMs / 1000}s) — " +
+          "wait for the window to close, or delete the lease file if " +
+          "the holder is known dead")
     read(path, opposite).foreach { case (h, age) =>
-      if (age <= ttlMs)
-        throw new IllegalStateException(
-          s"cannot open a $kind window on $path: a $opposite lease is " +
-            s"held by '$h' (${age / 1000}s old, ttl ${ttlMs / 1000}s) — " +
-            "wait for the window to close, or delete the lease file if " +
-            "the holder is known dead")
-      Files.deleteIfExists(leaseFile(path, opposite)) // stale: crashed holder
+      if (age <= ttlMs) refuseOpposite(h, age)
+      // stale: crashed holder — claim atomically; a failed claim means
+      // the window was re-opened fresh under us, so refuse
+      if (!claimStale(leaseFile(path, opposite), ttlMs)) {
+        val (h2, age2) = read(path, opposite).getOrElse((h, 0L))
+        refuseOpposite(h2, age2)
+      }
     }
-    read(path, kind).foreach { case (h, age) =>
-      if (age <= ttlMs && h != holder)
+    val f = leaseFile(path, kind)
+    read(path, kind) match {
+      case Some((h, age)) if age <= ttlMs && h != holder =>
         throw new IllegalStateException(
           s"cannot open a $kind window on $path: another $kind lease is " +
             s"held by '$h' (${age / 1000}s old) — two concurrent " +
             s"$kind holders violate the single-writer contract")
+      case Some((_, age)) if age <= ttlMs =>
+        // refresh one's OWN fresh lease: REPLACE_EXISTING is safe here
+        // precisely because the lease is fresh and ours — a thief only
+        // touches stale leases, so nobody else writes this file now
+        if (f.getParent != null) Files.createDirectories(f.getParent)
+        val tmp = f.resolveSibling(f.getFileName.toString + ".tmp")
+        Files.write(tmp,
+          s"$holder\n${System.currentTimeMillis()}".getBytes(UTF_8))
+        Files.move(tmp, f, StandardCopyOption.REPLACE_EXISTING)
+      case stale =>
+        // stale same-kind: claim the crashed holder's file (a failed
+        // claim = someone re-created it fresh; fall through — tryCreate
+        // loses and the winner check below surfaces them), then race to
+        // CREATE — exactly one concurrent acquirer wins
+        stale.foreach(_ => claimStale(f, ttlMs))
+        if (!tryCreate(f, holder)) {
+          // lost the creation race; surface the winner (same holder =
+          // another thread of this process re-entered — already held)
+          val winner = read(path, kind).map(_._1).getOrElse("<unknown>")
+          if (winner != holder)
+            throw new IllegalStateException(
+              s"cannot open a $kind window on $path: lost the " +
+                s"acquisition race to '$winner'")
+        }
     }
-    val f = leaseFile(path, kind)
-    if (f.getParent != null) Files.createDirectories(f.getParent)
-    val tmp = f.resolveSibling(f.getFileName.toString + ".tmp")
-    Files.write(tmp,
-      s"$holder\n${System.currentTimeMillis()}".getBytes(UTF_8))
-    Files.move(tmp, f, StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** Release `holder`'s lease. Releasing a lease someone else stole
@@ -162,17 +255,48 @@ object TableLease {
     }
   }
 
+  /** Paths currently inside a [[withDrain]] window of THIS process,
+    * with their holder + ttl — so the write path can renew the drain
+    * lease on every state write ([[renewIfDraining]]). Process-global
+    * (not thread-local): the drain bracket runs on the orchestrator
+    * thread while foreachBatch writes run on stream-execution threads,
+    * and it is exactly those writes that must carry the heartbeat. */
+  private val activeDrains =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
+
+  /** HEARTBEAT: renew the drain lease on `path` if this process is
+    * inside a [[withDrain]] window over it. Without renewal, a drain
+    * whose batches legitimately outlive the TTL goes stale mid-run and
+    * a scheduled maintenance pass STEALS the lease and races the still-
+    * running drain — the exact hazard the lease exists to prevent.
+    * Re-acquiring one's own lease refreshes the timestamp, so calling
+    * this per state write bounds staleness by the gap between writes
+    * (≪ a batch) instead of the whole drain. Loud failure is the
+    * point: if the lease WAS stolen and a foreign maintenance window
+    * is open now, the renewal throws and the write never races it. */
+  private[graft] def renewIfDraining(path: String): Unit = {
+    val e = activeDrains.get(path)
+    if (e != null) acquire(path, Drain, e._1, e._2)
+  }
+
   /** Run `body` inside a drain window over `paths` — the bracket an
     * orchestrator puts around a drain-and-stop streaming cycle so a
     * concurrently scheduled maintenance pass is refused instead of
     * racing the drain's replayable batches. Acquisition is
-    * all-or-nothing, like [[withMaintenance]]. */
+    * all-or-nothing, like [[withMaintenance]]; while the window is
+    * open, every [[UpsertWriter]] write to one of `paths` renews the
+    * lease ([[renewIfDraining]]), so a drain longer than the TTL never
+    * goes stale between batches. Windows over one path don't nest. */
   def withDrain[A](
       paths: Seq[String], holder: String,
       ttlMs: Long = DefaultTtlMs)(body: => A): A = {
     acquireAll(paths, Drain, holder, ttlMs)
+    paths.foreach(p => activeDrains.put(p, (holder, ttlMs)))
     try body
-    finally paths.foreach(release(_, Drain, holder))
+    finally {
+      paths.foreach(activeDrains.remove)
+      paths.foreach(release(_, Drain, holder))
+    }
   }
 
   /** Writer-side gate: refuse the write while a fresh maintenance lease
@@ -181,12 +305,19 @@ object TableLease {
       path: String, ttlMs: Long = DefaultTtlMs): Unit =
     if (!ownMaintenance.get().contains(path))
       read(path, Maintenance).foreach { case (h, age) =>
-        if (age <= ttlMs)
+        def refuse(h2: String, age2: Long): Nothing =
           throw new IllegalStateException(
             s"write to $path refused: a maintenance window is open " +
-              s"(lease held by '$h', ${age / 1000}s old) — a merge or " +
+              s"(lease held by '$h2', ${age2 / 1000}s old) — a merge or " +
               "append racing compact/truncate/refit would be folded or " +
               "double-applied; retry after the window closes")
-        Files.deleteIfExists(leaseFile(path, Maintenance)) // stale holder
+        if (age <= ttlMs) refuse(h, age)
+        // stale holder: claim atomically — a plain delete here could
+        // remove a FRESH lease re-created between the read and the
+        // delete, unprotecting a live maintenance window
+        if (!claimStale(leaseFile(path, Maintenance), ttlMs)) {
+          val (h2, age2) = read(path, Maintenance).getOrElse((h, 0L))
+          refuse(h2, age2)
+        }
       }
 }

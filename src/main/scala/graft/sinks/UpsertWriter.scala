@@ -303,6 +303,10 @@ object UpsertWriter {
       s"table at $path is pinned ${pinnedBuckets(path).getOrElse(0)}-way " +
         "bucketed; merge it through upsertBucketed, not a plain upsert")
 
+    // heartbeat: a state write inside a withDrain window refreshes the
+    // drain lease, so a drain longer than the TTL never goes stale
+    // between batches (loud failure if the window was stolen meanwhile)
+    TableLease.renewIfDraining(path)
     TableLease.requireNoForeignMaintenance(path)
     schemaCache.remove(path) // a merge may grow the table schema
     recover(path)
@@ -669,6 +673,8 @@ object UpsertWriter {
           "appends would sit outside the partition layout — merge " +
           "through upsert instead")
     }
+    // heartbeat: see [[upsert]] — per-write drain-lease renewal
+    TableLease.renewIfDraining(path)
     TableLease.requireNoForeignMaintenance(path)
     recover(path)
     // a tag a compaction already FOLDED is a crashed batch whose rows

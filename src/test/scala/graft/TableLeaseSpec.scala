@@ -115,6 +115,88 @@ class TableLeaseSpec extends AnyFunSuite {
     TableLease.release(p2, TableLease.Drain, "drain-2")
   }
 
+  test("two concurrent stealers of a stale lease: exactly one wins, the loser is refused") {
+    // the pre-fix hazard: both stealers observe the stale lease, both
+    // deleteIfExists + REPLACE_EXISTING — the slow loser deletes the
+    // WINNER's fresh lease and overwrites it, opening two "exclusive"
+    // windows at once. The tomb-rename + CREATE_NEW race pins exactly
+    // one winner; repeated to give the race room to bite.
+    val path = tmp(); mkTable(path)
+    for (round <- 1 to 25) {
+      Files.write(Paths.get(path + ".__maint-lease"),
+        s"dead\n${System.currentTimeMillis() - 3600_000L}".getBytes("UTF-8"))
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      val wins = new java.util.concurrent.atomic.AtomicInteger
+      val threads = Seq("thief-a", "thief-b").map { h =>
+        new Thread(() => {
+          barrier.await()
+          try {
+            TableLease.acquire(path, TableLease.Maintenance, h)
+            wins.incrementAndGet(); ()
+          } catch { case _: IllegalStateException => () }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      assert(wins.get == 1,
+        s"round $round: expected exactly one steal winner, got ${wins.get}")
+      val holder = new String(Files.readAllBytes(
+        Paths.get(path + ".__maint-lease")), "UTF-8").split("\n")(0)
+      assert(Set("thief-a", "thief-b").contains(holder),
+        s"round $round: the surviving lease must belong to the winner, got '$holder'")
+      import scala.jdk.CollectionConverters._
+      val parent = Paths.get(path).toAbsolutePath.getParent
+      val list = Files.list(parent)
+      val tombs = try list.iterator().asScala
+        .filter(_.getFileName.toString.contains(".tomb-")).toList
+      finally list.close()
+      assert(tombs.isEmpty, s"round $round: tomb debris left behind: $tombs")
+      Files.deleteIfExists(Paths.get(path + ".__maint-lease"))
+    }
+  }
+
+  test("heartbeat: a drain outliving the TTL keeps its lease under per-write renewal") {
+    val path = tmp(); mkTable(path)
+    def leaseTs(): Long = Files.readAllLines(
+      Paths.get(path + ".__drain-lease")).get(1).trim.toLong
+    TableLease.withDrain(Seq(path), "slow-drain", ttlMs = 1000) {
+      val t0 = leaseTs()
+      Thread.sleep(1200) // the gap between batches outlives the TTL
+      // what every UpsertWriter write calls at entry
+      TableLease.renewIfDraining(path)
+      assert(leaseTs() > t0, "renewal must refresh the lease timestamp")
+      // a maintenance pass scheduled NOW is refused, not handed a steal
+      val e = intercept[IllegalStateException] {
+        TableLease.withMaintenance(Seq(path), "maint", ttlMs = 1000) {
+          fail("maintenance must not run inside a renewed drain window")
+        }
+      }
+      assert(e.getMessage.contains("Drain lease is held"))
+      // and the real write path carries the heartbeat itself
+      val t1 = leaseTs()
+      UpsertWriter.appendBucketed(spark, path,
+        Seq((30L, "hb", 1L)).toDF("id", "v", "ver"),
+        keys = Seq("id"), batchTag = "hb1", numBuckets = 4)
+      assert(leaseTs() > t1, "a state write inside the window must renew")
+    }
+    // window closed: maintenance proceeds
+    TableLease.withMaintenance(Seq(path), "maint", ttlMs = 1000) { () }
+  }
+
+  test("heartbeat after a steal fails loudly instead of resurrecting the window") {
+    val path = tmp(); mkTable(path)
+    TableLease.withDrain(Seq(path), "slow-drain", ttlMs = 150) {
+      Thread.sleep(300) // drain went stale; a scheduled maintenance steals
+      TableLease.acquire(path, TableLease.Maintenance, "sneaky-maint",
+        ttlMs = 150)
+      val e = intercept[IllegalStateException] {
+        TableLease.renewIfDraining(path)
+      }
+      assert(e.getMessage.contains("Maintenance lease is held"),
+        s"a stolen drain's renewal must refuse, got: ${e.getMessage}")
+      TableLease.release(path, TableLease.Maintenance, "sneaky-maint")
+    }
+  }
+
   test("truncate forgets folded tags: a post-reset ingest reusing a tag is not skipped") {
     val path = tmp()
     UpsertWriter.append(spark, path,
