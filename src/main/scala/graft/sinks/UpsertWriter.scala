@@ -115,6 +115,7 @@ object UpsertWriter {
     deleteTree(path + ".__astaging")
     quarantineTornAppends(path)
     recoverPartitionSwap(path)
+    completeRebucketIntent(path)
   }
 
   /** Quarantine the delta files of any append whose in-flight marker
@@ -272,8 +273,13 @@ object UpsertWriter {
     val staging = path + ".__staging"
     writeStaging(staging)
     val target = Paths.get(path)
-    if (Files.exists(target)) Files.move(target, Paths.get(path + ".__old"))
+    if (Files.exists(target)) {
+      swapFault()
+      Files.move(target, Paths.get(path + ".__old"))
+    }
+    swapFault()
     Files.move(Paths.get(staging), target)
+    swapFault()
     deleteTree(path + ".__old")
   }
 
@@ -953,6 +959,175 @@ object UpsertWriter {
       else
         df.write.mode(SaveMode.Overwrite)
           .partitionBy(partCols: _*).parquet(staging)
+    }
+  }
+
+  private def rebucketIntent(path: String) =
+    Paths.get(path + ".__rebucket-intent")
+
+  /** In-image layout-epoch marker: written INTO the staged rebucket
+    * image (underscore prefix — invisible to Spark reads), so after the
+    * whole-directory swap its presence in the LIVE directory proves the
+    * swap promoted the new layout. The one bit of truth that lets
+    * [[completeRebucketIntent]] decide, after a crash anywhere between
+    * the swap and the pin update, whether the pin must move. */
+  private def bucketEpochFile(n: Int) = s"_GRAFT_BUCKETS_$n"
+
+  private def writeRebucketIntent(path: String, n: Int): Unit = {
+    val f = rebucketIntent(path)
+    if (f.getParent != null) Files.createDirectories(f.getParent)
+    val tmp = f.resolveSibling(f.getFileName.toString + ".tmp")
+    Files.write(tmp,
+      n.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    swapFault()
+    Files.move(tmp, f, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Finish (or discard) a [[rebucket]] whose crash window split the
+    * directory swap from the pin update. With the intent marker
+    * present: the live image carrying the matching epoch file means the
+    * swap PROMOTED the new layout — re-pin to the new count (without
+    * this, a restarted writer passing the OLD count would satisfy the
+    * stale pin and merge against buckets the data no longer lives in —
+    * silent duplicates); no epoch file means the swap never promoted
+    * and the existing pin is already right. Idempotent at every
+    * interruption point: the pin write is atomic, the epoch file is
+    * deleted before the intent, and a re-run of any suffix repeats
+    * no-ops. Runs inside [[recover]], so every writer heals the window
+    * before touching the table. */
+  private def completeRebucketIntent(path: String): Unit = {
+    val intent = rebucketIntent(path)
+    if (!Files.exists(intent)) return
+    val n =
+      try new String(Files.readAllBytes(intent),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toIntOption
+      catch { case _: Exception => None }
+    n.filter(_ > 0).foreach { nb =>
+      val epoch = Paths.get(path).resolve(bucketEpochFile(nb))
+      if (Files.exists(epoch)) {
+        swapFault()
+        pinBuckets(path, nb)
+        swapFault()
+        Files.delete(epoch)
+      }
+    }
+    swapFault()
+    Files.deleteIfExists(intent)
+  }
+
+  /** Change the pinned bucket count of a keyed table in place — the
+    * lifecycle op the pin's immutability otherwise leaves to
+    * delete-and-reload: on a genuinely growing corpus the per-bucket
+    * volume grows without bound ([[compact]] folds each bucket to ONE
+    * file), so every touched-bucket merge and every compaction trends
+    * O(corpus/numBuckets) — at 100 TB over 64 buckets, ~1.6 TB
+    * unsplittable rewrite units. Doubling the bucket count restores the
+    * merge/compaction grain without resetting the table's history.
+    *
+    * One FULL crash-atomic rewrite (read, re-hash on `keys`, staged
+    * write, whole-directory swap) under the MAINTENANCE lease: it
+    * refuses while a drain lease is fresh, and every writer refuses
+    * while it runs. Folded-tag records CARRY FORWARD and every live
+    * delta file's tag is recorded as folded before the swap (the
+    * rewrite merges them), so a crashed batch replaying after the
+    * rebucket is a no-op — the same replay contract as across
+    * [[compact]].
+    *
+    * The directory swap and the sibling pin cannot commit in one
+    * rename; the window between them is closed by an INTENT marker plus
+    * an in-image epoch file (see [[completeRebucketIntent]]), repaired
+    * by [[recover]] on every later write — a crash at ANY point leaves
+    * the pin matching the live layout, never rows stranded in buckets a
+    * pruned merge won't scope.
+    *
+    * Also the one sanctioned path for ADOPTING bucketing on an existing
+    * unpartitioned table (the rewrite [[upsertBucketed]]/
+    * [[appendBucketed]] refuse to perform inline). `keys` must be the
+    * table's merge keys: when a pin exists, the stored bucket is
+    * re-derived from them and the staging job FAILS on the first
+    * mismatch — before anything swaps — because wrong keys would
+    * scatter every row into buckets no future merge scopes.
+    *
+    * No-op when the table is already pinned `newBuckets`. Refused on
+    * tables partitioned by anything other than the bucket column (a
+    * time-partitioned table's grain is its partition scheme, not a
+    * hash). */
+  def rebucket(
+      spark: SparkSession,
+      path: String,
+      keys: Seq[String],
+      newBuckets: Int,
+      targetBytes: Long = 128L << 20): Unit =
+      TableLease.withMaintenance(Seq(path), maintHolder("rebucket")) {
+    require(newBuckets > 0, s"newBuckets must be positive, got $newBuckets")
+    require(keys.nonEmpty && !keys.contains(BucketCol),
+      s"rebucket needs the table's merge keys, got [${keys.mkString(", ")}]")
+    schemaCache.remove(path)
+    recover(path)
+    require(exists(path), s"no committed table at $path")
+    val pinned = pinnedBuckets(path)
+    if (!pinned.contains(newBuckets)) {
+      val physParts = partitionColsOf(path)
+      require(physParts.isEmpty || physParts == Seq(BucketCol),
+        s"rebucket on $path refused: the table is partitioned by " +
+          s"[${physParts.mkString(", ")}]; only bucket-pinned or " +
+          "unpartitioned layouts re-bucket")
+      import scala.jdk.CollectionConverters._
+      val walk = Files.walk(Paths.get(path))
+      val dataFiles =
+        try walk.iterator().asScala
+          .filter(p => p.toString.endsWith(".parquet") &&
+            Files.isRegularFile(p)).toList
+        finally walk.close()
+      if (dataFiles.isEmpty) {
+        // empty committed table: no rows to move — re-pin atomically
+        pinBuckets(path, newBuckets)
+      } else {
+        val bytes = dataFiles.map(Files.size).sum
+        val full = spark.read.option("mergeSchema", "true").parquet(path)
+        val missing = keys.filterNot(full.columns.contains)
+        require(missing.isEmpty,
+          s"rebucket keys [${missing.mkString(", ")}] not in the table's " +
+            s"columns [${full.columns.mkString(", ")}]")
+        val folded = deltaTagsUnder(Paths.get(path))
+        if (folded.nonEmpty) recordFoldedTags(path, folded)
+        val hash = xxhash64(keys.map(col): _*)
+        val newB = pmod(hash, lit(newBuckets.toLong)).cast("int")
+        val rebucketed = pinned match {
+          case Some(oldN) =>
+            // wrong-keys guard: rows whose stored bucket disagrees with
+            // the re-derived hash fail the STAGING job (nothing swapped)
+            val oldB = pmod(hash, lit(oldN.toLong)).cast("int")
+            full.withColumn(BucketCol,
+              when(col(BucketCol) === oldB, newB).otherwise(raise_error(
+                concat(
+                  lit(s"rebucket($path): stored $BucketCol does not match " +
+                    s"xxhash64(${keys.mkString(", ")}) % $oldN at key ("),
+                  concat_ws(",", keys.map(c => col(c).cast("string")): _*),
+                  lit(") — wrong merge keys passed?")))))
+          case None => full.withColumn(BucketCol, newB)
+        }
+        // one file per bucket (the [[compact]] grain); a bucket larger
+        // than targetBytes splits into deterministic key-hashed slices
+        val filesPerBucket = math.max(1L,
+          math.ceil(bytes.toDouble / newBuckets / targetBytes).toLong)
+        val df =
+          if (filesPerBucket == 1L)
+            rebucketed.repartition(newBuckets, col(BucketCol))
+          else rebucketed.repartition(
+            (newBuckets * filesPerBucket).toInt, col(BucketCol),
+            pmod(xxhash64(keys.map(col) :+ lit("__rebucket-slice"): _*),
+              lit(filesPerBucket)))
+        writeRebucketIntent(path, newBuckets)
+        swapIn(path) { staging =>
+          df.write.mode(SaveMode.Overwrite)
+            .partitionBy(BucketCol).parquet(staging)
+          // epoch INSIDE the committed image, so promotion carries it
+          swapFault()
+          Files.createFile(Paths.get(staging, bucketEpochFile(newBuckets)))
+        }
+        completeRebucketIntent(path)
+      }
     }
   }
 

@@ -138,6 +138,69 @@ class BucketedWorkersSpec extends AnyFunSuite {
       s"admission log diverged over the bucketed layout: ${log.toSeq}")
   }
 
+  test("rebucket mid-stream: workers continue at the new bucket count, value-identical to the plain run") {
+    // the lifecycle op under a live pipeline: batch 0 lands 4-way
+    // bucketed state, a maintenance window REBUCKETS the tables to
+    // 8-way (the growing-corpus move — per-bucket volume halves),
+    // batch 1 continues at the new count. The final warehouse must be
+    // value-identical to the plain whole-table run's — rebucket is pure
+    // LAYOUT, invisible to worker semantics.
+    val ids = (0L until 40L)
+    def ndDrive(): String = {
+      val wh = Files.createTempDirectory("graft-rb-nd").resolve("wh").toString
+      NearDupIngest.processBatch(docsDF(ids.filter(_ % 2 == 0)), 0L, wh)
+      NearDupIngest.processBatch(docsDF(ids.filter(_ % 2 == 1)), 1L, wh)
+      wh
+    }
+    val plain = ndDrive()
+    val wh = Files.createTempDirectory("graft-rb-nd").resolve("wh").toString
+    NearDupIngest.processBatch(
+      docsDF(ids.filter(_ % 2 == 0)), 0L, wh, stateBuckets = Some(4))
+    UpsertWriter.rebucket(spark, s"$wh/neardup_survivors",
+      keys = Seq("doc_id"), newBuckets = 8)
+    UpsertWriter.rebucket(spark, s"$wh/neardup_index",
+      keys = Seq("band", "sig", "doc_id"), newBuckets = 8)
+    NearDupIngest.processBatch(
+      docsDF(ids.filter(_ % 2 == 1)), 1L, wh, stateBuckets = Some(8))
+    assert(UpsertWriter.pinnedBuckets(s"$wh/neardup_survivors").contains(8) &&
+      UpsertWriter.pinnedBuckets(s"$wh/neardup_index").contains(8),
+      "premise: the rebucket re-pinned both state tables")
+    for (view <- Seq(
+        NearDupIngest.survivors(spark, _: String),
+        NearDupIngest.index(spark, _: String),
+        NearDupIngest.ingestLog(spark, _: String)))
+      assert(collectSet(view(wh)) == collectSet(view(plain)),
+        "a mid-stream rebucket changed worker semantics")
+
+    // same through the MULTI-SIGNAL worker (two state tables + log)
+    val mk = (p: Int) => (0 until 30).filter(_ % 2 == p)
+      .map(i => (i.toLong, s"text ${i} " +
+        (1 to 6).map(k => s"w${i}x$k").mkString(" "), vec(i)))
+      .toDF("doc_id", "text", "embedding")
+    def msDrive(): String = {
+      val wh = Files.createTempDirectory("graft-rb-ms").resolve("wh").toString
+      graft.streaming.MultiSignalIngest.processBatch(mk(0), 0L, wh)
+      graft.streaming.MultiSignalIngest.processBatch(mk(1), 1L, wh)
+      wh
+    }
+    val msPlain = msDrive()
+    val msWh = Files.createTempDirectory("graft-rb-ms").resolve("wh").toString
+    graft.streaming.MultiSignalIngest.processBatch(
+      mk(0), 0L, msWh, stateBuckets = Some(4))
+    UpsertWriter.rebucket(spark, s"$msWh/ms_survivors",
+      keys = Seq("doc_id"), newBuckets = 8)
+    UpsertWriter.rebucket(spark, s"$msWh/ms_index",
+      keys = Seq("band", "sig", "doc_id"), newBuckets = 8)
+    graft.streaming.MultiSignalIngest.processBatch(
+      mk(1), 1L, msWh, stateBuckets = Some(8))
+    for (view <- Seq(
+        graft.streaming.MultiSignalIngest.survivors(spark, _: String),
+        graft.streaming.MultiSignalIngest.index(spark, _: String),
+        graft.streaming.MultiSignalIngest.ingestLog(spark, _: String)))
+      assert(collectSet(view(msWh)) == collectSet(view(msPlain)),
+        "a mid-stream rebucket changed multi-signal semantics")
+  }
+
   test("serving paths read a bucketed warehouse identically to a plain one") {
     // the query-side endpoints (EmbedIngest.nearDuplicates,
     // MultiSignalIngest.wouldAdmit, AnnIngest.search) consume the

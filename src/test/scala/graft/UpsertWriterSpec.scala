@@ -811,4 +811,220 @@ class UpsertWriterSpec extends AnyFunSuite {
     assert(df.count() == 0)
     assert(df.columns.toSet == Set("id", "v", "ver"))
   }
+
+  // ── rebucket: the bucket-count lifecycle op ──────────────────────────
+
+  private def bucketOf(id: Long, n: Int): Int = {
+    import spark.implicits._
+    Seq(id).toDF("id")
+      .select(pmod(xxhash64($"id"), lit(n.toLong)).cast("int"))
+      .head().getInt(0)
+  }
+
+  test("rebucket: content preserved, pin moved, merges and appends prune on the new layout") {
+    val path = tmp()
+    UpsertWriter.upsertBucketed(spark, path,
+      (1L to 32L).map(i => (i, s"v$i", 1L)).toDF("id", "v", "ver"),
+      keys = Seq("id"), versionCol = "ver", numBuckets = 4)
+    UpsertWriter.appendBucketed(spark, path,
+      (33L to 40L).map(i => (i, s"v$i", 1L)).toDF("id", "v", "ver"),
+      keys = Seq("id"), batchTag = "b7", numBuckets = 4)
+    val before = spark.read.parquet(path)
+      .select($"id", $"v").as[(Long, String)].collect().toMap
+
+    UpsertWriter.rebucket(spark, path, keys = Seq("id"), newBuckets = 8)
+
+    assert(UpsertWriter.pinnedBuckets(path).contains(8))
+    assert(spark.read.parquet(path)
+      .select($"id", $"v").as[(Long, String)].collect().toMap == before,
+      "rebucket changed row content")
+    // every row physically lives in its xxhash64 % 8 bucket
+    val misplaced = spark.read.parquet(path)
+      .filter(col(UpsertWriter.BucketCol) =!=
+        pmod(xxhash64($"id"), lit(8L)).cast("int")).count()
+    assert(misplaced == 0, s"$misplaced rows in the wrong bucket after rebucket")
+    // the folded-tag record carried forward: the old batch tag replays
+    // as a no-op, not as duplicate rows
+    assert(!UpsertWriter.appendBucketed(spark, path,
+      (33L to 40L).map(i => (i, s"v$i", 1L)).toDF("id", "v", "ver"),
+      keys = Seq("id"), batchTag = "b7", numBuckets = 8),
+      "a pre-rebucket tag's replay must be skipped as folded")
+    assert(spark.read.parquet(path).count() == 40)
+    // a merge at the new count prunes: untouched buckets' files unmoved
+    val probeKey = 1L
+    val touched = bucketOf(probeKey, 8)
+    val untouched = (0 until 8).find(b =>
+      b != touched &&
+        new java.io.File(s"$path/${UpsertWriter.BucketCol}=$b").isDirectory).get
+    val dir = new java.io.File(s"$path/${UpsertWriter.BucketCol}=$untouched")
+    def ids() = dir.listFiles().map { f =>
+      val a = Files.readAttributes(f.toPath,
+        classOf[java.nio.file.attribute.BasicFileAttributes])
+      f.getName -> ((a.size(), String.valueOf(a.fileKey())))
+    }.toMap
+    val idsBefore = ids()
+    UpsertWriter.upsertBucketed(spark, path,
+      Seq((probeKey, "UPD", 9L)).toDF("id", "v", "ver"),
+      keys = Seq("id"), versionCol = "ver", numBuckets = 8)
+    assert(ids() == idsBefore, "post-rebucket merge rewrote untouched buckets")
+    val m = spark.read.parquet(path)
+      .select($"id", $"v").as[(Long, String)].collect().toMap
+    assert(m(probeKey) == "UPD" && m.size == 40)
+  }
+
+  test("rebucket: adopts bucketing on an existing unbucketed table (the sanctioned rewrite)") {
+    val path = tmp()
+    UpsertWriter.upsert(spark, path,
+      (1L to 16L).map(i => (i, s"v$i", 1L)).toDF("id", "v", "ver"),
+      keys = Seq("id"), versionCol = "ver")
+    UpsertWriter.append(spark, path,
+      (17L to 20L).map(i => (i, s"v$i", 1L)).toDF("id", "v", "ver"),
+      keys = Seq("id"), batchTag = "b3")
+    UpsertWriter.rebucket(spark, path, keys = Seq("id"), newBuckets = 4)
+    assert(UpsertWriter.pinnedBuckets(path).contains(4))
+    assert(spark.read.parquet(path)
+      .select($"id", $"v").as[(Long, String)].collect().toMap ==
+      (1L to 20L).map(i => i -> s"v$i").toMap)
+    // the adopted layout serves bucketed writes; plain appends now refuse
+    UpsertWriter.appendBucketed(spark, path,
+      Seq((21L, "v21", 2L)).toDF("id", "v", "ver"),
+      keys = Seq("id"), batchTag = "b4", numBuckets = 4)
+    assert(spark.read.parquet(path).count() == 21)
+    val e = intercept[IllegalArgumentException] {
+      UpsertWriter.append(spark, path,
+        Seq((22L, "v22", 2L)).toDF("id", "v", "ver"),
+        keys = Seq("id"), batchTag = "b5")
+    }
+    assert(e.getMessage.contains("bucket-pinned"))
+    // the root delta tag the adoption folded replays as a no-op, not as
+    // duplicate rows (the replay arrives through the NEW layout's path)
+    assert(!UpsertWriter.appendBucketed(spark, path,
+      (17L to 20L).map(i => (i, s"v$i", 1L)).toDF("id", "v", "ver"),
+      keys = Seq("id"), batchTag = "b3", numBuckets = 4),
+      "a pre-adoption tag's replay must be skipped as folded")
+    assert(spark.read.parquet(path).count() == 21)
+  }
+
+  test("rebucket: wrong merge keys are refused before anything swaps") {
+    val path = tmp()
+    UpsertWriter.upsertBucketed(spark, path,
+      (1L to 16L).map(i => (i, i * 100L, s"v$i", 1L))
+        .toDF("id", "other", "v", "ver"),
+      keys = Seq("id"), versionCol = "ver", numBuckets = 4)
+    val before = spark.read.parquet(path)
+      .select($"id", $"v").as[(Long, String)].collect().toMap
+    val e = intercept[Throwable] {
+      UpsertWriter.rebucket(spark, path, keys = Seq("other"), newBuckets = 8)
+    }
+    val messages = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(messages.contains("wrong merge keys"),
+      s"expected the wrong-keys refusal, got: $messages")
+    UpsertWriter.recover(path)
+    assert(UpsertWriter.pinnedBuckets(path).contains(4),
+      "a refused rebucket must not move the pin")
+    assert(spark.read.parquet(path)
+      .select($"id", $"v").as[(Long, String)].collect().toMap == before)
+    assert(!Files.exists(java.nio.file.Paths.get(path + ".__rebucket-intent")),
+      "recover must clear the dangling intent")
+  }
+
+  test("rebucket: refused while a drain lease is fresh; no-op on the already-pinned count") {
+    val path = tmp()
+    UpsertWriter.upsertBucketed(spark, path,
+      (1L to 8L).map(i => (i, s"v$i", 1L)).toDF("id", "v", "ver"),
+      keys = Seq("id"), versionCol = "ver", numBuckets = 4)
+    graft.sinks.TableLease.withDrain(Seq(path), "spec-drain") {
+      val e = intercept[IllegalStateException] {
+        UpsertWriter.rebucket(spark, path, keys = Seq("id"), newBuckets = 8)
+      }
+      assert(e.getMessage.contains("Drain lease is held"))
+    }
+    // same-count rebucket: nothing rewritten (file identities stable)
+    def identities() = {
+      import scala.jdk.CollectionConverters._
+      val walk = Files.walk(java.nio.file.Paths.get(path))
+      try walk.iterator().asScala.filter(Files.isRegularFile(_)).map { p =>
+        val a = Files.readAttributes(p,
+          classOf[java.nio.file.attribute.BasicFileAttributes])
+        p.toString -> String.valueOf(a.fileKey())
+      }.toMap finally walk.close()
+    }
+    val before = identities()
+    UpsertWriter.rebucket(spark, path, keys = Seq("id"), newBuckets = 4)
+    assert(identities() == before, "a same-count rebucket must be a no-op")
+  }
+
+  test("rebucket: EVERY interruption point recovers with the pin matching the live layout") {
+    // exhaustive fault injection over rebucket's filesystem mutations
+    // (intent write, whole-directory swap renames, in-image epoch file,
+    // pin update, epoch/intent cleanup): after a crash at ANY point plus
+    // a second crash inside the recovery itself, the healed table must
+    // (a) hold the exact pre-rebucket content, (b) carry a pin equal to
+    // the physical layout's hash modulus — the invariant whose violation
+    // silently duplicates keys on the next pruned merge — and (c) accept
+    // a keyed merge at the pinned count with keep-latest intact.
+    final class Boom extends RuntimeException("injected crash")
+    val rows = (1L to 32L).map(i => (i, s"v$i", 1L))
+    def build(): String = {
+      val path = tmp()
+      UpsertWriter.upsertBucketed(spark, path, rows.toDF("id", "v", "ver"),
+        keys = Seq("id"), versionCol = "ver", numBuckets = 4)
+      UpsertWriter.appendBucketed(spark, path,
+        (33L to 36L).map(i => (i, s"v$i", 1L)).toDF("id", "v", "ver"),
+        keys = Seq("id"), batchTag = "bx", numBuckets = 4)
+      path
+    }
+    val expected = ((1L to 36L).map(i => i -> s"v$i")).toMap
+    def state(path: String) = spark.read.parquet(path)
+      .select($"id", $"v").as[(Long, String)].collect().toMap
+
+    // count the mutation points of a clean run
+    var count = 0
+    val ref = build()
+    UpsertWriter.swapFault = () => count += 1
+    try UpsertWriter.rebucket(spark, ref, keys = Seq("id"), newBuckets = 8)
+    finally UpsertWriter.swapFault = () => ()
+    assert(state(ref) == expected)
+    assert(UpsertWriter.pinnedBuckets(ref).contains(8))
+    assert(count >= 6, s"premise: rebucket has many steps, saw $count")
+
+    for (crashAt <- 0 until count) {
+      val path = build()
+      var n = 0
+      UpsertWriter.swapFault =
+        () => { n += 1; if (n > crashAt) throw new Boom }
+      try {
+        intercept[Boom] {
+          UpsertWriter.rebucket(spark, path, keys = Seq("id"), newBuckets = 8)
+        }
+        // second crash: the RECOVERY itself dies one step further in
+        n = 0
+        UpsertWriter.swapFault =
+          () => { n += 1; if (n > crashAt + 1) throw new Boom }
+        try UpsertWriter.recover(path) catch { case _: Boom => }
+      } finally UpsertWriter.swapFault = () => ()
+      UpsertWriter.recover(path)
+      // (a) content exact
+      assert(state(path) == expected,
+        s"crash at mutation $crashAt lost/duplicated rows: ${state(path)}")
+      // (b) pin == live layout: every row's stored bucket is its key's
+      // hash under the PINNED count
+      val pin = UpsertWriter.pinnedBuckets(path).get
+      assert(pin == 4 || pin == 8, s"crash at $crashAt left pin $pin")
+      val misplaced = spark.read.parquet(path)
+        .filter(col(UpsertWriter.BucketCol) =!=
+          pmod(xxhash64($"id"), lit(pin.toLong)).cast("int")).count()
+      assert(misplaced == 0,
+        s"crash at mutation $crashAt: pin $pin but $misplaced rows " +
+          "live in other buckets — the next pruned merge duplicates them")
+      // (c) a keyed merge at the pinned count applies cleanly
+      UpsertWriter.upsertBucketed(spark, path,
+        Seq((1L, "UPD", 9L)).toDF("id", "v", "ver"),
+        keys = Seq("id"), versionCol = "ver", numBuckets = pin)
+      val after = state(path)
+      assert(after.size == 36 && after(1L) == "UPD",
+        s"crash at mutation $crashAt: post-recovery merge diverged")
+    }
+  }
 }
