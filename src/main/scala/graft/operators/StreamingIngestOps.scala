@@ -98,11 +98,19 @@ object StreamingIngestOps extends OpModule {
     }
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
+    val prevWsc = s.conf.get("spark.sql.codegen.wholeStage")
+    val prevFac = s.conf.get("spark.sql.codegen.factoryMode")
     s.conf.set("spark.sql.shuffle.partitions", "2")
     // AQE off inside the drain window, same reasoning as
     // [[driveTwoBatches]]: per-exchange stage jobs are the gate's
     // dominant fixed cost at micro-batch sizes
     s.conf.set("spark.sql.adaptive.enabled", "false")
+    // codegen off in the window too ([[driveTwoBatches]] has the
+    // numbers): every micro-batch's plan embeds its batch id, so no
+    // generated class is ever reused — the gate was paying a Janino
+    // compile per stage to process a few hundred rows
+    s.conf.set("spark.sql.codegen.wholeStage", "false")
+    s.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
     try {
       val q = run(s, flat, wh, ckpt)
       // awaitTermination(timeout) returns FALSE on timeout with the drain
@@ -120,6 +128,8 @@ object StreamingIngestOps extends OpModule {
     } finally {
       s.conf.set("spark.sql.shuffle.partitions", prev)
       s.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      s.conf.set("spark.sql.codegen.wholeStage", prevWsc)
+      s.conf.set("spark.sql.codegen.factoryMode", prevFac)
     }
     wh
   }
@@ -140,12 +150,26 @@ object StreamingIngestOps extends OpModule {
       .resolve("wh").toString
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
+    val prevWsc = s.conf.get("spark.sql.codegen.wholeStage")
+    val prevFac = s.conf.get("spark.sql.codegen.factoryMode")
     s.conf.set("spark.sql.shuffle.partitions", "2")
     // AQE off for the drive window: at 2 shuffle partitions there is
     // nothing for it to coalesce, and its per-exchange stage
     // materialization schedules every tiny shuffle as its own job —
     // measured as pure driver overhead at micro-batch state sizes
     s.conf.set("spark.sql.adaptive.enabled", "false")
+    // CODEGEN off for the drive window: every micro-batch's plan embeds
+    // its batch id (`lit(batchId)`), so no generated class is ever
+    // reused across batches or runs — the gates were paying a Janino
+    // whole-stage compile per stage (~99 stages/run measured) to
+    // process a few hundred rows each, which is also exactly the
+    // JIT-warmth sensitivity that made fresh-JVM re-times diverge from
+    // session numbers. Interpreted mode is the right engine at
+    // micro-batch sizes; production batches are orders of magnitude
+    // past the crossover and keep codegen (this save/restore scopes
+    // the override to the drive window).
+    s.conf.set("spark.sql.codegen.wholeStage", "false")
+    s.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
     // the two parity batches derive from one cached upstream read
     // instead of recomputing the source scan/join per batch. The
     // narrow coalesce caps the cached partition count at the drive
@@ -162,6 +186,8 @@ object StreamingIngestOps extends OpModule {
       cached.unpersist()
       s.conf.set("spark.sql.shuffle.partitions", prev)
       s.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      s.conf.set("spark.sql.codegen.wholeStage", prevWsc)
+      s.conf.set("spark.sql.codegen.factoryMode", prevFac)
     }
     wh
   }

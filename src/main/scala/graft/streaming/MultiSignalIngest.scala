@@ -361,14 +361,53 @@ object MultiSignalIngest {
                       // schema carrying first_admitted_batch (a
                       // pre-upgrade table takes ONE schema-growing
                       // merge, then appends); the index row carries no
-                      // such column — no gate
-                      writeState(survivorsDir, fresh, Seq("doc_id"),
-                        pureInsert && survCanAppend)
-                      writeState(indexDir,
-                        sigs.join(fresh.select(col("doc_id")),
-                          Seq("doc_id"), "left_semi")
-                          .withColumn("batch_id", lit(batchId)),
-                        Seq("band", "sig", "doc_id"), pureInsert)
+                      // such column — no gate.
+                      //
+                      // The two admit writes run CONCURRENTLY: they land
+                      // on DIFFERENT tables, commit independently, and
+                      // at micro-batch sizes each is fixed-overhead-
+                      // dominated (job scheduling + small-file moves),
+                      // so the pair costs max, not sum. EITHER commit
+                      // order is replay-safe — the corpus check already
+                      // guards each table's own `_SUCCESS` for the
+                      // sequential crash (survivors committed, index
+                      // unborn), and the reverse order the concurrency
+                      // adds (index carries the crashed batch's rows,
+                      // survivors don't) replays identically: the
+                      // replayed candX pairs batch winners against the
+                      // crashed attempt's index rows, which are the same
+                      // batch's fresh keys — two distinct winners are by
+                      // construction in different clusters (an edge
+                      // would have merged them), so the exact-Jaccard
+                      // verify rejects every such pair, and the semantic
+                      // side reads only the survivors table, which still
+                      // excludes the batch. The log write stays LAST and
+                      // sequential (its absence is what keeps a serving
+                      // read's occupancy mask narrow, never wide).
+                      val idxRows = sigs.join(fresh.select(col("doc_id")),
+                        Seq("doc_id"), "left_semi")
+                        .withColumn("batch_id", lit(batchId))
+                      // a SMALL admit batch stages through one task, so
+                      // each touched bucket lands exactly one delta file
+                      // — the next batch's corpus check re-reads these,
+                      // and footer count was measured as the bucketed
+                      // path's residual cost over the plain layout. The
+                      // nFresh gate keeps production-size batches at
+                      // full write parallelism.
+                      def squeeze(df: DataFrame): DataFrame =
+                        if (nFresh < 100000) df.coalesce(1) else df
+                      import scala.concurrent.{Await, Future}
+                      import scala.concurrent.ExecutionContext.Implicits.global
+                      import scala.concurrent.duration.Duration
+                      val survF = Future(writeState(survivorsDir,
+                        squeeze(fresh), Seq("doc_id"),
+                        pureInsert && survCanAppend))
+                      val idxF = Future(writeState(indexDir, squeeze(idxRows),
+                        Seq("band", "sig", "doc_id"), pureInsert))
+                      // await both before the log write below: a failed
+                      // side throws here and the batch replays wholesale
+                      Await.result(survF, Duration.Inf)
+                      Await.result(idxF, Duration.Inf)
                     }
                     timed(batchId, "log-upsert") {
                       import s.implicits._

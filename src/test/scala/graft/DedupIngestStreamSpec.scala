@@ -18,37 +18,54 @@ class DedupIngestStreamSpec extends AnyFunSuite {
     StreamFiles.landOne(base, flat, name, rows.toDF("doc_id", "text"))
 
   test("kill mid-drain, resume: every hash admitted once, first arrival wins, log consistent") {
-    val base = Files.createTempDirectory("graft-dedup-stream")
-    val flat = base.resolve("docs").toString
-    val wh = base.resolve("wh").toString
-    val ckpt = base.resolve("ckpt").toString
-    new java.io.File(flat).mkdirs()
+    // the kill is a RACE by construction (stop as soon as the first
+    // admission is visible, before the drain finishes) — on a warm JVM
+    // the remaining micro-batches can commit inside one poll interval,
+    // landing the kill after the full drain. A lost race proves
+    // nothing, so the run-1 attempt RETRIES on fresh directories until
+    // the kill genuinely lands mid-drain (bounded; fails loudly if the
+    // box never loses).
+    var attempt = 0
+    var state: Option[(String, String, String)] = None // flat, wh, ckpt
+    var afterKill = 3L
+    while (afterKill >= 3 && attempt < 8) {
+      attempt += 1
+      val base = Files.createTempDirectory("graft-dedup-stream")
+      val flat = base.resolve("docs").toString
+      val wh = base.resolve("wh").toString
+      val ckpt = base.resolve("ckpt").toString
+      new java.io.File(flat).mkdirs()
 
-    // f0: "alpha" twice within one file (doc 11 must win over 12),
-    // plus "beta". f1: "alpha" AGAIN from a later file (doc 1 < 11,
-    // but f0 arrived first — first ARRIVAL wins, not lowest id),
-    // plus "gamma". f2: all three again — fully duplicate file, zero
-    // admissions. Written in order so modification-time pickup is
-    // f0, f1, f2.
-    addDocFile(flat, base, "f0",
-      Seq((12L, "alpha"), (11L, "alpha"), (20L, "beta")))
-    addDocFile(flat, base, "f1", Seq((1L, "alpha"), (30L, "gamma")))
-    addDocFile(flat, base, "f2",
-      Seq((40L, "alpha"), (41L, "beta"), (42L, "gamma")))
+      // f0: "alpha" twice within one file (doc 11 must win over 12),
+      // plus "beta". f1: "alpha" AGAIN from a later file (doc 1 < 11,
+      // but f0 arrived first — first ARRIVAL wins, not lowest id),
+      // plus "gamma". f2: all three again — fully duplicate file, zero
+      // admissions. Written in order so modification-time pickup is
+      // f0, f1, f2.
+      addDocFile(flat, base, "f0",
+        Seq((12L, "alpha"), (11L, "alpha"), (20L, "beta")))
+      addDocFile(flat, base, "f1", Seq((1L, "alpha"), (30L, "gamma")))
+      addDocFile(flat, base, "f2",
+        Seq((40L, "alpha"), (41L, "beta"), (42L, "gamma")))
 
-    // run 1: kill as soon as at least one batch admitted rows
-    val q1 = Pipeline.runDedupIngest(spark, flat, wh, ckpt)
-    val survivorsDir = s"$wh/dedup_survivors"
-    val deadline = System.currentTimeMillis() + 120000
+      // run 1: kill as soon as at least one batch admitted rows
+      val q1 = Pipeline.runDedupIngest(spark, flat, wh, ckpt)
+      val survivorsDir = s"$wh/dedup_survivors"
+      val deadline = System.currentTimeMillis() + 120000
+      def admitted(): Long =
+        if (!Files.exists(java.nio.file.Paths.get(survivorsDir, "_SUCCESS"))) 0L
+        else spark.read.parquet(survivorsDir).count()
+      while (admitted() < 1 && System.currentTimeMillis() < deadline)
+        Thread.sleep(10)
+      q1.stop()
+      q1.awaitTermination(60000)
+      afterKill = admitted()
+      assert(afterKill >= 1, "run 1 never admitted a row")
+      state = Some((flat, wh, ckpt))
+    }
+    val (flat, wh, ckpt) = state.get
     def admitted(): Long =
-      if (!Files.exists(java.nio.file.Paths.get(survivorsDir, "_SUCCESS"))) 0L
-      else spark.read.parquet(survivorsDir).count()
-    while (admitted() < 1 && System.currentTimeMillis() < deadline)
-      Thread.sleep(100)
-    q1.stop()
-    q1.awaitTermination(60000)
-    val afterKill = admitted()
-    assert(afterKill >= 1, "run 1 never admitted a row")
+      spark.read.parquet(s"$wh/dedup_survivors").count()
 
     // run 2: resume on the SAME checkpoint, drain to completion
     val q2 = Pipeline.runDedupIngest(spark, flat, wh, ckpt)
