@@ -217,6 +217,13 @@ object Bench {
     def isoVar: String = isoSpread.map { case (k, v) =>
       "\"" + k + "\":" + "%.1f".formatLocal(java.util.Locale.ROOT, v)
     }.mkString("{", ",", "}")
+    // the child's exact JVM flags, recorded so a builder re-run and the
+    // driver round are comparable (or their divergence attributable)
+    val jvmArgsJson: String = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getInputArguments.toArray.map(_.toString)
+      .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent"))
+      .map(a => "\"" + a.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+      .mkString("[", ",", "]")
     def isoReliable: String = isoSpread.map { case (k, v) =>
       "\"" + k + "\":" + (v <= 25.0)
     }.mkString("{", ",", "}")
@@ -235,7 +242,8 @@ object Bench {
       },"shuffle_mb":${jmap(_._2)},"spill_mb":${jmap(_._3)},""" +
         s""""isolated":$isoMap,"isolated_times":$isoTimes,""" +
         s""""isolated_variance_pct":$isoVar,"isolated_reliable":$isoReliable,""" +
-        s""""isolated_note":"fresh-JVM adaptive min (3-6 runs until the fast tail settles) for the ${topNames.size} slowest; variance_pct = spread of the 3 fastest / min; reliable=false (spread > 25%) means JIT-dominated — rank by the session number instead",""" +
+        s""""isolated_note":"fresh-JVM adaptive min (3-8 runs until the fast tail settles) for the ${topNames.size} slowest, ALL warmed once at sf0.001 before any timing (shared-child JIT bill no longer lands on the first query); variance_pct = spread of the 3 fastest / min; reliable=false (spread > 25%) means JIT-dominated — rank by the session number instead",""" +
+        s""""isolated_jvm_args":${jvmArgsJson},""" +
         s""""sf":"$sfDir","failed":${failed.size}}"""
     // The recorder keeps only the last ~2 KB of output: with 100+ queries
     // the compact full-map line overflows that window and gets cut
@@ -257,7 +265,8 @@ object Bench {
     val bounded =
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +
         s""""queries":$slowest,"queries_note":"12 slowest of ${results.size}; full map in bench_last.json",""" +
-        s""""isolated":$isoMap,"isolated_reliable":$isoReliable,""" +
+        s""""isolated":$isoMap,"isolated_variance_pct":$isoVar,""" +
+        s""""isolated_reliable":$isoReliable,""" +
         s""""sf":"$sfDir","failed":${failed.size}}"""
     println(bounded)
     println(line)

@@ -49,6 +49,19 @@ object TimeOne {
         spark.sparkContext.addSparkListener(c)
         Some(c)
       }
+    // Warm ALL requested queries once at sf0.001 BEFORE any timing: in a
+    // shared child JVM the first-timed query otherwise absorbs the whole
+    // JIT bill for the code paths every later query reuses — measured
+    // inverting the msb/ms gate comparison (the slowest-first ordering
+    // put the bucketed gate first, and its "isolated" min carried ~3 s
+    // of warmup the session number never sees). Failures surface in the
+    // timed pass below, exactly like Bench's session warmup.
+    for (name <- args) {
+      try SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
+    spark.catalog.clearCache()
     for (name <- args) {
       val fn = SparkEntry.queries(name)
       fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
@@ -70,14 +83,18 @@ object TimeOne {
         dt
       }
       // ADAPTIVE run count (the r11 verdict's bench-stability directive):
-      // 3 runs, then keep running (to 6) while the 3 FASTEST still
+      // 3 runs, then keep running (to 8) while the 3 FASTEST still
       // disagree by >20% of their min — a fresh JVM's first runs are
       // JIT-dominated, and one extra warm run usually settles the
-      // min-estimator that round-over-round comparison ranks by
+      // min-estimator that round-over-round comparison ranks by. The
+      // cap sits at 8 (was 6): the streaming gates exercise enough
+      // distinct code that 6 samples were measured still descending on
+      // a cold box, and an unsettled min is exactly what the reliable
+      // flag exists to prevent shipping.
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
       times ++= (1 to 3).map(_ => once())
       def fast3 = times.sorted.take(3)
-      while (times.length < 6 &&
+      while (times.length < 8 &&
           (fast3.max - fast3.min) / fast3.min > 0.20)
         times += once()
       println(f"[timeone] $name: ${times.map(t => f"$t%.2f").mkString(" ")} s")
