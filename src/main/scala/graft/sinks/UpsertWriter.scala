@@ -1131,6 +1131,116 @@ object UpsertWriter {
     }
   }
 
+  /** Searched DELETE — the row-grain removal op a 100 TB training-data
+    * pipeline cannot live without (takedowns, right-to-be-forgotten,
+    * contaminated-source purges), where [[retainFrom]]'s partition
+    * grain is too coarse and truncate-and-reload is a corpus rewrite.
+    * Removes every row where `predicate` is TRUE (NULL keeps the row —
+    * SQL DELETE semantics); returns the number of rows removed.
+    *
+    * A partitioned/bucketed table rewrites ONLY the leaves that hold
+    * matching rows, through the same committed `.__pstaging` image +
+    * per-leaf rename swap as [[upsert]] (never a deleted-but-unreplaced
+    * window; co-located keys the predicate does not match are carried
+    * into the replacement image). A leaf whose every row matches has no
+    * staged replacement — its directory is dropped AFTER the swap, the
+    * [[retainFrom]] idempotent-removal form. An unpartitioned table is
+    * one staged whole-directory swap. Touched leaves' delta-file tags
+    * are recorded as folded BEFORE anything swaps ([[compact]]'s
+    * ordering): the rewrite folds those deltas, so a crashed batch's
+    * replay stays a no-op instead of resurrecting rows next to the
+    * deletion. Runs under the MAINTENANCE lease — a predicate deleting
+    * rows a concurrent drain is mid-merge on would race exactly like a
+    * compaction.
+    *
+    * Crash posture: each step is idempotent (committed staging is
+    * finished by [[recover]]; emptied-leaf drops re-run); a crash
+    * between the swap and the emptied-leaf drops leaves those leaves'
+    * rows present — re-running the same deleteWhere completes the
+    * removal, and no co-located row is ever lost or duplicated.
+    * Deleting EVERY row of a partitioned table is refused (the empty
+    * directory tree is unreadable): empty a table deliberately with
+    * [[truncate]] (plain) or a directory+pin reset (bucketed). */
+  def deleteWhere(
+      spark: SparkSession,
+      path: String,
+      predicate: org.apache.spark.sql.Column): Long =
+      TableLease.withMaintenance(Seq(path), maintHolder("deleteWhere")) {
+    schemaCache.remove(path)
+    recover(path)
+    require(exists(path), s"no committed table at $path")
+    val full = spark.read.option("mergeSchema", "true").parquet(path)
+    // SQL DELETE semantics: remove where TRUE, keep FALSE and NULL
+    val hit = coalesce(predicate, lit(false))
+    val partCols = partitionColsOf(path)
+    if (partCols.isEmpty) {
+      val nDel = full.filter(hit).count()
+      if (nDel > 0) {
+        val folded = deltaTagsUnder(Paths.get(path))
+        if (folded.nonEmpty) recordFoldedTags(path, folded)
+        val remaining = full.filter(!hit)
+        swapIn(path) { staging =>
+          remaining.write.mode(SaveMode.Overwrite).parquet(staging)
+        }
+      }
+      nDel
+    } else {
+      // leaves holding matching rows; the distinct is partition-count
+      // bounded, so the collect is too (same bound as [[rebucket]]'s
+      // probe arithmetic — never row-sized)
+      val touched = full.filter(hit)
+        .select(partCols.map(col): _*).distinct()
+      val touchedRows = touched.collect()
+      if (touchedRows.isEmpty) 0L
+      else {
+        val touchedB = broadcast(
+          spark.createDataFrame(
+            java.util.Arrays.asList(touchedRows: _*), touched.schema))
+        val scopeCond = partCols.map(c => full(c) <=> touchedB(c))
+          .reduce(_ && _)
+        val scoped = full.join(touchedB, scopeCond, "left_semi")
+        val nDel = scoped.filter(hit).count()
+        val remaining = scoped.filter(!hit)
+        // refuse the unreadable end state up front: every live leaf
+        // touched AND nothing survives anywhere
+        val liveLeaves = leafPartitionDirs(Paths.get(path)).size
+        require(touchedRows.length < liveLeaves ||
+            remaining.limit(1).count() > 0,
+          s"deleteWhere would remove every row of every partition of " +
+            s"$path, leaving an unreadable table; use truncate() (plain) " +
+            "or delete the directory and its pin (bucketed) instead")
+        // fold touched leaves' delta tags BEFORE the swap (see above)
+        val relTouched = touchedRows.map(r =>
+          partCols.zipWithIndex.map { case (c, i) =>
+            val v = r.get(i)
+            // same directory-name encoding Spark's writer uses: nulls
+            // land in the default partition, special characters escape
+            s"$c=${if (v == null) "__HIVE_DEFAULT_PARTITION__"
+              else org.apache.spark.sql.catalyst.catalog
+                .ExternalCatalogUtils.escapePathName(v.toString)}"
+          }.mkString("/"))
+        val folded = relTouched
+          .map(rel => deltaTagsUnder(Paths.get(path).resolve(rel)))
+          .foldLeft(Set.empty[String])(_ ++ _)
+        if (folded.nonEmpty) recordFoldedTags(path, folded)
+        // staged image of the touched leaves' SURVIVING rows, swapped
+        // in per leaf; leaves with no survivors stage nothing
+        remaining.write.mode(SaveMode.Overwrite)
+          .partitionBy(partCols: _*).parquet(path + ".__pstaging")
+        val staged = leafPartitionDirs(Paths.get(path + ".__pstaging"))
+          .map(_.toString).toSet
+        swapFault()
+        completePartitionSwap(path)
+        // emptied leaves: dropped last, idempotent re-run on a crash
+        relTouched.filterNot(staged.contains).foreach { rel =>
+          swapFault()
+          deleteTree(Paths.get(path).resolve(rel).toString)
+        }
+        nDel
+      }
+    }
+  }
+
   /** Retention (TTL) for a partitioned table: drop whole partition
     * directories of `partitionCol` whose value sorts strictly below
     * `cutoff` — at 100 TB a fact table is only sustainable with a

@@ -812,6 +812,135 @@ class UpsertWriterSpec extends AnyFunSuite {
     assert(df.columns.toSet == Set("id", "v", "ver"))
   }
 
+  // ── deleteWhere: searched row-grain DELETE ───────────────────────────
+
+  test("deleteWhere: unpartitioned — predicate rows removed, NULL keeps (SQL DELETE semantics)") {
+    val path = tmp()
+    UpsertWriter.upsert(spark, path,
+      Seq((1L, Some("drop"), 1L), (2L, Some("keep"), 1L),
+        (3L, None, 1L), (4L, Some("drop"), 1L))
+        .toDF("id", "tag", "ver"),
+      keys = Seq("id"), versionCol = "ver")
+    val n = UpsertWriter.deleteWhere(spark, path, col("tag") === "drop")
+    assert(n == 2L)
+    val left = spark.read.parquet(path).select($"id").as[Long].collect().toSet
+    assert(left == Set(2L, 3L), "NULL-predicate row must survive a DELETE")
+    // delete-nothing: 0 removed, files untouched
+    def ids() = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map { f =>
+        val a = Files.readAttributes(f.toPath,
+          classOf[java.nio.file.attribute.BasicFileAttributes])
+        f.getName -> String.valueOf(a.fileKey())
+      }.toMap
+    val before = ids()
+    assert(UpsertWriter.deleteWhere(spark, path, col("tag") === "absent") == 0L)
+    assert(ids() == before, "a no-match DELETE must not rewrite the table")
+  }
+
+  test("deleteWhere: bucketed — only touched buckets rewritten, folded tags protect replays") {
+    val path = tmp()
+    UpsertWriter.upsertBucketed(spark, path,
+      (1L to 32L).map(i => (i, s"v$i", 1L)).toDF("id", "v", "ver"),
+      keys = Seq("id"), versionCol = "ver", numBuckets = 8)
+    // a delta batch whose rows the DELETE will remove — its replay
+    // after the delete must not resurrect them
+    UpsertWriter.appendBucketed(spark, path,
+      Seq((100L, "doomed", 1L)).toDF("id", "v", "ver"),
+      keys = Seq("id"), batchTag = "bdel", numBuckets = 8)
+    val victimBucket = spark.range(1).select(
+      pmod(xxhash64(lit(100L)), lit(8L)).cast("int")).head().getInt(0)
+    val untouched = (0 until 8).find(b => b != victimBucket &&
+      new java.io.File(s"$path/${UpsertWriter.BucketCol}=$b").isDirectory).get
+    def ids(b: Int) = new java.io.File(s"$path/${UpsertWriter.BucketCol}=$b")
+      .listFiles().map { f =>
+        val a = Files.readAttributes(f.toPath,
+          classOf[java.nio.file.attribute.BasicFileAttributes])
+        f.getName -> String.valueOf(a.fileKey())
+      }.toMap
+    val before = ids(untouched)
+    val n = UpsertWriter.deleteWhere(spark, path, col("id") === 100L)
+    assert(n == 1L)
+    assert(ids(untouched) == before,
+      "a bucketed DELETE must rewrite only the touched buckets")
+    assert(spark.read.parquet(path).count() == 32)
+    // the folded tag: replaying the deleted batch is a skipped no-op
+    assert(!UpsertWriter.appendBucketed(spark, path,
+      Seq((100L, "doomed", 1L)).toDF("id", "v", "ver"),
+      keys = Seq("id"), batchTag = "bdel", numBuckets = 8),
+      "a deleted batch's replay must be skipped, not resurrected")
+    assert(spark.read.parquet(path).filter($"id" === 100L).count() == 0)
+  }
+
+  test("deleteWhere: partitioned — a fully-emptied partition's directory is dropped; delete-all refused") {
+    val path = tmp()
+    UpsertWriter.upsert(spark, path,
+      Seq((1L, "2024-01-01", "a"), (2L, "2024-01-01", "b"),
+        (3L, "2024-01-02", "c")).toDF("id", "dia", "v"),
+      keys = Seq("id"), versionCol = "id", partitionBy = Seq("dia"))
+    val n = UpsertWriter.deleteWhere(spark, path, col("dia") === "2024-01-02")
+    assert(n == 1L)
+    assert(!new java.io.File(s"$path/dia=2024-01-02").exists,
+      "an emptied partition's directory must be dropped")
+    assert(spark.read.parquet(path).count() == 2)
+    val e = intercept[IllegalArgumentException] {
+      UpsertWriter.deleteWhere(spark, path, lit(true))
+    }
+    assert(e.getMessage.contains("every row"),
+      s"delete-all on a partitioned table must refuse: ${e.getMessage}")
+    assert(spark.read.parquet(path).count() == 2, "refusal must not mutate")
+  }
+
+  test("deleteWhere: EVERY interruption point — retry completes the removal, no co-located loss, no resurrection") {
+    final class Boom extends RuntimeException("injected crash")
+    def build(): String = {
+      val path = tmp()
+      UpsertWriter.upsertBucketed(spark, path,
+        (1L to 32L).map(i => (i, s"v$i", 1L)).toDF("id", "v", "ver"),
+        keys = Seq("id"), versionCol = "ver", numBuckets = 4)
+      path
+    }
+    // deletes spread over several buckets so the swap has many steps
+    def del(path: String): Long = UpsertWriter.deleteWhere(
+      spark, path, col("id") % 8 === 0) // ids 8,16,24,32
+    val expected = (1L to 32L).filterNot(_ % 8 == 0)
+      .map(i => i -> s"v$i").toMap
+    def state(path: String) = spark.read.parquet(path)
+      .select($"id", $"v").as[(Long, String)].collect().toMap
+
+    var count = 0
+    val ref = build()
+    UpsertWriter.swapFault = () => count += 1
+    try assert(del(ref) == 4L) finally UpsertWriter.swapFault = () => ()
+    assert(state(ref) == expected)
+    assert(count >= 4, s"premise: the delete swap has many steps, saw $count")
+
+    for (crashAt <- 0 until count) {
+      val path = build()
+      var n = 0
+      UpsertWriter.swapFault =
+        () => { n += 1; if (n > crashAt) throw new Boom }
+      try {
+        intercept[Boom] { del(path) }
+        n = 0
+        UpsertWriter.swapFault =
+          () => { n += 1; if (n > crashAt + 1) throw new Boom }
+        try UpsertWriter.recover(path) catch { case _: Boom => }
+      } finally UpsertWriter.swapFault = () => ()
+      UpsertWriter.recover(path)
+      // a crashed DELETE may be partially applied (leaf grain), never
+      // torn within a leaf and never losing co-located keys: the
+      // surviving state is exact per key (either pre- or post-delete)
+      val mid = state(path)
+      assert((1L to 32L).filterNot(_ % 8 == 0)
+        .forall(i => mid.get(i).contains(s"v$i")),
+        s"crash at mutation $crashAt lost a co-located key: $mid")
+      // retrying the SAME delete completes the removal exactly
+      del(path)
+      assert(state(path) == expected,
+        s"crash at mutation $crashAt diverged after retry: ${state(path)}")
+    }
+  }
+
   // ── rebucket: the bucket-count lifecycle op ──────────────────────────
 
   private def bucketOf(id: Long, n: Int): Int = {
