@@ -135,6 +135,12 @@ object AnnIngest {
                 count(when(col("first_admitted_batch") === batchId,
                   lit(1)))).head()
               val pureInsert = fcnt.getLong(0) == fcnt.getLong(1)
+              // small admit batches stage through one task → exactly
+              // one delta file per touched bucket (fewer footers on
+              // every later index read; big batches keep parallelism)
+              val batchRows = fcnt.getLong(0)
+              val writeImg =
+                if (batchRows < 100000) withFab.coalesce(1) else withFab
               // postings write: hash-bucketed when stateBuckets is set
               // (the family's shared 100 TB contract); a pure-insert
               // batch (every key first-admitted now) APPENDS O(batch)
@@ -149,18 +155,18 @@ object AnnIngest {
               // column table-wide), then appends
               stateBuckets match {
                 case Some(b) if pureInsert && idxCanAppend =>
-                  UpsertWriter.appendBucketed(s, indexDir, withFab,
+                  UpsertWriter.appendBucketed(s, indexDir, writeImg,
                     keys = Seq("vec_id"), batchTag = s"b$batchId",
                     numBuckets = b)
                 case Some(b) => UpsertWriter.upsertBucketed(s, indexDir,
-                  withFab, keys = Seq("vec_id"), versionCol = "batch_id",
+                  writeImg, keys = Seq("vec_id"), versionCol = "batch_id",
                   numBuckets = b)
                 // plain layout: same insert/update split — pure-insert
                 // batches append root delta files, O(batch)
                 case None if pureInsert && idxCanAppend =>
                   UpsertWriter.append(s, indexDir,
-                    withFab, keys = Seq("vec_id"), batchTag = s"b$batchId")
-                case None => UpsertWriter.upsert(s, indexDir, withFab,
+                    writeImg, keys = Seq("vec_id"), batchTag = s"b$batchId")
+                case None => UpsertWriter.upsert(s, indexDir, writeImg,
                   keys = Seq("vec_id"), versionCol = "batch_id")
               }
               // batch stats for the log, in ONE audit pass over the

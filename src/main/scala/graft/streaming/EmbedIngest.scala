@@ -355,8 +355,14 @@ object EmbedIngest {
               // plan fragment by equality, so a later read of the same
               // path would silently serve the PRE-upsert image
               committed.foreach(_.unpersist())
+              // a SMALL admit batch stages through one task, so each
+              // touched bucket lands exactly one delta file — fewer
+              // footers for every later corpus read; production-size
+              // batches keep their write parallelism
               if (nFresh > 0)
-                writeState(survivorsDir, fresh, Seq("vec_id"),
+                writeState(survivorsDir,
+                  if (nFresh < 100000) fresh.coalesce(1) else fresh,
+                  Seq("vec_id"),
                   pureInsert = nFresh == nAdmitted && survCanAppend)
 
               import s.implicits._

@@ -294,15 +294,36 @@ object NearDupIngest {
                   // survivors additionally gate on the physical schema
                   // carrying first_admitted_batch (pre-upgrade tables
                   // take ONE schema-growing merge, then append)
-                  writeState(survivorsDir, fresh, Seq("doc_id"),
-                    pureInsert && survCanAppend)
+                  //
+                  // The two admit writes run CONCURRENTLY
+                  // ([[MultiSignalIngest]] has the replay-safety
+                  // argument — different tables, each read guards its
+                  // own `_SUCCESS`, and the reverse crash order the
+                  // concurrency adds is deterministic-safe because two
+                  // distinct winners are by construction in different
+                  // clusters, so the exact-Jaccard verify rejects every
+                  // replayed candX pair against the crashed attempt's
+                  // index rows). Small batches stage ONE delta file per
+                  // bucket; the log write below stays last.
+                  val idxRows = sigs
+                    .join(fresh.select(col("doc_id")), Seq("doc_id"),
+                      "left_semi")
+                    .withColumn("batch_id", lit(batchId))
+                  def squeeze(df: DataFrame): DataFrame =
+                    if (nFresh < 100000) df.coalesce(1) else df
+                  import scala.concurrent.{Await, Future}
+                  import scala.concurrent.ExecutionContext.Implicits.global
+                  import scala.concurrent.duration.Duration
+                  val survF = Future(writeState(survivorsDir,
+                    squeeze(fresh), Seq("doc_id"),
+                    pureInsert && survCanAppend))
                   // the index keys embed the doc_id, so a pure-insert
                   // batch's index rows are fresh keys too (its row
                   // carries no first_admitted_batch — no schema gate)
-                  writeState(indexDir,
-                    sigs.join(fresh.select(col("doc_id")), Seq("doc_id"), "left_semi")
-                      .withColumn("batch_id", lit(batchId)),
-                    Seq("band", "sig", "doc_id"), pureInsert)
+                  val idxF = Future(writeState(indexDir, squeeze(idxRows),
+                    Seq("band", "sig", "doc_id"), pureInsert))
+                  Await.result(survF, Duration.Inf)
+                  Await.result(idxF, Duration.Inf)
                 }
 
                 // log LAST; both counts derive from the persisted
