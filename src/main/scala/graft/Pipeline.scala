@@ -198,6 +198,17 @@ object Pipeline {
             "skipping maintenance (refit must never run beside a live drain)")
       }
     }
+    // same maintenance window, second policy: a pinned index whose
+    // average bucket outgrew the target is re-bucketed (one directory
+    // walk when healthy; loud when it fires — the run log must show
+    // which cycles paid a rewrite)
+    graft.sinks.UpsertWriter.rebucketIfOvergrown(
+        spark, s"$warehouseDir/ann_index", Seq("vec_id"))
+      .foreach { case (o, n) =>
+        Console.err.println(
+          s"[ann-cycle] ann_index rebucketed $o -> $n buckets " +
+            "(average bucket outgrew the maintenance target)")
+      }
     streaming.AnnIngest.refitIfDrifted(spark, warehouseDir, driftThreshold)
   }
 

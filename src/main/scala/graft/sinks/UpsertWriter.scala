@@ -1131,6 +1131,48 @@ object UpsertWriter {
     }
   }
 
+  /** Maintenance POLICY over [[rebucket]] — the piece that makes the
+    * bucket count a managed quantity instead of an operator judgment
+    * call: when the pinned table's average bucket has outgrown
+    * `targetBucketBytes`, double the bucket count (repeatedly, to the
+    * smallest power-of-two multiple that brings the average back under
+    * target, capped at `maxBuckets`) and perform the rewrite. On a
+    * healthy table the check is one directory walk — no Spark job, no
+    * lease, no rewrite. Returns `Some(oldN -> newN)` iff a rebucket
+    * ran, so an orchestrator's run log shows exactly which cycles paid
+    * one (the [[graft.streaming.AnnIngest.refitIfDrifted]] reporting
+    * convention). Unpinned tables are never touched — adopting
+    * bucketing is a capacity decision, not a policy's.
+    *
+    * Sizing rationale: [[compact]] folds each bucket to one file and a
+    * touched-bucket merge rewrites whole buckets, so the average bucket
+    * size IS the maintenance/merge grain; 256 MB keeps both inside a
+    * comfortable task while not exploding file counts. */
+  def rebucketIfOvergrown(
+      spark: SparkSession,
+      path: String,
+      keys: Seq[String],
+      targetBucketBytes: Long = 256L << 20,
+      maxBuckets: Int = 1 << 20): Option[(Int, Int)] =
+    pinnedBuckets(path) match {
+      case Some(pinned) if exists(path) =>
+        import scala.jdk.CollectionConverters._
+        val walk = Files.walk(Paths.get(path))
+        val bytes =
+          try walk.iterator().asScala
+            .filter(p => p.toString.endsWith(".parquet") &&
+              Files.isRegularFile(p)).map(Files.size).sum
+          finally walk.close()
+        var m = pinned
+        while (bytes / m > targetBucketBytes && m < maxBuckets) m *= 2
+        if (m == pinned) None
+        else {
+          rebucket(spark, path, keys, m, targetBucketBytes)
+          Some(pinned -> m)
+        }
+      case _ => None
+    }
+
   /** Searched DELETE — the row-grain removal op a 100 TB training-data
     * pipeline cannot live without (takedowns, right-to-be-forgotten,
     * contaminated-source purges), where [[retainFrom]]'s partition

@@ -1084,6 +1084,41 @@ class UpsertWriterSpec extends AnyFunSuite {
     assert(identities() == before, "a same-count rebucket must be a no-op")
   }
 
+  test("rebucketIfOvergrown: doubles past the target, no-ops on a healthy or unpinned table") {
+    val path = tmp()
+    UpsertWriter.upsertBucketed(spark, path,
+      (1L to 64L).map(i => (i, "x" * 200, 1L)).toDF("id", "v", "ver"),
+      keys = Seq("id"), versionCol = "ver", numBuckets = 2)
+    val before = spark.read.parquet(path)
+      .select($"id", $"v").as[(Long, String)].collect().toMap
+    // healthy: generous target → no rewrite, None
+    assert(UpsertWriter.rebucketIfOvergrown(spark, path, Seq("id"),
+      targetBucketBytes = 1L << 30).isEmpty)
+    assert(UpsertWriter.pinnedBuckets(path).contains(2))
+    // overgrown: a tiny target forces (possibly repeated) doubling
+    // (512 B is below even one parquet footer, so any real table trips)
+    val r = UpsertWriter.rebucketIfOvergrown(spark, path, Seq("id"),
+      targetBucketBytes = 512)
+    assert(r.isDefined && r.get._1 == 2 && r.get._2 > 2 &&
+      Integer.bitCount(r.get._2 / 2) == 1,
+      s"expected a power-of-two doubling from 2, got $r")
+    assert(UpsertWriter.pinnedBuckets(path).contains(r.get._2))
+    assert(spark.read.parquet(path)
+      .select($"id", $"v").as[(Long, String)].collect().toMap == before,
+      "the policy's rewrite changed row content")
+    // the cap bounds a pathological target
+    val r2 = UpsertWriter.rebucketIfOvergrown(spark, path, Seq("id"),
+      targetBucketBytes = 1, maxBuckets = r.get._2 * 2)
+    assert(r2.forall(_._2 <= r.get._2 * 2))
+    // unpinned: never touched
+    val plain = tmp()
+    UpsertWriter.upsert(spark, plain,
+      Seq((1L, "a", 1L)).toDF("id", "v", "ver"),
+      keys = Seq("id"), versionCol = "ver")
+    assert(UpsertWriter.rebucketIfOvergrown(spark, plain, Seq("id"),
+      targetBucketBytes = 1).isEmpty)
+  }
+
   test("rebucket: EVERY interruption point recovers with the pin matching the live layout") {
     // exhaustive fault injection over rebucket's filesystem mutations
     // (intent write, whole-directory swap renames, in-image epoch file,
