@@ -1,6 +1,6 @@
 package graft.sinks
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths}
 import java.nio.charset.StandardCharsets.UTF_8
 
 /** Checked mutual exclusion between a DRAIN window (streaming batches
@@ -123,6 +123,9 @@ object TableLease {
     }
   }
 
+  private def leasePayload(holder: String): Array[Byte] =
+    s"$holder\n${System.currentTimeMillis()}".getBytes(UTF_8)
+
   /** Atomic first acquisition: CREATE_NEW open — exactly one creator
     * wins; losers see FileAlreadyExistsException. (A rename without
     * REPLACE_EXISTING is NOT atomic on POSIX — the existence check is
@@ -133,12 +136,40 @@ object TableLease {
   private def tryCreate(f: Path, holder: String): Boolean = {
     if (f.getParent != null) Files.createDirectories(f.getParent)
     try {
-      Files.write(f,
-        s"$holder\n${System.currentTimeMillis()}".getBytes(UTF_8),
+      Files.write(f, leasePayload(holder),
         java.nio.file.StandardOpenOption.CREATE_NEW)
       true
     } catch {
       case _: java.nio.file.FileAlreadyExistsException => false
+    }
+  }
+
+  /** Atomically take OUR OWN lease file out of play before a renewal:
+    * tomb-rename it and verify the tombed content really is this
+    * holder's. The old refresh form — a blind REPLACE_EXISTING
+    * overwrite — re-opened the two-holders race exactly at the TTL
+    * boundary: a thief that had just stolen the (boundary-stale) lease
+    * and created its own would have it silently overwritten by the
+    * renewal, with both sides believing they held the window. With the
+    * tomb, a renewal that finds someone else's content restores it and
+    * reports failure (the caller refuses loudly), and the subsequent
+    * CREATE_NEW race decides every concurrent interleaving with exactly
+    * one winner. An absent file reports success — the race downstream
+    * decides. */
+  private def claimOwn(f: Path, holder: String): Boolean = {
+    val tomb = f.resolveSibling(f.getFileName.toString +
+      s".tomb-${ProcessHandle.current().pid()}-" +
+      s"${Thread.currentThread().getId}-${System.nanoTime()}")
+    try Files.move(f, tomb)
+    catch { case _: java.nio.file.NoSuchFileException => return true }
+    val owner =
+      try new String(Files.readAllBytes(tomb), UTF_8).split("\n")(0)
+      catch { case _: Exception => "<unreadable lease>" }
+    if (owner == holder) { Files.deleteIfExists(tomb); true }
+    else {
+      try Files.move(tomb, f)
+      catch { case _: Exception => Files.deleteIfExists(tomb) }
+      false
     }
   }
 
@@ -177,14 +208,23 @@ object TableLease {
             s"held by '$h' (${age / 1000}s old) — two concurrent " +
             s"$kind holders violate the single-writer contract")
       case Some((_, age)) if age <= ttlMs =>
-        // refresh one's OWN fresh lease: REPLACE_EXISTING is safe here
-        // precisely because the lease is fresh and ours — a thief only
-        // touches stale leases, so nobody else writes this file now
-        if (f.getParent != null) Files.createDirectories(f.getParent)
-        val tmp = f.resolveSibling(f.getFileName.toString + ".tmp")
-        Files.write(tmp,
-          s"$holder\n${System.currentTimeMillis()}".getBytes(UTF_8))
-        Files.move(tmp, f, StandardCopyOption.REPLACE_EXISTING)
+        // refresh one's OWN fresh lease — atomically: tomb our file out
+        // ([[claimOwn]] verifies the content is really ours; a thief
+        // that won the boundary race is restored and we refuse), then
+        // the CREATE_NEW race decides concurrent renewers/stealers with
+        // exactly one winner. Never a blind overwrite.
+        if (!claimOwn(f, holder))
+          throw new IllegalStateException(
+            s"cannot renew the $kind lease on $path: the lease was " +
+              s"taken by '${read(path, kind).map(_._1).getOrElse("<gone>")}'" +
+              " — the window was stolen at the TTL boundary")
+        if (!tryCreate(f, holder)) {
+          val winner = read(path, kind).map(_._1).getOrElse("<unknown>")
+          if (winner != holder)
+            throw new IllegalStateException(
+              s"cannot renew the $kind lease on $path: lost the " +
+                s"re-creation race to '$winner'")
+        }
       case stale =>
         // stale same-kind: claim the crashed holder's file (a failed
         // claim = someone re-created it fresh; fall through — tryCreate
@@ -200,6 +240,21 @@ object TableLease {
               s"cannot open a $kind window on $path: lost the " +
                 s"acquisition race to '$winner'")
         }
+    }
+    // POST-win cross-kind double-check: the opposite gate above and our
+    // create are two files apart, so two OPPOSITE-kind acquirers can
+    // each pass the other's gate before either creates (the classic
+    // two-file TOCTOU). Both sides re-checking AFTER their create
+    // closes it: for both to proceed, each create would have to precede
+    // the other's check, and each check follows its own create — so at
+    // least one side sees the other's fresh lease here and backs out
+    // (releases its own, refuses loudly). Simultaneous starts can
+    // BOTH back out — safe, the caller retries into an empty field.
+    read(path, opposite).foreach { case (h, age) =>
+      if (age <= ttlMs) {
+        release(path, kind, holder)
+        refuseOpposite(h, age)
+      }
     }
   }
 
@@ -248,8 +303,10 @@ object TableLease {
     acquireAll(paths, Maintenance, holder, ttlMs)
     val prev = ownMaintenance.get()
     ownMaintenance.set(prev ++ paths)
+    paths.foreach(p => activeMaintenance.put(p, (holder, ttlMs)))
     try body
     finally {
+      paths.foreach(activeMaintenance.remove)
       ownMaintenance.set(prev)
       paths.foreach(release(_, Maintenance, holder))
     }
@@ -273,10 +330,52 @@ object TableLease {
     * this per state write bounds staleness by the gap between writes
     * (≪ a batch) instead of the whole drain. Loud failure is the
     * point: if the lease WAS stolen and a foreign maintenance window
-    * is open now, the renewal throws and the write never races it. */
+    * is open now, the renewal throws and the write never races it.
+    *
+    * Two exemptions keep the heartbeat from misfiring:
+    *  - a path whose MAINTENANCE lease this thread holds skips renewal
+    *    entirely — a maintenance pass that legitimately stole a
+    *    same-process wedged drain's stale lease would otherwise abort
+    *    on its own internal writes (its fresh Maintenance lease reads
+    *    as the "opposite window" to the drain renewal);
+    *  - a renewal racing the [[withDrain]] exit re-checks the registry
+    *    after acquiring and self-releases if the bracket already left —
+    *    otherwise the freshly re-created lease would be orphaned (the
+    *    bracket's release already ran) and wedge maintenance for a full
+    *    TTL against a holder that no longer exists. */
   private[graft] def renewIfDraining(path: String): Unit = {
+    if (ownMaintenance.get().contains(path)) return
     val e = activeDrains.get(path)
-    if (e != null) acquire(path, Drain, e._1, e._2)
+    if (e != null) {
+      acquire(path, Drain, e._1, e._2)
+      if (activeDrains.get(path) == null) release(path, Drain, e._1)
+    }
+  }
+
+  /** Paths inside a [[withMaintenance]] window of THIS process — the
+    * maintenance twin of [[activeDrains]], so the long write phases of
+    * compact/rebucket/deleteWhere can carry a heartbeat too. */
+  private val activeMaintenance =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
+
+  /** Maintenance-side HEARTBEAT — the symmetric half of
+    * [[renewIfDraining]]: a maintenance rewrite whose staged write
+    * outlives the TTL (a 100 TB compact or rebucket legitimately can)
+    * would otherwise go stale mid-pass, be stolen by a drain's acquire,
+    * and keep mutating beside the live drain — its internal writes are
+    * exempted from [[requireNoForeignMaintenance]] by design, so
+    * nothing else would catch it. Called by the writers at the start of
+    * every mutation phase (staging committed, renames about to begin):
+    * a stolen window throws BEFORE any rename, leaving the committed
+    * staging for the next recover() to resolve under whoever owns the
+    * table then. No-op outside a [[withMaintenance]] window. */
+  private[graft] def renewIfMaintaining(path: String): Unit = {
+    val e = activeMaintenance.get(path)
+    if (e != null && ownMaintenance.get().contains(path)) {
+      acquire(path, Maintenance, e._1, e._2)
+      if (activeMaintenance.get(path) == null)
+        release(path, Maintenance, e._1)
+    }
   }
 
   /** Run `body` inside a drain window over `paths` — the bracket an

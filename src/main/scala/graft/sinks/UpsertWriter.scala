@@ -193,6 +193,11 @@ object UpsertWriter {
     * already promoted is no longer in staging; a leaf moved aside but
     * not promoted has no live directory and skips the rename-aside). */
   private def completePartitionSwap(path: String): Unit = {
+    // maintenance heartbeat before the renames begin: a pass whose
+    // staged write outlived the TTL aborts LOUDLY here (committed
+    // staging left for the next recover) instead of racing whoever
+    // stole the window. No-op outside a maintenance window.
+    TableLease.renewIfMaintaining(path)
     val pstaging = Paths.get(path + ".__pstaging")
     val oldparts = Paths.get(path + ".__oldparts")
     val root = Paths.get(path)
@@ -272,6 +277,9 @@ object UpsertWriter {
   private def swapIn(path: String)(writeStaging: String => Unit): Unit = {
     val staging = path + ".__staging"
     writeStaging(staging)
+    // maintenance heartbeat between the (possibly TTL-outliving) staged
+    // write and the renames — see [[completePartitionSwap]]
+    TableLease.renewIfMaintaining(path)
     val target = Paths.get(path)
     if (Files.exists(target)) {
       swapFault()
@@ -473,7 +481,15 @@ object UpsertWriter {
     * [[appendBucketed]] idempotent ACROSS a compaction: the lease
     * closes the live race, but a batch that crashed before its
     * checkpoint commit replays after nothing was running, and without
-    * this record it would re-append rows the fold already merged. */
+    * this record it would re-append rows the fold already merged.
+    *
+    * Growth bound: one line per DISTINCT tag ever folded, read per
+    * append — ~10 bytes/batch, so even years of seconds-cadence
+    * micro-batches stay in the tens of MB. It cannot be pruned
+    * automatically (a tag is only safe to forget once its batch's
+    * checkpoint committed, which this layer cannot see); a
+    * state reset that clears history ([[truncate]] / fresh directory)
+    * clears it, which is also the only time forgetting is safe. */
   private[graft] def foldedTags(path: String): Set[String] =
     if (!Files.exists(foldedMarker(path))) Set.empty
     else new String(Files.readAllBytes(foldedMarker(path)),
@@ -1158,10 +1174,17 @@ object UpsertWriter {
       case Some(pinned) if exists(path) =>
         import scala.jdk.CollectionConverters._
         val walk = Files.walk(Paths.get(path))
+        // the sizing walk is deliberately LOCK-FREE (a healthy-table
+        // check must not take the maintenance lease), so a concurrent
+        // writer may remove a file mid-walk — size it as 0 rather than
+        // throw; the next cycle re-measures
         val bytes =
           try walk.iterator().asScala
             .filter(p => p.toString.endsWith(".parquet") &&
-              Files.isRegularFile(p)).map(Files.size).sum
+              Files.isRegularFile(p))
+            .map(p => try Files.size(p)
+              catch { case _: java.io.IOException => 0L })
+            .sum
           finally walk.close()
         var m = pinned
         while (bytes / m > targetBucketBytes && m < maxBuckets) m *= 2

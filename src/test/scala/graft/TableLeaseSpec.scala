@@ -182,18 +182,110 @@ class TableLeaseSpec extends AnyFunSuite {
     TableLease.withMaintenance(Seq(path), "maint", ttlMs = 1000) { () }
   }
 
+  // make a live lease file LOOK crashed: rewrite it with an old
+  // timestamp (deterministic, unlike sleeping across a short TTL — the
+  // old form of these tests raced the box clock and flaked when the
+  // thief's own lease aged past the tiny TTL before the assertion ran)
+  private def backdate(path: String, suffix: String, holder: String): Unit =
+    Files.write(Paths.get(path + suffix),
+      s"$holder\n${System.currentTimeMillis() - 3600_000L}".getBytes("UTF-8"))
+
   test("heartbeat after a steal fails loudly instead of resurrecting the window") {
     val path = tmp(); mkTable(path)
-    TableLease.withDrain(Seq(path), "slow-drain", ttlMs = 150) {
-      Thread.sleep(300) // drain went stale; a scheduled maintenance steals
-      TableLease.acquire(path, TableLease.Maintenance, "sneaky-maint",
-        ttlMs = 150)
+    TableLease.withDrain(Seq(path), "slow-drain") {
+      // the drain wedges past the TTL; a scheduled maintenance steals
+      backdate(path, ".__drain-lease", "slow-drain")
+      TableLease.acquire(path, TableLease.Maintenance, "sneaky-maint")
       val e = intercept[IllegalStateException] {
         TableLease.renewIfDraining(path)
       }
       assert(e.getMessage.contains("Maintenance lease is held"),
         s"a stolen drain's renewal must refuse, got: ${e.getMessage}")
       TableLease.release(path, TableLease.Maintenance, "sneaky-maint")
+    }
+  }
+
+  test("renewal after a SAME-kind steal refuses loudly, never a blind overwrite") {
+    // the TTL-boundary hazard of the old REPLACE_EXISTING refresh: a
+    // thief steals the boundary-stale drain lease and opens its own
+    // drain window; the original holder's renewal must see the foreign
+    // fresh lease and refuse — not overwrite it with both sides
+    // believing they hold the window
+    val path = tmp(); mkTable(path)
+    TableLease.withDrain(Seq(path), "slow-drain") {
+      backdate(path, ".__drain-lease", "slow-drain")
+      TableLease.acquire(path, TableLease.Drain, "thief-drain")
+      val e = intercept[IllegalStateException] {
+        TableLease.renewIfDraining(path)
+      }
+      assert(e.getMessage.contains("thief-drain"),
+        s"the renewal must surface the thief, got: ${e.getMessage}")
+      val holder = Files.readAllLines(
+        Paths.get(path + ".__drain-lease")).get(0).trim
+      assert(holder == "thief-drain",
+        "the refused renewal must leave the thief's lease intact")
+      TableLease.release(path, TableLease.Drain, "thief-drain")
+    }
+  }
+
+  test("maintenance heartbeat: a pass outliving the TTL keeps its window; a stolen one aborts before mutating") {
+    val path = tmp(); mkTable(path)
+    def leaseTs(): Long = Files.readAllLines(
+      Paths.get(path + ".__maint-lease")).get(1).trim.toLong
+    TableLease.withMaintenance(Seq(path), "slow-maint") {
+      backdate(path, ".__maint-lease", "slow-maint")
+      val t0 = leaseTs()
+      TableLease.renewIfMaintaining(path) // what swapIn calls pre-rename
+      assert(leaseTs() > t0, "renewal must refresh the maintenance lease")
+      // a drain scheduled NOW is refused, not handed a steal
+      intercept[IllegalStateException] {
+        TableLease.acquire(path, TableLease.Drain, "racing-drain")
+      }
+    }
+    // the symmetric steal: maintenance wedges past the TTL, a drain
+    // takes the window — the pass's next mutation phase must abort
+    TableLease.withMaintenance(Seq(path), "slow-maint") {
+      backdate(path, ".__maint-lease", "slow-maint")
+      TableLease.acquire(path, TableLease.Drain, "stealing-drain")
+      val e = intercept[IllegalStateException] {
+        TableLease.renewIfMaintaining(path)
+      }
+      assert(e.getMessage.contains("Drain lease is held"),
+        s"a stolen maintenance pass must abort loudly, got: ${e.getMessage}")
+      TableLease.release(path, TableLease.Drain, "stealing-drain")
+    }
+  }
+
+  test("cross-kind simultaneous acquire: never both windows open") {
+    // the two-file TOCTOU: a Drain and a Maintenance acquirer can each
+    // pass the other's entry gate before either creates. The post-win
+    // double-check (re-read the opposite AFTER creating one's own)
+    // guarantees at least one side backs out; both backing out is safe.
+    val path = tmp(); mkTable(path)
+    for (round <- 1 to 25) {
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      val wins = new java.util.concurrent.atomic.AtomicInteger
+      val threads = Seq(
+        ("drain-x", TableLease.Drain: TableLease.Kind),
+        ("maint-x", TableLease.Maintenance: TableLease.Kind)).map {
+        case (h, k) =>
+          new Thread(() => {
+            barrier.await()
+            try {
+              TableLease.acquire(path, k, h)
+              wins.incrementAndGet(); ()
+            } catch { case _: IllegalStateException => () }
+          })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      assert(wins.get <= 1,
+        s"round $round: both windows opened at once (${wins.get})")
+      // whoever won (if anyone) holds the ONLY lease file
+      val d = Files.exists(Paths.get(path + ".__drain-lease"))
+      val m = Files.exists(Paths.get(path + ".__maint-lease"))
+      assert(!(d && m), s"round $round: both lease files exist")
+      Files.deleteIfExists(Paths.get(path + ".__drain-lease"))
+      Files.deleteIfExists(Paths.get(path + ".__maint-lease"))
     }
   }
 
