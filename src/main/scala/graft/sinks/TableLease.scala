@@ -155,7 +155,19 @@ object TableLease {
     * reports failure (the caller refuses loudly), and the subsequent
     * CREATE_NEW race decides every concurrent interleaving with exactly
     * one winner. An absent file reports success — the race downstream
-    * decides. */
+    * decides.
+    *
+    * KNOWN RESIDUAL: between the tomb and the re-create the lease file
+    * is briefly ABSENT, so a [[requireNoForeignMaintenance]] read
+    * landing in that microsecond gap passes while the pass is live. A
+    * write admitted there would have been refused an instant
+    * earlier/later — it is already violating the schedule the leases
+    * encode — and closing the gap needs an atomic two-file exchange
+    * POSIX rename cannot express (the single-file-lease redesign is
+    * the real fix if this residual ever bites). The alternative — a
+    * blind REPLACE refresh with no gap — silently VIOLATED exclusivity
+    * at TTL boundaries, which is strictly worse than narrowing an
+    * illegal racer's admission window. */
   private def claimOwn(f: Path, holder: String): Boolean = {
     val tomb = f.resolveSibling(f.getFileName.toString +
       s".tomb-${ProcessHandle.current().pid()}-" +
@@ -347,10 +359,35 @@ object TableLease {
     if (ownMaintenance.get().contains(path)) return
     val e = activeDrains.get(path)
     if (e != null) {
+      requireStillHeld(path, Drain, e._1, e._2)
       acquire(path, Drain, e._1, e._2)
       if (activeDrains.get(path) == null) release(path, Drain, e._1)
     }
   }
+
+  /** A heartbeat must RENEW a window, never silently re-open one that
+    * was lost: an ABSENT lease file at renewal time means a thief stole
+    * the stale lease and has since finished and released — without this
+    * check, acquire()'s stale/None path would simply re-create the
+    * lease and the long-running pass would resume over a table someone
+    * else legally mutated in between (for a maintenance pass, its
+    * pre-theft staged image would then fold away the thief's committed
+    * writes — permanent loss). A foreign holder, or a thief still
+    * INSIDE its stolen window, is left to acquire()'s own checks (their
+    * refusals carry the more useful who-holds-it message); absence with
+    * no fresh opposite window is the case only this check can see. */
+  private def requireStillHeld(
+      path: String, kind: Kind, holder: String, ttlMs: Long): Unit =
+    if (read(path, kind).isEmpty) {
+      val opposite = if (kind == Drain) Maintenance else Drain
+      val oppositeFresh = read(path, opposite).exists(_._2 <= ttlMs)
+      if (!oppositeFresh)
+        throw new IllegalStateException(
+          s"cannot renew the $kind lease on $path for '$holder': the " +
+            "lease file is gone — the window went stale, was stolen, and " +
+            "the thief has since released; the pass must abort (its view " +
+            "of the table predates the thief's writes), not resume")
+    }
 
   /** Paths inside a [[withMaintenance]] window of THIS process — the
     * maintenance twin of [[activeDrains]], so the long write phases of
@@ -372,6 +409,7 @@ object TableLease {
   private[graft] def renewIfMaintaining(path: String): Unit = {
     val e = activeMaintenance.get(path)
     if (e != null && ownMaintenance.get().contains(path)) {
+      requireStillHeld(path, Maintenance, e._1, e._2)
       acquire(path, Maintenance, e._1, e._2)
       if (activeMaintenance.get(path) == null)
         release(path, Maintenance, e._1)

@@ -1173,21 +1173,32 @@ object UpsertWriter {
     pinnedBuckets(path) match {
       case Some(pinned) if exists(path) =>
         import scala.jdk.CollectionConverters._
-        val walk = Files.walk(Paths.get(path))
         // the sizing walk is deliberately LOCK-FREE (a healthy-table
         // check must not take the maintenance lease), so a concurrent
-        // writer may remove a file mid-walk — size it as 0 rather than
-        // throw; the next cycle re-measures
+        // writer may remove files or whole leaf directories mid-walk —
+        // report what was measured so far (or 0) rather than throw;
+        // the next cycle re-measures. Both the per-file size and the
+        // traversal itself can race (Files.walk surfaces a vanished
+        // directory as UncheckedIOException from the iterator).
         val bytes =
-          try walk.iterator().asScala
-            .filter(p => p.toString.endsWith(".parquet") &&
-              Files.isRegularFile(p))
-            .map(p => try Files.size(p)
-              catch { case _: java.io.IOException => 0L })
-            .sum
-          finally walk.close()
+          try {
+            val walk = Files.walk(Paths.get(path))
+            try walk.iterator().asScala
+              .filter(p => p.toString.endsWith(".parquet") &&
+                Files.isRegularFile(p))
+              .map(p => try Files.size(p)
+                catch { case _: java.io.IOException => 0L })
+              .sum
+            finally walk.close()
+          } catch {
+            case _: java.io.IOException | _: java.io.UncheckedIOException =>
+              0L
+          }
         var m = pinned
-        while (bytes / m > targetBucketBytes && m < maxBuckets) m *= 2
+        // the cap bounds the RESULT, not the loop entry: doubling past
+        // maxBuckets would exceed the documented ceiling whenever the
+        // cap is not pinned x 2^k
+        while (bytes / m > targetBucketBytes && m * 2 <= maxBuckets) m *= 2
         if (m == pinned) None
         else {
           rebucket(spark, path, keys, m, targetBucketBytes)
@@ -1234,6 +1245,28 @@ object UpsertWriter {
     schemaCache.remove(path)
     recover(path)
     require(exists(path), s"no committed table at $path")
+    // partition-type inference OFF for this op's internal reads and
+    // writes (save/restore): the touched-leaf bookkeeping below maps
+    // partition VALUES back to directory NAMES, and inference breaks
+    // the round-trip — 'dia=01' reads as int 1 and would re-stage as a
+    // NEW 'dia=1' leaf next to the old one (duplication), a timestamp
+    // value re-renders with a fractional suffix its directory never
+    // had (missed emptied-leaf drop = failed takedown). With inference
+    // off, partition values are the exact (unescaped) directory
+    // strings, so value -> escapePathName(value) IS the writer's own
+    // encoding; typed predicates still work through Spark's implicit
+    // casts.
+    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val prevInfer = spark.conf.get(inferKey)
+    spark.conf.set(inferKey, "false")
+    try deleteWhereInternal(spark, path, predicate)
+    finally spark.conf.set(inferKey, prevInfer)
+  }
+
+  private def deleteWhereInternal(
+      spark: SparkSession,
+      path: String,
+      predicate: org.apache.spark.sql.Column): Long = {
     val full = spark.read.option("mergeSchema", "true").parquet(path)
     // SQL DELETE semantics: remove where TRUE, keep FALSE and NULL
     val hit = coalesce(predicate, lit(false))

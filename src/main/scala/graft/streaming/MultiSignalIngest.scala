@@ -392,22 +392,34 @@ object MultiSignalIngest {
                       // — the next batch's corpus check re-reads these,
                       // and footer count was measured as the bucketed
                       // path's residual cost over the plain layout. The
-                      // nFresh gate keeps production-size batches at
-                      // full write parallelism.
-                      def squeeze(df: DataFrame): DataFrame =
-                        if (nFresh < 100000) df.coalesce(1) else df
+                      // row gate keeps production-size batches at full
+                      // write parallelism — sized per TABLE: the index
+                      // writes bands-per-doc rows, not one
+                      def squeeze(df: DataFrame, rows: Long): DataFrame =
+                        if (rows < 100000) df.coalesce(1) else df
+                      val bandsPerDoc = (numHashes / bandRows).toLong
                       import scala.concurrent.{Await, Future}
                       import scala.concurrent.ExecutionContext.Implicits.global
                       import scala.concurrent.duration.Duration
                       val survF = Future(writeState(survivorsDir,
-                        squeeze(fresh), Seq("doc_id"),
+                        squeeze(fresh, nFresh), Seq("doc_id"),
                         pureInsert && survCanAppend))
-                      val idxF = Future(writeState(indexDir, squeeze(idxRows),
+                      val idxF = Future(writeState(indexDir,
+                        squeeze(idxRows, nFresh * bandsPerDoc),
                         Seq("band", "sig", "doc_id"), pureInsert))
-                      // await both before the log write below: a failed
-                      // side throws here and the batch replays wholesale
-                      Await.result(survF, Duration.Inf)
-                      Await.result(idxF, Duration.Inf)
+                      // await BOTH to completion before propagating any
+                      // failure: throwing on the first would orphan the
+                      // other Future, which would keep writing its
+                      // table AFTER the batch failed, the drain window
+                      // closed, and the lease was released — an
+                      // unleased concurrent writer racing whatever runs
+                      // next. A failed side then fails the batch, which
+                      // replays wholesale.
+                      val survR = scala.util.Try(
+                        Await.result(survF, Duration.Inf))
+                      val idxR = scala.util.Try(
+                        Await.result(idxF, Duration.Inf))
+                      survR.get; idxR.get
                     }
                     timed(batchId, "log-upsert") {
                       import s.implicits._

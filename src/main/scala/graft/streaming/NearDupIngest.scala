@@ -309,21 +309,32 @@ object NearDupIngest {
                     .join(fresh.select(col("doc_id")), Seq("doc_id"),
                       "left_semi")
                     .withColumn("batch_id", lit(batchId))
-                  def squeeze(df: DataFrame): DataFrame =
-                    if (nFresh < 100000) df.coalesce(1) else df
+                  // row gate sized per TABLE: the index writes
+                  // bands-per-doc rows per admission, not one
+                  def squeeze(df: DataFrame, rows: Long): DataFrame =
+                    if (rows < 100000) df.coalesce(1) else df
+                  val bandsPerDoc = (numHashes / bandRows).toLong
                   import scala.concurrent.{Await, Future}
                   import scala.concurrent.ExecutionContext.Implicits.global
                   import scala.concurrent.duration.Duration
                   val survF = Future(writeState(survivorsDir,
-                    squeeze(fresh), Seq("doc_id"),
+                    squeeze(fresh, nFresh), Seq("doc_id"),
                     pureInsert && survCanAppend))
                   // the index keys embed the doc_id, so a pure-insert
                   // batch's index rows are fresh keys too (its row
                   // carries no first_admitted_batch — no schema gate)
-                  val idxF = Future(writeState(indexDir, squeeze(idxRows),
+                  val idxF = Future(writeState(indexDir,
+                    squeeze(idxRows, nFresh * bandsPerDoc),
                     Seq("band", "sig", "doc_id"), pureInsert))
-                  Await.result(survF, Duration.Inf)
-                  Await.result(idxF, Duration.Inf)
+                  // both awaited to completion before any throw — a
+                  // first-failure throw would orphan the other Future
+                  // as an unleased writer past the batch's lifetime
+                  // ([[MultiSignalIngest]] has the full argument)
+                  val survR = scala.util.Try(
+                    Await.result(survF, Duration.Inf))
+                  val idxR = scala.util.Try(
+                    Await.result(idxF, Duration.Inf))
+                  survR.get; idxR.get
                 }
 
                 // log LAST; both counts derive from the persisted

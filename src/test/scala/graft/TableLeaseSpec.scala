@@ -256,6 +256,36 @@ class TableLeaseSpec extends AnyFunSuite {
     }
   }
 
+  test("a stolen-then-RELEASED window aborts at the next renewal, never silently re-opens") {
+    // the hazard no same/opposite-holder check can see: the thief is
+    // already gone, so the lease file is simply ABSENT — acquire's
+    // stale/None path would re-create it and the long pass would
+    // resume over a table the thief legally mutated (for maintenance,
+    // its pre-theft staged image would fold the thief's writes away)
+    val path = tmp(); mkTable(path)
+    TableLease.withMaintenance(Seq(path), "slow-maint") {
+      backdate(path, ".__maint-lease", "slow-maint")
+      TableLease.acquire(path, TableLease.Drain, "thief-drain")
+      TableLease.release(path, TableLease.Drain, "thief-drain") // thief done
+      val e = intercept[IllegalStateException] {
+        TableLease.renewIfMaintaining(path)
+      }
+      assert(e.getMessage.contains("lease file is gone"),
+        s"a released steal must abort the pass, got: ${e.getMessage}")
+    }
+    // drain twin
+    TableLease.withDrain(Seq(path), "slow-drain") {
+      backdate(path, ".__drain-lease", "slow-drain")
+      TableLease.acquire(path, TableLease.Maintenance, "thief-maint")
+      TableLease.release(path, TableLease.Maintenance, "thief-maint")
+      val e = intercept[IllegalStateException] {
+        TableLease.renewIfDraining(path)
+      }
+      assert(e.getMessage.contains("lease file is gone"),
+        s"a released steal must abort the batch, got: ${e.getMessage}")
+    }
+  }
+
   test("cross-kind simultaneous acquire: never both windows open") {
     // the two-file TOCTOU: a Drain and a Maintenance acquirer can each
     // pass the other's entry gate before either creates. The post-win

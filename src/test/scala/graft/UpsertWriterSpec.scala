@@ -890,6 +890,37 @@ class UpsertWriterSpec extends AnyFunSuite {
     assert(spark.read.parquet(path).count() == 2, "refusal must not mutate")
   }
 
+  test("deleteWhere: partition values round-trip exactly (no type-inference rename, no phantom leaves)") {
+    // 'dia=01' would read back as int 1 under partition-type inference,
+    // and the rewrite would then promote a NEW 'dia=1' leaf next to the
+    // untouched 'dia=01' one — every surviving row duplicated and the
+    // emptied-leaf drop aimed at a directory that doesn't exist. The
+    // op pins inference off for its internal reads, so the directory
+    // strings round-trip verbatim.
+    val path = tmp()
+    UpsertWriter.upsert(spark, path,
+      Seq((1L, "01", "a"), (2L, "01", "b"), (3L, "02", "c"))
+        .toDF("id", "dia", "v"),
+      keys = Seq("id"), versionCol = "id", partitionBy = Seq("dia"))
+    assert(new java.io.File(s"$path/dia=01").isDirectory, "premise")
+    // partial delete in a zero-padded leaf: rewritten IN PLACE
+    val n = UpsertWriter.deleteWhere(spark, path,
+      col("id") === 1L && col("dia") === "01")
+    assert(n == 1L)
+    assert(new java.io.File(s"$path/dia=01").isDirectory,
+      "the touched leaf must keep its exact directory name")
+    assert(!new java.io.File(s"$path/dia=1").exists,
+      "no re-typed phantom leaf may appear")
+    assert(spark.read.parquet(path).select($"id").as[Long]
+      .collect().toSet == Set(2L, 3L))
+    // full delete of the zero-padded leaf: the exact directory drops
+    assert(UpsertWriter.deleteWhere(spark, path, col("dia") === "01") == 1L)
+    assert(!new java.io.File(s"$path/dia=01").exists,
+      "the emptied zero-padded leaf must be dropped by its real name")
+    assert(spark.read.parquet(path).select($"id").as[Long]
+      .collect().toSet == Set(3L))
+  }
+
   test("deleteWhere: EVERY interruption point — retry completes the removal, no co-located loss, no resurrection") {
     final class Boom extends RuntimeException("injected crash")
     def build(): String = {
