@@ -90,8 +90,9 @@ object Bench {
     if (new java.io.File(warmSf).isDirectory && warmSf != sfDir) {
       Fixtures.ensureAll(spark, warmSf)
       SparkEntry.queries.foreach { case (_, fn) =>
+        // NonFatal only (same reasoning as [[TimeOne]]'s warm-all pass)
         try fn(spark, warmSf).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
+        catch { case scala.util.control.NonFatal(_) => () }
       }
     }
     spark.catalog.clearCache() // drop warmup-pass persists before timing

@@ -57,9 +57,11 @@ object TimeOne {
     // of warmup the session number never sees). Failures surface in the
     // timed pass below, exactly like Bench's session warmup.
     for (name <- args) {
+      // NonFatal only: an OOM/VM error in warmup leaves the JVM in an
+      // undefined state — timing it anyway would ship garbage numbers
       try SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
         .write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      catch { case scala.util.control.NonFatal(_) => () }
     }
     spark.catalog.clearCache()
     for (name <- args) {

@@ -55,12 +55,11 @@ object TableLease {
   private def leaseFile(path: String, kind: Kind): Path =
     Paths.get(path + kind.suffix)
 
-  /** (holder, ageMs) of the lease at `path`, if one exists. An
-    * unreadable/garbled lease reports age 0 with a diagnostic holder —
+  /** (holder, ageMs) of the marker file at `f`, if one exists. An
+    * unreadable/garbled file reports age 0 with a diagnostic holder —
     * treated as FRESH (refuse rather than steal what can't be read;
     * the TTL still unwedges it once the file's mtime is old enough). */
-  private def read(path: String, kind: Kind): Option[(String, Long)] = {
-    val f = leaseFile(path, kind)
+  private def readFile(f: Path): Option[(String, Long)] = {
     if (!Files.exists(f)) None
     else {
       val now = System.currentTimeMillis()
@@ -76,6 +75,71 @@ object TableLease {
       }
     }
   }
+
+  private def read(path: String, kind: Kind): Option[(String, Long)] =
+    readFile(leaseFile(path, kind))
+
+  /** The freshest RENEWAL SENTINEL beside lease file `f`, if any is
+    * within `ttlMs`. A renewal brackets its tomb-and-re-create exchange
+    * with a uniquely named sibling (`<lease>.renewing-<pid>-<tid>-
+    * <nano>`, created before the tomb, deleted after the re-create), so
+    * the microseconds where the lease file is legitimately ABSENT are
+    * still visible as a held window to every read-only gate
+    * ([[readEffective]]). Unique names keep concurrent renewals (two
+    * threads of one process heartbeating the same path) from deleting
+    * each other's bracket. A sentinel older than the TTL is a renewal
+    * that crashed inside the exchange — its window is over (the lease
+    * file is gone too), so it is dropped, not honored. */
+  private def freshRenewalSentinel(
+      f: Path, ttlMs: Long): Option[(String, Long)] = {
+    import scala.jdk.CollectionConverters._
+    val abs = f.toAbsolutePath
+    val parent = abs.getParent
+    if (parent == null || !Files.isDirectory(parent)) return None
+    val prefix = abs.getFileName.toString + ".renewing-"
+    val list =
+      try Files.list(parent)
+      catch { case _: java.io.IOException => return None }
+    val sentinels =
+      try list.iterator().asScala
+        .filter(_.getFileName.toString.startsWith(prefix)).toList
+      finally list.close()
+    val entries = sentinels.flatMap(p => readFile(p).map(p -> _))
+    entries.filter(_._2._2 > ttlMs)
+      .foreach(e => Files.deleteIfExists(e._1))
+    entries.map(_._2).filter(_._2 <= ttlMs).sortBy(_._2).headOption
+  }
+
+  private def renewalSentinelFile(f: Path): Path =
+    f.resolveSibling(f.getFileName.toString +
+      s".renewing-${ProcessHandle.current().pid()}-" +
+      s"${Thread.currentThread().getId}-${System.nanoTime()}")
+
+  /** The `kind` window as a read-only GATE must see it: the lease file
+    * itself, or — when that is absent — a fresh renewal sentinel (the
+    * lease is mid-exchange; the window is LIVE). This closes what the
+    * module long documented as the tomb-window residual: a gate read
+    * landing in a renewal's tomb-to-re-create gap used to pass while
+    * the window was held. With the sentinel bracket, absence during a
+    * renewal is visible; and because a finished renewal deletes its
+    * sentinel only AFTER re-creating the lease, a gate that sees
+    * neither re-reads the lease once — the one interleaving left open
+    * (lease read in the gap, sentinel read after its delete) is caught
+    * by that re-read finding the re-created lease. Fooling both passes
+    * would take two complete renewal cycles interleaved inside a
+    * single gate call's microseconds, each aligned to a different
+    * read — not a schedule two heartbeats (which are sequential per
+    * holder and spaced by real work) can produce. */
+  private def readEffective(
+      path: String, kind: Kind, ttlMs: Long): Option[(String, Long)] =
+    read(path, kind) match {
+      case some @ Some(_) => some
+      case None =>
+        freshRenewalSentinel(leaseFile(path, kind), ttlMs) match {
+          case some @ Some(_) => some
+          case None => read(path, kind)
+        }
+    }
 
   /** Atomically CLAIM a stale lease file: rename it to a unique tomb,
     * VERIFY the tombed content is actually stale, then drop the tomb.
@@ -157,17 +221,16 @@ object TableLease {
     * one winner. An absent file reports success — the race downstream
     * decides.
     *
-    * KNOWN RESIDUAL: between the tomb and the re-create the lease file
-    * is briefly ABSENT, so a [[requireNoForeignMaintenance]] read
-    * landing in that microsecond gap passes while the pass is live. A
-    * write admitted there would have been refused an instant
-    * earlier/later — it is already violating the schedule the leases
-    * encode — and closing the gap needs an atomic two-file exchange
-    * POSIX rename cannot express (the single-file-lease redesign is
-    * the real fix if this residual ever bites). The alternative — a
+    * ABSENCE WINDOW: between the tomb and the re-create the lease file
+    * is briefly ABSENT. POSIX rename cannot express the atomic
+    * two-file exchange that would avoid it (and the alternative — a
     * blind REPLACE refresh with no gap — silently VIOLATED exclusivity
-    * at TTL boundaries, which is strictly worse than narrowing an
-    * illegal racer's admission window. */
+    * at TTL boundaries, strictly worse). The gap is instead made
+    * VISIBLE: the renewal branch in [[acquire]] brackets this whole
+    * exchange with a renewal sentinel, and every read-only gate
+    * ([[readEffective]]) treats lease-absent-but-sentinel-fresh as a
+    * held window — the long-documented tomb-window residual is closed
+    * at the reader, not the renamer. */
   private def claimOwn(f: Path, holder: String): Boolean = {
     val tomb = f.resolveSibling(f.getFileName.toString +
       s".tomb-${ProcessHandle.current().pid()}-" +
@@ -203,7 +266,9 @@ object TableLease {
           s"held by '$h' (${age / 1000}s old, ttl ${ttlMs / 1000}s) — " +
           "wait for the window to close, or delete the lease file if " +
           "the holder is known dead")
-    read(path, opposite).foreach { case (h, age) =>
+    // sentinel-aware read: an opposite-kind renewal's mid-exchange gap
+    // must read as a held window, not an empty field
+    readEffective(path, opposite, ttlMs).foreach { case (h, age) =>
       if (age <= ttlMs) refuseOpposite(h, age)
       // stale: crashed holder — claim atomically; a failed claim means
       // the window was re-opened fresh under us, so refuse
@@ -224,19 +289,30 @@ object TableLease {
         // ([[claimOwn]] verifies the content is really ours; a thief
         // that won the boundary race is restored and we refuse), then
         // the CREATE_NEW race decides concurrent renewers/stealers with
-        // exactly one winner. Never a blind overwrite.
-        if (!claimOwn(f, holder))
-          throw new IllegalStateException(
-            s"cannot renew the $kind lease on $path: the lease was " +
-              s"taken by '${read(path, kind).map(_._1).getOrElse("<gone>")}'" +
-              " — the window was stolen at the TTL boundary")
-        if (!tryCreate(f, holder)) {
-          val winner = read(path, kind).map(_._1).getOrElse("<unknown>")
-          if (winner != holder)
+        // exactly one winner. Never a blind overwrite. The whole
+        // exchange is bracketed by a RENEWAL SENTINEL so the lease
+        // file's brief absence stays visible as a held window to every
+        // read-only gate ([[readEffective]]); the bracket is removed in
+        // a finally — on refusal the window's true state is back in the
+        // lease file (restored by claimOwn or owned by the thief).
+        val sentinel = renewalSentinelFile(f)
+        try Files.write(sentinel, leasePayload(holder),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        catch { case _: java.io.IOException => () } // advisory: never wedge a renewal
+        try {
+          if (!claimOwn(f, holder))
             throw new IllegalStateException(
-              s"cannot renew the $kind lease on $path: lost the " +
-                s"re-creation race to '$winner'")
-        }
+              s"cannot renew the $kind lease on $path: the lease was " +
+                s"taken by '${read(path, kind).map(_._1).getOrElse("<gone>")}'" +
+                " — the window was stolen at the TTL boundary")
+          if (!tryCreate(f, holder)) {
+            val winner = read(path, kind).map(_._1).getOrElse("<unknown>")
+            if (winner != holder)
+              throw new IllegalStateException(
+                s"cannot renew the $kind lease on $path: lost the " +
+                  s"re-creation race to '$winner'")
+          }
+        } finally Files.deleteIfExists(sentinel)
       case stale =>
         // stale same-kind: claim the crashed holder's file (a failed
         // claim = someone re-created it fresh; fall through — tryCreate
@@ -262,7 +338,7 @@ object TableLease {
     // least one side sees the other's fresh lease here and backs out
     // (releases its own, refuses loudly). Simultaneous starts can
     // BOTH back out — safe, the caller retries into an empty field.
-    read(path, opposite).foreach { case (h, age) =>
+    readEffective(path, opposite, ttlMs).foreach { case (h, age) =>
       if (age <= ttlMs) {
         release(path, kind, holder)
         refuseOpposite(h, age)
@@ -271,11 +347,17 @@ object TableLease {
   }
 
   /** Release `holder`'s lease. Releasing a lease someone else stole
-    * (after this holder went stale) is a no-op — the thief owns it. */
-  def release(path: String, kind: Kind, holder: String): Unit =
-    read(path, kind).foreach { case (h, _) =>
-      if (h == holder) Files.deleteIfExists(leaseFile(path, kind))
-    }
+    * (after this holder went stale) is a no-op — the thief owns it.
+    * Rides the same tomb-rename-verify as a renewal ([[claimOwn]]):
+    * the earlier read-check-delete form was a TOCTOU — a thief's fresh
+    * lease appearing between the read and the delete would be deleted
+    * by a holder releasing its own already-stolen window, re-opening
+    * the field to a third acquirer. With the tomb, a release that
+    * finds someone else's content restores it untouched. */
+  def release(path: String, kind: Kind, holder: String): Unit = {
+    claimOwn(leaseFile(path, kind), holder)
+    ()
+  }
 
   // ── enforcement hooks the writers call ──────────────────────────────
 
@@ -437,11 +519,15 @@ object TableLease {
   }
 
   /** Writer-side gate: refuse the write while a fresh maintenance lease
-    * is held by anyone other than this thread's own maintenance pass. */
+    * is held by anyone other than this thread's own maintenance pass.
+    * Sentinel-aware ([[readEffective]]): a gate read landing in a
+    * maintenance renewal's tomb-to-re-create gap sees the renewal
+    * sentinel and refuses — the tomb-window residual this gate used to
+    * carry (a read-only check with no post-create recheck) is closed. */
   private[graft] def requireNoForeignMaintenance(
       path: String, ttlMs: Long = DefaultTtlMs): Unit =
     if (!ownMaintenance.get().contains(path))
-      read(path, Maintenance).foreach { case (h, age) =>
+      readEffective(path, Maintenance, ttlMs).foreach { case (h, age) =>
         def refuse(h2: String, age2: Long): Nothing =
           throw new IllegalStateException(
             s"write to $path refused: a maintenance window is open " +

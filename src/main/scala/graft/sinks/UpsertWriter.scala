@@ -484,12 +484,18 @@ object UpsertWriter {
     * this record it would re-append rows the fold already merged.
     *
     * Growth bound: one line per DISTINCT tag ever folded, read per
-    * append — ~10 bytes/batch, so even years of seconds-cadence
-    * micro-batches stay in the tens of MB. It cannot be pruned
-    * automatically (a tag is only safe to forget once its batch's
-    * checkpoint committed, which this layer cannot see); a
-    * state reset that clears history ([[truncate]] / fresh directory)
-    * clears it, which is also the only time forgetting is safe. */
+    * append — ~10 bytes/batch. Unbounded by default (a tag is only
+    * safe to forget once its batch's checkpoint committed, which this
+    * layer cannot see), which on a long-lived streaming table is an
+    * ever-growing critical metadata file re-read on the hot append
+    * path. The caller-supplied REPLAY HORIZON closes that: [[compact]]
+    * and [[rebucket]] take `replayHorizon = Some(h)` — the worker's
+    * assertion, derived from its checkpoint ([[replayHorizon]]), that
+    * every batch with id < h has committed and can never replay — and
+    * drop the `b<id>` tags below it during the already-atomic sidecar
+    * rewrite ([[pruneFoldedTags]]). Without a horizon nothing is ever
+    * pruned; a state reset that clears history ([[truncate]] / fresh
+    * directory) clears the sidecar outright. */
   private[graft] def foldedTags(path: String): Set[String] =
     if (!Files.exists(foldedMarker(path))) Set.empty
     else new String(Files.readAllBytes(foldedMarker(path)),
@@ -514,14 +520,63 @@ object UpsertWriter {
     * files still exist and a skipped replay loses nothing — the rows
     * are present either as the original deltas or as the folded image,
     * never twice. */
-  private def recordFoldedTags(path: String, tags: Set[String]): Unit = {
-    val all = foldedTags(path) ++ tags
+  private[graft] def recordFoldedTags(path: String, tags: Set[String]): Unit =
+    writeFoldedTags(path, foldedTags(path) ++ tags)
+
+  private def writeFoldedTags(path: String, all: Set[String]): Unit = {
     val tmp = foldedMarker(path)
       .resolveSibling(foldedMarker(path).getFileName.toString + ".tmp")
     Files.write(tmp, all.toSeq.sorted.mkString("\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     Files.move(tmp, foldedMarker(path),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Drop sidecar tags whose batches can NEVER replay: a tag of the
+    * worker convention `b<id>` with id < `horizon` belongs to a batch
+    * the caller asserts has committed its checkpoint (the streaming
+    * re-delivery contract replays only batches AFTER the last commit),
+    * so the idempotence guard it encodes is dead weight — pruning it
+    * bounds the sidecar at O(replayable batches) instead of
+    * O(batches ever). Tags in any OTHER format are kept (age unknown —
+    * never forget what can't be proven dead). The rewrite is the same
+    * atomic temp+rename as every record; pruning to empty deletes the
+    * file. NEVER called without an explicit horizon — forgetting a tag
+    * that could still replay re-admits the duplicate rows the sidecar
+    * exists to prevent, so the burden of proof sits with the caller's
+    * checkpoint, not a heuristic here. */
+  private[graft] def pruneFoldedTags(path: String, horizon: Long): Unit = {
+    val all = foldedTags(path)
+    if (all.isEmpty) return
+    val batchTag = "b(\\d+)".r
+    val kept = all.filter {
+      case batchTag(id) => id.toLongOption.forall(_ >= horizon)
+      case _ => true
+    }
+    if (kept == all) ()
+    else if (kept.isEmpty) Files.deleteIfExists(foldedMarker(path))
+    else writeFoldedTags(path, kept)
+  }
+
+  /** The replay horizon a Structured Streaming CHECKPOINT proves: the
+    * commit log at `<checkpointDir>/commits` holds one file per
+    * committed batch id, and a batch whose commit is recorded is never
+    * re-delivered — so every batch id ≤ max(commits) is dead and the
+    * horizon (first id that could still replay) is max + 1. None when
+    * the checkpoint has no commits yet (nothing is provably dead —
+    * prune nothing). This is how a worker's maintenance cycle derives
+    * the `replayHorizon` argument to [[compact]]/[[rebucket]] without
+    * this layer ever reading the checkpoint on a write path. */
+  def replayHorizon(checkpointDir: String): Option[Long] = {
+    import scala.jdk.CollectionConverters._
+    val commits = Paths.get(checkpointDir, "commits")
+    if (!Files.isDirectory(commits)) return None
+    val list = Files.list(commits)
+    val ids =
+      try list.iterator().asScala
+        .flatMap(p => p.getFileName.toString.toLongOption).toSeq
+      finally list.close()
+    if (ids.isEmpty) None else Some(ids.max + 1)
   }
 
   /** The bucket count pinned at `path` by a previous [[upsertBucketed]],
@@ -935,7 +990,8 @@ object UpsertWriter {
   def compact(
       spark: SparkSession,
       path: String,
-      targetBytes: Long = 128L << 20): Unit =
+      targetBytes: Long = 128L << 20,
+      replayHorizon: Option[Long] = None): Unit =
       TableLease.withMaintenance(Seq(path), maintHolder("compact")) {
     schemaCache.remove(path) // mergeSchema may surface a union schema
     recover(path)
@@ -958,6 +1014,11 @@ object UpsertWriter {
     // a replayed append whose deltas this fold subsumes must become a
     // no-op, not a duplicate
     if (deltaTags.nonEmpty) recordFoldedTags(path, deltaTags)
+    // with a caller-proven horizon, the same maintenance pass bounds
+    // the sidecar: tags of batches that committed their checkpoint are
+    // dead guards ([[pruneFoldedTags]]). Ordering vs the swap is
+    // crash-indifferent — a pruned tag's batch never replays either way
+    replayHorizon.foreach(pruneFoldedTags(path, _))
     val parts = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     val partCols = partitionColsOf(path)
     // mergeSchema: a table whose partitions carry mixed schemas (written
@@ -1024,7 +1085,10 @@ object UpsertWriter {
         swapFault()
         pinBuckets(path, nb)
         swapFault()
-        Files.delete(epoch)
+        // deleteIfExists: two writers healing the same crashed rebucket
+        // (e.g. after a maintenance-lease steal) race this delete — the
+        // loser's heal must complete idempotently, not throw
+        Files.deleteIfExists(epoch)
       }
     }
     swapFault()
@@ -1073,7 +1137,8 @@ object UpsertWriter {
       path: String,
       keys: Seq[String],
       newBuckets: Int,
-      targetBytes: Long = 128L << 20): Unit =
+      targetBytes: Long = 128L << 20,
+      replayHorizon: Option[Long] = None): Unit =
       TableLease.withMaintenance(Seq(path), maintHolder("rebucket")) {
     require(newBuckets > 0, s"newBuckets must be positive, got $newBuckets")
     require(keys.nonEmpty && !keys.contains(BucketCol),
@@ -1081,6 +1146,8 @@ object UpsertWriter {
     schemaCache.remove(path)
     recover(path)
     require(exists(path), s"no committed table at $path")
+    // sidecar bound, same contract as [[compact]]'s horizon prune
+    replayHorizon.foreach(pruneFoldedTags(path, _))
     val pinned = pinnedBuckets(path)
     if (!pinned.contains(newBuckets)) {
       val physParts = partitionColsOf(path)
@@ -1169,7 +1236,8 @@ object UpsertWriter {
       path: String,
       keys: Seq[String],
       targetBucketBytes: Long = 256L << 20,
-      maxBuckets: Int = 1 << 20): Option[(Int, Int)] =
+      maxBuckets: Int = 1 << 20,
+      replayHorizon: Option[Long] = None): Option[(Int, Int)] =
     pinnedBuckets(path) match {
       case Some(pinned) if exists(path) =>
         import scala.jdk.CollectionConverters._
@@ -1201,7 +1269,7 @@ object UpsertWriter {
         while (bytes / m > targetBucketBytes && m * 2 <= maxBuckets) m *= 2
         if (m == pinned) None
         else {
-          rebucket(spark, path, keys, m, targetBucketBytes)
+          rebucket(spark, path, keys, m, targetBucketBytes, replayHorizon)
           Some(pinned -> m)
         }
       case _ => None
@@ -1246,21 +1314,32 @@ object UpsertWriter {
     recover(path)
     require(exists(path), s"no committed table at $path")
     // partition-type inference OFF for this op's internal reads and
-    // writes (save/restore): the touched-leaf bookkeeping below maps
-    // partition VALUES back to directory NAMES, and inference breaks
-    // the round-trip — 'dia=01' reads as int 1 and would re-stage as a
-    // NEW 'dia=1' leaf next to the old one (duplication), a timestamp
-    // value re-renders with a fractional suffix its directory never
-    // had (missed emptied-leaf drop = failed takedown). With inference
-    // off, partition values are the exact (unescaped) directory
-    // strings, so value -> escapePathName(value) IS the writer's own
-    // encoding; typed predicates still work through Spark's implicit
-    // casts.
-    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
-    val prevInfer = spark.conf.get(inferKey)
-    spark.conf.set(inferKey, "false")
-    try deleteWhereInternal(spark, path, predicate)
-    finally spark.conf.set(inferKey, prevInfer)
+    // writes: the touched-leaf bookkeeping below maps partition VALUES
+    // back to directory NAMES, and inference breaks the round-trip —
+    // 'dia=01' reads as int 1 and would re-stage as a NEW 'dia=1' leaf
+    // next to the old one (duplication), a timestamp value re-renders
+    // with a fractional suffix its directory never had (missed
+    // emptied-leaf drop = failed takedown). With inference off,
+    // partition values are the exact (unescaped) directory strings, so
+    // value -> escapePathName(value) IS the writer's own encoding;
+    // typed predicates still work through Spark's implicit casts.
+    //
+    // The override lives on a NEW session (shared SparkContext, its own
+    // SQLConf), never on the caller's: the previous save/restore form
+    // toggled the caller's session for the whole op, and any concurrent
+    // batch query in that session saw partition columns change type
+    // mid-run. Only the execution-shaping runtime confs are copied over
+    // (newSession starts from builder-time defaults, which would
+    // silently drop a caller's tuned shuffle sizing — e.g. the
+    // streaming gates' micro-batch drive windows).
+    val ds = spark.newSession()
+    Seq("spark.sql.shuffle.partitions", "spark.sql.adaptive.enabled",
+      "spark.sql.codegen.wholeStage", "spark.sql.codegen.factoryMode",
+      "spark.sql.session.timeZone")
+      .foreach(k => ds.conf.set(k, spark.conf.get(k)))
+    ds.conf.set(
+      "spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    deleteWhereInternal(ds, path, predicate)
   }
 
   private def deleteWhereInternal(

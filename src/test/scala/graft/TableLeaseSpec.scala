@@ -385,4 +385,88 @@ class TableLeaseSpec extends AnyFunSuite {
       keys = Seq("id"), batchTag = "b2", numBuckets = 4)
     assert(spark.read.parquet(path).count() == 25)
   }
+
+  // ── the tomb-window residual, closed (r13 verdict directive 4): a
+  // renewal's mid-exchange lease absence must read as a HELD window ──
+
+  test("a fresh renewal sentinel with the lease file absent reads as a held maintenance window") {
+    val path = tmp(); mkTable(path)
+    // engineer the mid-renewal state directly: lease file tombed away
+    // (absent), sentinel bracket present and fresh
+    Files.write(Paths.get(path + ".__maint-lease.renewing-1-1-1"),
+      s"mid-renewal-holder\n${System.currentTimeMillis()}".getBytes("UTF-8"))
+    val e = intercept[IllegalStateException] {
+      TableLease.requireNoForeignMaintenance(path)
+    }
+    assert(e.getMessage.contains("maintenance window is open"))
+    // the real writer paths refuse through the same gate
+    intercept[IllegalStateException] {
+      UpsertWriter.appendBucketed(spark, path,
+        Seq((99L, "RACE", 9L)).toDF("id", "v", "ver"),
+        keys = Seq("id"), batchTag = "race", numBuckets = 4)
+    }
+    assert(spark.read.parquet(path).filter($"v" === "RACE").count() == 0)
+  }
+
+  test("a STALE renewal sentinel is a crashed renewal: dropped, not honored") {
+    val path = tmp(); mkTable(path)
+    val sentinel = Paths.get(path + ".__maint-lease.renewing-1-1-2")
+    Files.write(sentinel,
+      s"crashed-renewal\n${System.currentTimeMillis() - 3600_000L}"
+        .getBytes("UTF-8"))
+    TableLease.requireNoForeignMaintenance(path) // passes: window is over
+    assert(!Files.exists(sentinel),
+      "a stale sentinel must be cleaned up opportunistically")
+  }
+
+  test("writer gate never passes inside a maintenance heartbeat's renewal exchange") {
+    // Thread A heartbeats its own fresh maintenance lease in a tight
+    // loop — every renewal tombs the lease file and re-creates it, so
+    // the file is repeatedly ABSENT for microseconds. Thread B hammers
+    // the writer-side gate throughout. With the sentinel bracket every
+    // B call must REFUSE (the window is continuously held); a single
+    // pass is the exact tomb-window admission the sentinel closes.
+    val path = tmp(); mkTable(path)
+    val holder = "hb-maint"
+    TableLease.acquire(path, TableLease.Maintenance, holder)
+    val renewing = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val passes = new java.util.concurrent.atomic.AtomicLong
+    val attempts = new java.util.concurrent.atomic.AtomicLong
+    val gate = new Thread(() => {
+      while (renewing.get()) {
+        attempts.incrementAndGet()
+        try {
+          TableLease.requireNoForeignMaintenance(path)
+          passes.incrementAndGet()
+        } catch { case _: IllegalStateException => () }
+      }
+    })
+    gate.start()
+    try (1 to 400).foreach { _ =>
+      TableLease.acquire(path, TableLease.Maintenance, holder)
+    } finally {
+      renewing.set(false)
+      gate.join(10000)
+      TableLease.release(path, TableLease.Maintenance, holder)
+    }
+    assert(attempts.get() > 0, "the gate thread never ran")
+    assert(passes.get() == 0,
+      s"writer gate passed ${passes.get()}/${attempts.get()} times while " +
+        "the maintenance window was continuously held (tomb-window leak)")
+  }
+
+  test("release is holder-verified: a thief's fresh lease survives the old holder's release") {
+    val path = tmp()
+    Files.createDirectories(Paths.get(path).getParent)
+    val lease = Paths.get(path + ".__drain-lease")
+    Files.write(lease,
+      s"thief\n${System.currentTimeMillis()}".getBytes("UTF-8"))
+    TableLease.release(path, TableLease.Drain, "old-holder") // no-op
+    assert(Files.exists(lease), "release deleted a foreign fresh lease")
+    assert(new String(Files.readAllBytes(lease), "UTF-8")
+      .startsWith("thief"), "release must restore foreign content untouched")
+    TableLease.release(path, TableLease.Drain, "thief")
+    assert(!Files.exists(lease), "owner's release must remove the lease")
+    TableLease.release(path, TableLease.Drain, "thief") // absent: no-op
+  }
 }

@@ -1222,4 +1222,81 @@ class UpsertWriterSpec extends AnyFunSuite {
         s"crash at mutation $crashAt: post-recovery merge diverged")
     }
   }
+
+  // ── folded-tags sidecar: bounded by the replay horizon (r13 verdict
+  // directive 1) ──
+
+  test("compact prunes NOTHING without a horizon; with one, only provably-dead b<id> tags drop") {
+    val path = tmp()
+    def landTag(tag: String, id: Long): Unit =
+      assert(UpsertWriter.appendBucketed(spark, path,
+        Seq((id, s"v$id", 0L)).toDF("id", "v", "ver"),
+        keys = Seq("id"), batchTag = tag, numBuckets = 4))
+    landTag("b0", 1L); landTag("b1", 2L); landTag("manual-x", 3L)
+    UpsertWriter.compact(spark, path) // no horizon: everything retained
+    assert(UpsertWriter.foldedTags(path) == Set("b0", "b1", "manual-x"),
+      "prune must refuse without an explicit horizon")
+    // horizon 1: only b0 is provably dead; b1 could still replay and
+    // the non-convention tag's age is unknowable — both stay
+    UpsertWriter.compact(spark, path, replayHorizon = Some(1L))
+    assert(UpsertWriter.foldedTags(path) == Set("b1", "manual-x"))
+    assert(spark.read.parquet(path).count() == 3)
+  }
+
+  test("a pruned tag's replayed append is RE-APPLIED — the guard is gone, safe only under the horizon contract") {
+    val path = tmp()
+    def b0(): Boolean = UpsertWriter.appendBucketed(spark, path,
+      Seq((1L, "v1", 0L)).toDF("id", "v", "ver"),
+      keys = Seq("id"), batchTag = "b0", numBuckets = 4)
+    assert(b0())
+    UpsertWriter.compact(spark, path) // folds b0; sidecar guards the replay
+    assert(!b0() && spark.read.parquet(path).count() == 1,
+      "a folded tag's replay must be skipped while the guard exists")
+    UpsertWriter.compact(spark, path, replayHorizon = Some(1L)) // b0 pruned
+    // the replay is now APPLIED: with the guard pruned, nothing marks
+    // b0 as folded — which is exactly why the horizon must come from
+    // the checkpoint's commit log (a pruned batch must be one that can
+    // never reach this code path again)
+    assert(b0(), "post-prune, the tag must append as a fresh batch")
+    assert(spark.read.parquet(path).count() == 2,
+      "the re-applied append lands next to the folded image")
+  }
+
+  test("sidecar stays bounded across 100 simulated folds with an advancing horizon") {
+    val path = tmp()
+    // simulate a long-lived worker: one folded tag per micro-batch,
+    // maintenance pruning at the checkpoint horizon each cycle. No
+    // Spark jobs — the sidecar arithmetic is what's under test.
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+    var maxSize = 0
+    for (i <- 0 until 100) {
+      UpsertWriter.recordFoldedTags(path, Set(s"b$i"))
+      UpsertWriter.pruneFoldedTags(path, horizon = i.toLong)
+      maxSize = math.max(maxSize, UpsertWriter.foldedTags(path).size)
+    }
+    assert(maxSize <= 2,
+      s"sidecar grew to $maxSize tags under per-cycle pruning")
+    assert(UpsertWriter.foldedTags(path) == Set("b99"))
+    // contrast: the same 100 folds with no horizon grow linearly — the
+    // unbounded default the horizon argument exists to bound
+    val path2 = tmp()
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path2))
+    for (i <- 0 until 100)
+      UpsertWriter.recordFoldedTags(path2, Set(s"b$i"))
+    assert(UpsertWriter.foldedTags(path2).size == 100)
+  }
+
+  test("replayHorizon reads the checkpoint commit log: max committed + 1, None when empty") {
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    assert(UpsertWriter.replayHorizon(ckpt).isEmpty,
+      "no commits dir: nothing is provably dead")
+    val commits = java.nio.file.Paths.get(ckpt, "commits")
+    java.nio.file.Files.createDirectories(commits)
+    assert(UpsertWriter.replayHorizon(ckpt).isEmpty,
+      "empty commit log: nothing is provably dead")
+    for (id <- Seq("0", "1", "5")) // gaps tolerated: max decides
+      java.nio.file.Files.createFile(commits.resolve(id))
+    java.nio.file.Files.createFile(commits.resolve(".tmp-crc")) // ignored
+    assert(UpsertWriter.replayHorizon(ckpt).contains(6L))
+  }
 }
