@@ -120,26 +120,41 @@ object TableLease {
     * lease is mid-exchange; the window is LIVE). This closes what the
     * module long documented as the tomb-window residual: a gate read
     * landing in a renewal's tomb-to-re-create gap used to pass while
-    * the window was held. With the sentinel bracket, absence during a
-    * renewal is visible; and because a finished renewal deletes its
-    * sentinel only AFTER re-creating the lease, a gate that sees
-    * neither re-reads the lease once — the one interleaving left open
-    * (lease read in the gap, sentinel read after its delete) is caught
-    * by that re-read finding the re-created lease. Fooling both passes
-    * would take two complete renewal cycles interleaved inside a
-    * single gate call's microseconds, each aligned to a different
-    * read — not a schedule two heartbeats (which are sequential per
-    * holder and spaced by real work) can produce. */
+    * the window was held.
+    *
+    * At any single INSTANT a held window is visible (the sentinel is
+    * created before the tomb and deleted only after the re-create),
+    * but a gate's lease read and sentinel scan are two separate
+    * instants — the classic atomic-snapshot gap: lease read inside
+    * renewal k's gap, scan after k's sentinel delete, and a re-read
+    * landing inside renewal k+1's gap reports an empty field (observed
+    * once in ~150 attempts by the forked-JVM race spec against a
+    * back-to-back heartbeat loop). POSIX rename offers no atomic
+    * two-file read, so the gate instead makes THREE full (lease,
+    * sentinel) passes and reports absent only if every read of every
+    * pass came up empty: defeating it takes three complete renewal
+    * cycles each aligned to a different microsecond read of one gate
+    * call — vanishing even against a pathological zero-work renewal
+    * loop, unschedulable for real heartbeats spaced by batch work.
+    * Passes cost two file stats each and run ONLY when the lease file
+    * is absent (no maintenance running — the common case pays one
+    * lease stat plus the cheap empty scans). */
   private def readEffective(
-      path: String, kind: Kind, ttlMs: Long): Option[(String, Long)] =
-    read(path, kind) match {
-      case some @ Some(_) => some
-      case None =>
-        freshRenewalSentinel(leaseFile(path, kind), ttlMs) match {
-          case some @ Some(_) => some
-          case None => read(path, kind)
-        }
+      path: String, kind: Kind, ttlMs: Long): Option[(String, Long)] = {
+    val f = leaseFile(path, kind)
+    var pass = 0
+    while (pass < 3) {
+      read(path, kind) match {
+        case some @ Some(_) => return some
+        case None =>
+          freshRenewalSentinel(f, ttlMs) match {
+            case some @ Some(_) => return some
+            case None => pass += 1
+          }
+      }
     }
+    None
+  }
 
   /** Atomically CLAIM a stale lease file: rename it to a unique tomb,
     * VERIFY the tombed content is actually stale, then drop the tomb.
@@ -278,7 +293,14 @@ object TableLease {
       }
     }
     val f = leaseFile(path, kind)
-    read(path, kind) match {
+    // SAME-kind read is sentinel-aware too: a foreign holder's renewal
+    // gap must read as that holder's held window, or a concurrent
+    // acquirer walks into the "empty" field, CREATE_NEW-wins it, and
+    // the fresh window's legitimate holder loses its own renewal — a
+    // fresh-window steal the protocol promises cannot happen (caught
+    // by the forked-JVM race spec's renew rounds, not the same-JVM
+    // hammers: only a second process's acquire ever lands there).
+    readEffective(path, kind, ttlMs) match {
       case Some((h, age)) if age <= ttlMs && h != holder =>
         throw new IllegalStateException(
           s"cannot open a $kind window on $path: another $kind lease is " +
