@@ -111,6 +111,17 @@ object Bench {
         }
       })
 
+    // ambient-load bookkeeping (the r13 verdict's directive 3): round
+    // totals on a shared box are only comparable when the artifact
+    // carries what else the box was doing. 1-minute loadavg sampled at
+    // the three phase boundaries, plus per-heavy-query concurrent vs
+    // isolated sums and a load_suspect flag below.
+    def loadAvg(): Double =
+      try new String(Files.readAllBytes(Paths.get("/proc/loadavg")))
+        .split(" ")(0).toDouble
+      catch { case scala.util.control.NonFatal(_) => -1.0 }
+    val loadBefore = loadAvg()
+
     var failed = List.empty[String]
     // Two timed runs, min kept: run-to-run variance on a shared box was
     // measured at 2× for the heaviest query; the min is the steady-state
@@ -176,6 +187,7 @@ object Bench {
     // forgiving (malformed → default) — nothing after the timing loop
     // may throw before the results are printed and persisted.
     spark.stop()
+    val loadAfterSession = loadAvg()
     val isolatedN = sys.env.get("SPARK_GRAFT_ISOLATED")
       .flatMap(_.toIntOption).getOrElse(12)
     val topNames = results
@@ -228,6 +240,41 @@ object Bench {
     def isoReliable: String = isoSpread.map { case (k, v) =>
       "\"" + k + "\":" + (v <= 25.0)
     }.mkString("{", ",", "}")
+    val loadAfter = loadAvg()
+    // LOAD NORMALIZATION: for the heavy set, the isolated fresh-JVM
+    // minima are the plan-cost numbers round-over-round comparison
+    // should rank by; the concurrent (session) sum additionally carries
+    // whatever the box and the suite's own scheduling added. When any
+    // RELIABLE isolated query ran >2x slower concurrently, the round's
+    // concurrent total is load-inflated, not a code regression — flag
+    // it so the comparison reaches for the isolated sums instead of
+    // burning an attribution pass (the r13 194s-vs-137s false alarm).
+    val sessionByName = results.collect {
+      case (k, v) if v._1 >= 0 => k -> v._1
+    }.toMap
+    val reliableSet = isoSpread.collect {
+      case (k, v) if v <= 25.0 => k
+    }.toSet
+    val heavyPairs = topNames.flatMap(n =>
+      isolated.get(n).map { case (min, _) => (n, sessionByName(n), min) })
+    val isolatedSum = heavyPairs.map(_._3).sum
+    val concurrentSumHeavy = heavyPairs.map(_._2).sum
+    // ≥2s floor: a sub-second query's concurrent/isolated ratio is
+    // scheduling noise (fixed overhead dominates both numbers), not
+    // box load — without the floor every tiny-SF run reads suspect
+    val loadSuspect = heavyPairs.exists { case (n, sess, iso) =>
+      reliableSet.contains(n) && iso > 0 && sess >= 2.0 && sess / iso > 2.0
+    }
+    def f3(d: Double): String =
+      "%.3f".formatLocal(java.util.Locale.ROOT, d)
+    val loadJson =
+      s""""loadavg":{"before":${f3(loadBefore)},""" +
+        s""""after_session":${f3(loadAfterSession)},""" +
+        s""""after_isolated":${f3(loadAfter)}},""" +
+        s""""isolated_sum":${f3(isolatedSum)},""" +
+        s""""concurrent_sum_heavy":${f3(concurrentSumHeavy)},""" +
+        s""""load_suspect":$loadSuspect,""" +
+        s""""load_note":"isolated_sum = fresh-JVM minima of the ${heavyPairs.size} heavy queries (rank rounds by THIS); load_suspect = some reliable query of >=2s ran >2x slower concurrently than isolated - concurrent totals are load-inflated, compare isolated sums","""
     // The stdout line is deliberately COMPACT (per-query seconds at 3
     // decimals, no shuffle/spill maps): the recorder keeps only a bounded
     // tail of the sbt output, and round 3's full-detail line (~6 KB for 73
@@ -241,6 +288,7 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${
         results.map { case (k, v) => "\"" + k + "\":" + v._1 }.mkString("{", ",", "}")
       },"shuffle_mb":${jmap(_._2)},"spill_mb":${jmap(_._3)},""" +
+        loadJson +
         s""""isolated":$isoMap,"isolated_times":$isoTimes,""" +
         s""""isolated_variance_pct":$isoVar,"isolated_reliable":$isoReliable,""" +
         s""""isolated_note":"fresh-JVM adaptive min (3-8 runs until the fast tail settles) for the ${topNames.size} slowest, ALL warmed once at sf0.001 before any timing (shared-child JIT bill no longer lands on the first query); variance_pct = spread of the 3 fastest / min; reliable=false (spread > 25%) means JIT-dominated — rank by the session number instead",""" +
@@ -268,6 +316,7 @@ object Bench {
         s""""queries":$slowest,"queries_note":"12 slowest of ${results.size}; full map in bench_last.json",""" +
         s""""isolated":$isoMap,"isolated_variance_pct":$isoVar,""" +
         s""""isolated_reliable":$isoReliable,""" +
+        loadJson +
         s""""sf":"$sfDir","failed":${failed.size}}"""
     println(bounded)
     println(line)

@@ -145,7 +145,8 @@ object StreamingIngestOps extends OpModule {
     * checks. Same shuffle-partitions sizing as the harness drain. */
   private def driveTwoBatches(
       s: SparkSession, rows: DataFrame, idCol: String,
-      run: (DataFrame, Long, String) => Unit): String = {
+      run: (DataFrame, Long, String) => Unit,
+      mid: (String, DataFrame) => Unit = (_, _) => ()): String = {
     val wh = Files.createTempDirectory("graft-gate-direct")
       .resolve("wh").toString
     val prev = s.conf.get("spark.sql.shuffle.partitions")
@@ -181,6 +182,9 @@ object StreamingIngestOps extends OpModule {
     val cached = rows.coalesce(2).persist()
     try {
       run(cached.filter(col(idCol) % 2 === 0), 0L, wh)
+      // mid-stream hook: the lifecycle gate interposes replays and
+      // maintenance ops (takedown, rebucket) between the two batches
+      mid(wh, cached)
       run(cached.filter(col(idCol) % 2 === 1), 1L, wh)
     } finally {
       cached.unpersist()
@@ -561,6 +565,57 @@ object StreamingIngestOps extends OpModule {
       Some(msTwinSql(IdCap / 4)),
       doc = "Streaming gate: multi-signal worker with hash-bucketed state tables (touched-bucket-only merges); final survivors vs the same batch-by-batch replay — layout must not change semantics",
       sort = Seq("doc_id")
+    ),
+
+    // ── The STATE-TABLE LIFECYCLE under the oracle (r13 verdict
+    // directive 5): one bucketed drain whose mid-stream window runs
+    // the full maintenance interplay a long-lived production table
+    // sees — (1) batch 0 REPLAYS wholesale (crash before the
+    // checkpoint commit: the delta appends replace themselves by
+    // tag); (2) a TAKEDOWN deletes a keyed subset from survivors AND
+    // the lexical index (row-grain deleteWhere under the maintenance
+    // lease); (3) the survivors table REBUCKETS 8 → 16 (the pin moves;
+    // the live worker's config still says 8 and follows the pin); (4)
+    // batch 0 replays AGAIN — the folded-tag records now make every
+    // state append a no-op, so the takedown SURVIVES re-delivery; then
+    // batch 1 drains against the reduced corpus. The twin replays the
+    // same semantics: batch-0 winners minus the takedown set feed the
+    // cross-batch drop checks and the final state, the occupancy mask
+    // still sizes from the journal's cumulative count (a takedown
+    // never rewrites the log), and a removed doc's new near-dup in
+    // batch 1 is ADMITTED — deleted, not shadow-banned. ──
+    "msb_ingest_takedown_rebucket" -> Q(
+      (s, d) => {
+        val rows = Tables.documents(s, d)
+          .join(Tables.embeddings(s, d).withColumnRenamed("vec_id", "doc_id"),
+            "doc_id")
+          .filter(col("doc_id") < IdCap / 4)
+          .select(col("doc_id"), col("text"), col("embedding"))
+        def b0(cached: DataFrame, w: String): Unit =
+          graft.streaming.MultiSignalIngest.processBatch(
+            cached.filter(col("doc_id") % 2 === 0), 0L, w,
+            stateBuckets = Some(8))
+        val wh = driveTwoBatches(s, rows, "doc_id",
+          (b, id, w) => graft.streaming.MultiSignalIngest.processBatch(
+            b, id, w, stateBuckets = Some(8)),
+          mid = (w, cached) => {
+            b0(cached, w) // replay: appends replace themselves by tag
+            graft.streaming.MultiSignalIngest.takedown(
+              s, w, col("doc_id") % 10 === 2)
+            graft.sinks.UpsertWriter.rebucket(
+              s, s"$w/ms_survivors", keys = Seq("doc_id"), newBuckets = 16)
+            b0(cached, w) // replay AFTER maintenance: folded-tag no-op
+          })
+        assert(graft.sinks.UpsertWriter
+          .pinnedBuckets(s"$wh/ms_survivors").contains(16),
+          "rebucket must move the survivors pin to 16")
+        s.read.parquet(s"$wh/ms_survivors")
+          .select(col("doc_id").cast(LongType),
+            col("batch_id").cast(LongType))
+      },
+      Some(msTwinSql(IdCap / 4, takedownSql = Some("doc_id % 10 = 2"))),
+      doc = "Streaming gate: the full state-table lifecycle mid-drain — batch-0 replay, keyed takedown (deleteWhere on survivors + index), survivors rebucket 8->16 under a live worker config, post-maintenance replay as a folded-tag no-op — final state vs the replay excluding the taken-down docs",
+      sort = Seq("doc_id")
     )
   )
 
@@ -568,8 +623,22 @@ object StreamingIngestOps extends OpModule {
     * cap: per-parity lexical bands + Jaccard edges, per-parity masked
     * cells + multiprobe cosine edges, one recursive closure per batch
     * over the union, then the two corpus drops. Shared by the plain
-    * (harness-drained) and bucketed gate rows. */
-  private def msTwinSql(cap: Long): String = {
+    * (harness-drained), bucketed, and takedown gate rows.
+    *
+    * `takedownSql`: a predicate over batch-0 winners removed from the
+    * corpus BETWEEN the batches (the takedown gate). The removed docs
+    * leave the corpus-side of both cross-batch drop checks and the
+    * final state; the occupancy mask does NOT shrink — the worker
+    * sizes it from the admission log's cumulative count, which a
+    * takedown (a journal-preserving maintenance op) never rewrites. */
+  private def msTwinSql(
+      cap: Long, takedownSql: Option[String] = None): String = {
+    // corpus relation the cross-batch checks and the final state read:
+    // win0 minus the takedown set when one applies
+    val corpusRel = if (takedownSql.isDefined) "win0k" else "win0"
+    val takedownCte = takedownSql
+      .map(p => s"win0k AS (SELECT * FROM win0 WHERE NOT ($p)),\n")
+      .getOrElse("")
         val baseDocs =
           s"""(SELECT d.doc_id, d.text FROM documents d
              | JOIN embeddings em ON em.vec_id = d.doc_id
@@ -632,7 +701,7 @@ object StreamingIngestOps extends OpModule {
            |m0 AS (SELECT ${DedupOps.cellMaskSql} AS mask
            |       FROM (SELECT count(*) AS n FROM sigs WHERE vec_id % 2 = 0)),
            |${batchCluster(0, "m0")},
-           |m1 AS (SELECT ${DedupOps.cellMaskSql} AS mask FROM (
+           |${takedownCte}m1 AS (SELECT ${DedupOps.cellMaskSql} AS mask FROM (
            |  SELECT (SELECT count(*) FROM win0)
            |       + (SELECT count(*) FROM sigs WHERE vec_id % 2 = 1) AS n)),
            |${batchCluster(1, "m1")},
@@ -641,7 +710,7 @@ object StreamingIngestOps extends OpModule {
            |  FROM bands x JOIN bands y
            |    ON x.band = y.band AND x.sigstr = y.sigstr
            |  JOIN win1 w1 ON w1.doc_id = x.doc_id
-           |  JOIN win0 w0 ON w0.doc_id = y.doc_id),
+           |  JOIN $corpusRel w0 ON w0.doc_id = y.doc_id),
            |dropL AS (
            |  SELECT DISTINCT c.a AS doc_id
            |  FROM candXL c JOIN sh sa ON sa.doc_id = c.a
@@ -654,10 +723,10 @@ object StreamingIngestOps extends OpModule {
            |  JOIN
            |    (SELECT s0.doc_id, s0.v, s0.norm,
            |       CAST(s0.sig & m1.mask AS BIGINT) AS cell
-           |     FROM win0 s0, m1) p
+           |     FROM $corpusRel s0, m1) p
            |    ON w.probe = p.cell AND w.doc_id <> p.doc_id
            |  WHERE ${cos("w.v", "p.v", "w.norm", "p.norm")} >= 0.4)
-           |SELECT doc_id::BIGINT AS doc_id, 0::BIGINT AS batch_id FROM win0
+           |SELECT doc_id::BIGINT AS doc_id, 0::BIGINT AS batch_id FROM $corpusRel
            |UNION ALL
            |SELECT doc_id::BIGINT, 1::BIGINT FROM win1
            |WHERE doc_id NOT IN (SELECT doc_id FROM dropL

@@ -600,6 +600,21 @@ object UpsertWriter {
       parsed
     }
 
+  /** The bucket count a WRITER should use for the table at `path`: the
+    * PINNED count when one exists — the pin is authoritative, because a
+    * maintenance pass ([[rebucket]] / [[rebucketIfOvergrown]]) may have
+    * changed the physical layout since the writer was configured — and
+    * the configured count otherwise (config seeds the first write
+    * only). This is the piece that makes the bucket count a managed
+    * quantity END TO END: without it, the first post-rebucket
+    * micro-batch of a long-lived worker would fail the pin guard on its
+    * own stale configuration, so re-bucketing would require a
+    * coordinated config rollout instead of being a pure maintenance
+    * op. Every streaming worker's bucketed write resolves through
+    * this. */
+  def effectiveBuckets(path: String, configured: Int): Int =
+    pinnedBuckets(path).getOrElse(configured)
+
   /** Keyed upsert with HASH-BUCKET pruning — the 100 TB form of [[upsert]]
     * for tables whose natural key has no time/partition structure (dedup
     * survivors, band indexes, ANN postings). The merge key hashes to a
@@ -1335,8 +1350,10 @@ object UpsertWriter {
     val ds = spark.newSession()
     Seq("spark.sql.shuffle.partitions", "spark.sql.adaptive.enabled",
       "spark.sql.codegen.wholeStage", "spark.sql.codegen.factoryMode",
-      "spark.sql.session.timeZone")
-      .foreach(k => ds.conf.set(k, spark.conf.get(k)))
+      "spark.sql.session.timeZone",
+      "spark.sql.legacy.parquet.nanosAsLong",
+      "spark.sql.parquet.inferTimestampNTZ.enabled")
+      .foreach(k => spark.conf.getOption(k).foreach(ds.conf.set(k, _)))
     ds.conf.set(
       "spark.sql.sources.partitionColumnTypeInference.enabled", "false")
     deleteWhereInternal(ds, path, predicate)

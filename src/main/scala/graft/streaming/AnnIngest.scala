@@ -99,7 +99,12 @@ object AnnIngest {
             val idxCanAppend = EmbedIngest.canAppendFirstAdmitted(idxRaw)
             val priorFab = idxRaw.map { rawIdx =>
                 val raw = EmbedIngest.withFirstAdmitted(rawIdx)
-                val pruned = stateBuckets match {
+                // pin-resolved count ([[UpsertWriter.effectiveBuckets]]):
+                // deriving prune targets from a STALE configured count
+                // after a maintenance rebucket would filter the wrong
+                // bucket directories and silently miss prior rows
+                val pruned = stateBuckets
+                    .map(UpsertWriter.effectiveBuckets(indexDir, _)) match {
                   case Some(b)
                       if raw.columns.contains(UpsertWriter.BucketCol) =>
                     // deliberate bounded collect — NOT a driver-side
@@ -153,7 +158,10 @@ object AnnIngest {
               // schema carrying first_admitted_batch: a pre-upgrade
               // index takes ONE schema-growing merge (which adopts the
               // column table-wide), then appends
-              stateBuckets match {
+              // pin-resolved, like the prune above: the write must
+              // follow the table's layout, not the worker's config
+              stateBuckets
+                  .map(UpsertWriter.effectiveBuckets(indexDir, _)) match {
                 case Some(b) if pureInsert && idxCanAppend =>
                   UpsertWriter.appendBucketed(s, indexDir, writeImg,
                     keys = Seq("vec_id"), batchTag = s"b$batchId",

@@ -133,7 +133,10 @@ object DedupIngest {
             // [[UpsertWriter.appendBucketed]]: O(batch) delta files per
             // batch, replay-idempotent by deterministic file names, no
             // bucket ever read or rewritten on ingest.
-            if (nFresh > 0) stateBuckets match {
+            // config seeds the first write; the pin rules after that
+            // ([[UpsertWriter.effectiveBuckets]])
+            if (nFresh > 0) stateBuckets
+                .map(UpsertWriter.effectiveBuckets(survivorsDir, _)) match {
               case Some(b) => UpsertWriter.appendBucketed(
                 s, survivorsDir, fresh,
                 keys = Seq("content_hash"), batchTag = s"b$batchId",

@@ -165,9 +165,12 @@ object EmbedIngest {
     // replay double-apply the appended rows the rewrite had folded into
     // the bucket base. The branch condition is replay-deterministic
     // (both counts derive from the immutable first_admitted_batch).
+    // config seeds the first write; the table's pin is authoritative
+    // after that ([[UpsertWriter.effectiveBuckets]] — a maintenance
+    // rebucket must land under a live worker config)
     def writeState(dir: String, df: DataFrame, keys: Seq[String],
         pureInsert: Boolean): Unit =
-      stateBuckets match {
+      stateBuckets.map(UpsertWriter.effectiveBuckets(dir, _)) match {
         case Some(b) if pureInsert => UpsertWriter.appendBucketed(
           s, dir, df, keys, batchTag = s"b$batchId", numBuckets = b)
         case Some(b) => UpsertWriter.upsertBucketed(

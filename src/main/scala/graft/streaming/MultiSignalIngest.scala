@@ -112,9 +112,12 @@ object MultiSignalIngest {
     // (the rewrite folds appended rows into the bucket base; the
     // replayed append would re-add them). Replay-deterministic branch:
     // both counts ride the immutable first_admitted_batch.
+    // the configured count seeds the FIRST write; afterwards the
+    // table's pin is authoritative ([[UpsertWriter.effectiveBuckets]]),
+    // so a maintenance rebucket lands under a live worker config
     def writeState(dir: String, df: DataFrame, keys: Seq[String],
         pureInsert: Boolean): Unit =
-      stateBuckets match {
+      stateBuckets.map(UpsertWriter.effectiveBuckets(dir, _)) match {
         case Some(b) if pureInsert => UpsertWriter.appendBucketed(
           s, dir, df, keys, batchTag = s"b$batchId", numBuckets = b)
         case Some(b) => UpsertWriter.upsertBucketed(
@@ -561,6 +564,37 @@ object MultiSignalIngest {
         (col("lexical_match").isNull && col("semantic_match").isNull)
           .as("admit"),
         col("lexical_match"), col("semantic_match"))
+  }
+
+  /** TAKEDOWN — remove every admitted document matching `predicate`
+    * (over the survivors schema; a doc_id predicate fits both tables)
+    * from the corpus: the survivors table AND the lexical band index,
+    * each a searched row-grain [[graft.sinks.UpsertWriter.deleteWhere]]
+    * under its own maintenance lease. The right-to-be-forgotten /
+    * contaminated-source op a training-data pipeline cannot live
+    * without at 100 TB, where the alternative is a corpus rewrite.
+    *
+    * Semantics after a takedown: later batches check admission against
+    * the REDUCED corpus — a new near-dup of a removed document is
+    * ADMITTED (the document is gone, not shadow-banned). The admission
+    * LOG is a journal and stays untouched, so the occupancy mask keeps
+    * sizing from cumulative admissions; a mask wider than current
+    * occupancy only makes cells finer — more collisions checked, never
+    * a missed near-dup ([[wouldAdmit]]'s lag note, same direction).
+    * Replay safety rides the folded-tag records deleteWhere writes for
+    * every touched leaf: a crashed batch replaying AFTER the takedown
+    * is a no-op, so deleted rows are never resurrected by re-delivery
+    * (pinned end-to-end by the `msb_ingest_takedown_rebucket` gate).
+    * Returns (survivor rows removed, index rows removed); an
+    * uncommitted warehouse removes nothing. */
+  def takedown(
+      spark: SparkSession,
+      warehouseDir: String,
+      predicate: org.apache.spark.sql.Column): (Long, Long) = {
+    def del(dir: String): Long =
+      if (!Files.exists(Paths.get(dir, "_SUCCESS"))) 0L
+      else UpsertWriter.deleteWhere(spark, dir, predicate)
+    (del(s"$warehouseDir/ms_survivors"), del(s"$warehouseDir/ms_index"))
   }
 
   /** Number of distinct admitted keys, from the admission log (one row

@@ -103,9 +103,12 @@ object NearDupIngest {
     // bumped by the keyed upsert ([[EmbedIngest]]'s replay anchor,
     // adopted here to unlock the append path this worker was merge-only
     // without).
+    // config seeds the first write; the table's pin is authoritative
+    // after that ([[UpsertWriter.effectiveBuckets]] — a maintenance
+    // rebucket must land under a live worker config)
     def writeState(dir: String, df: DataFrame, keys: Seq[String],
         pureInsert: Boolean): Unit =
-      stateBuckets match {
+      stateBuckets.map(UpsertWriter.effectiveBuckets(dir, _)) match {
         case Some(b) if pureInsert => UpsertWriter.appendBucketed(
           s, dir, df, keys, batchTag = s"b$batchId", numBuckets = b)
         case Some(b) => UpsertWriter.upsertBucketed(

@@ -86,6 +86,20 @@ object MaintenanceInterleaveProbe {
       ms
     }
 
+    // SIDECAR BOUND (r13 verdict directive 1): the mid-sequence fold
+    // recorded every folded batch tag; a final compact carrying the
+    // replay horizon (every batch committed — the sequence is done)
+    // must prune the sidecar to empty while the content stays
+    // checksum-stable. This is the lifecycle that keeps the folded-tag
+    // file O(replayable batches) on a long-lived table instead of
+    // growing one line per batch forever.
+    val sidecarAfterMidFold = UpsertWriter.foldedTags(path).size
+    UpsertWriter.compact(spark, path,
+      replayHorizon = Some(nBatches.toLong))
+    val sidecarAfterHorizon = UpsertWriter.foldedTags(path).size
+    val sidecarBounded =
+      sidecarAfterMidFold > 0 && sidecarAfterHorizon == 0
+
     val finalDf = spark.read.parquet(path)
     val nFinal = finalDf.count()
     val finalChecksum = finalDf
@@ -99,7 +113,7 @@ object MaintenanceInterleaveProbe {
     val postOverPre = avg(postFold) / math.max(1.0, avg(preFold))
 
     val ok = contentOk && replaySkipped && countStableAfterReplay &&
-      postOverPre < 2.0
+      postOverPre < 2.0 && sidecarBounded
     println(s"""{"probe":"write_scaling_interleaved_compact",""" +
       s""""sf_dir":"$sfDir","rows":$total,"n_batches":$nBatches,""" +
       s""""buckets":$numBuckets,"fold_after_batch":$foldAt,""" +
@@ -107,6 +121,9 @@ object MaintenanceInterleaveProbe {
       f""""compact_sec":$compactSec%.1f,""" +
       s""""folded_tag_replay_skipped":$replaySkipped,""" +
       s""""count_stable_after_replay":$countStableAfterReplay,""" +
+      s""""sidecar_tags_after_mid_fold":$sidecarAfterMidFold,""" +
+      s""""sidecar_tags_after_horizon_compact":$sidecarAfterHorizon,""" +
+      s""""sidecar_bounded":$sidecarBounded,""" +
       s""""final_checksum_matches_source":$contentOk,""" +
       f""""post_fold_over_pre_fold_avg":$postOverPre%.2f,""" +
       s""""ok":$ok}""")
