@@ -577,10 +577,15 @@ object MultiSignalIngest {
     * Semantics after a takedown: later batches check admission against
     * the REDUCED corpus — a new near-dup of a removed document is
     * ADMITTED (the document is gone, not shadow-banned). The admission
-    * LOG is a journal and stays untouched, so the occupancy mask keeps
-    * sizing from cumulative admissions; a mask wider than current
-    * occupancy only makes cells finer — more collisions checked, never
-    * a missed near-dup ([[wouldAdmit]]'s lag note, same direction).
+    * LOG is a journal and stays untouched: the occupancy mask is a
+    * CAPACITY parameter sized from cumulative admissions (monotone, so
+    * every replica and replay derives the identical width), and a
+    * takedown does not rewind capacity. The mask therefore stays at or
+    * above the exact-occupancy width — the same recall/cost policy
+    * point the worker would reach again as the corpus regrows — and
+    * the oracle twin replays exactly this (mask from the journal
+    * count, drops from the reduced corpus), so the policy is pinned,
+    * not drifting.
     * Replay safety rides the folded-tag records deleteWhere writes for
     * every touched leaf: a crashed batch replaying AFTER the takedown
     * is a no-op, so deleted rows are never resurrected by re-delivery

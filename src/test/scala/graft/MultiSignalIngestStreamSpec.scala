@@ -40,56 +40,76 @@ class MultiSignalIngestStreamSpec extends AnyFunSuite {
       rows.toDF("doc_id", "text", "embedding"))
 
   test("mixed chain collapses in-batch; corpus drops through either signal; kill/resume restates") {
-    val base = Files.createTempDirectory("graft-ms-stream")
+    // One kill-and-resume attempt over a FRESH tmp tree; returns
+    // (base, survivors-after-kill). The kill races the drain by
+    // design: the poll fires as soon as batch 0's admissions commit,
+    // but on a warm JVM batch 1 can finish inside one poll interval
+    // and the kill lands after the full drain — a lost race, not a
+    // defect. The caller retries the whole scenario on fresh dirs (all
+    // final-state assertions hold either way; only the MID-drain
+    // restate claim needs a won race). Seen once in a full-suite run
+    // where this spec executed last and everything was JIT-hot.
+    def attempt(): (java.nio.file.Path, Long) = {
+      val base = Files.createTempDirectory("graft-ms-stream")
+      val flat = base.resolve("in").toString
+      val wh = base.resolve("wh").toString
+      val ckpt = base.resolve("ckpt").toString
+      new java.io.File(flat).mkdirs()
+
+      // f0 — the MIXED CHAIN: 11 and 12 are lexical near-dups (texts
+      // one word apart; vectors orthogonal), 12 and 13 are semantic
+      // near-dups (ε-leaked vectors; texts from disjoint vocabularies).
+      // The union closure makes {11, 12, 13} ONE cluster → winner 11.
+      // Doc 20 is unrelated on both signals → admits.
+      addFile(flat, base, "f0", Seq(
+        (12L, text("a", "zz"), vec(1)),
+        (11L, text("a"), vec(0)),
+        (13L, text("c"), vec(1, 2, 0.1f)),
+        (20L, text("b"), vec(3))))
+      // f1 — corpus drops through EITHER signal: doc 1's text copies
+      // the ADMITTED 11 (vector brand new → lexical drop), doc 30's
+      // vector paraphrases 11's (text brand new → semantic drop), doc
+      // 40 is new on both → admits.
+      addFile(flat, base, "f1", Seq(
+        (1L, text("a", "yy"), vec(5)),
+        (30L, text("d"), vec(0, 6, 0.1f)),
+        (40L, text("e"), vec(7))))
+
+      // pre-commit: an empty warehouse admits everything (mask width 0,
+      // no index on disk — both probe paths must answer empty, not throw)
+      val cold = MultiSignalIngest.wouldAdmit(spark, wh,
+        Seq((9L, text("a"), vec(0))).toDF("query_id", "text", "embedding"))
+        .collect()
+      assert(cold.length == 1 && cold.head.getBoolean(1),
+        "an un-committed warehouse must admit every candidate")
+
+      // run 1: kill as soon as at least one batch admitted rows
+      val q1 = Pipeline.runMultiSignalIngest(spark, flat, wh, ckpt)
+      val survivorsDir = s"$wh/ms_survivors"
+      val deadline = System.currentTimeMillis() + 120000
+      def admitted(): Long =
+        if (!Files.exists(java.nio.file.Paths.get(survivorsDir, "_SUCCESS"))) 0L
+        else spark.read.parquet(survivorsDir).count()
+      while (admitted() < 1 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      q1.stop()
+      q1.awaitTermination(60000)
+      val afterKill = admitted()
+      assert(afterKill >= 1, "run 1 never admitted a row")
+
+      // run 2: resume on the SAME checkpoint, drain to completion
+      val q2 = Pipeline.runMultiSignalIngest(spark, flat, wh, ckpt)
+      q2.awaitTermination(120000)
+      (base, afterKill)
+    }
+    var (base, afterKill) = attempt()
+    var tries = 1
+    while (afterKill >= 3 && tries < 3) {
+      val r = attempt(); base = r._1; afterKill = r._2; tries += 1
+    }
     val flat = base.resolve("in").toString
     val wh = base.resolve("wh").toString
     val ckpt = base.resolve("ckpt").toString
-    new java.io.File(flat).mkdirs()
-
-    // f0 — the MIXED CHAIN: 11 and 12 are lexical near-dups (texts one
-    // word apart; vectors orthogonal), 12 and 13 are semantic near-dups
-    // (ε-leaked vectors; texts from disjoint vocabularies). The union
-    // closure makes {11, 12, 13} ONE cluster → winner 11. Doc 20 is
-    // unrelated on both signals → admits.
-    addFile(flat, base, "f0", Seq(
-      (12L, text("a", "zz"), vec(1)),
-      (11L, text("a"), vec(0)),
-      (13L, text("c"), vec(1, 2, 0.1f)),
-      (20L, text("b"), vec(3))))
-    // f1 — corpus drops through EITHER signal: doc 1's text copies the
-    // ADMITTED 11 (vector brand new → lexical drop), doc 30's vector
-    // paraphrases 11's (text brand new → semantic drop), doc 40 is new
-    // on both → admits.
-    addFile(flat, base, "f1", Seq(
-      (1L, text("a", "yy"), vec(5)),
-      (30L, text("d"), vec(0, 6, 0.1f)),
-      (40L, text("e"), vec(7))))
-
-    // pre-commit: an empty warehouse admits everything (mask width 0,
-    // no index on disk — both probe paths must answer empty, not throw)
-    val cold = MultiSignalIngest.wouldAdmit(spark, wh,
-      Seq((9L, text("a"), vec(0))).toDF("query_id", "text", "embedding"))
-      .collect()
-    assert(cold.length == 1 && cold.head.getBoolean(1),
-      "an un-committed warehouse must admit every candidate")
-
-    // run 1: kill as soon as at least one batch admitted rows
-    val q1 = Pipeline.runMultiSignalIngest(spark, flat, wh, ckpt)
-    val survivorsDir = s"$wh/ms_survivors"
-    val deadline = System.currentTimeMillis() + 120000
-    def admitted(): Long =
-      if (!Files.exists(java.nio.file.Paths.get(survivorsDir, "_SUCCESS"))) 0L
-      else spark.read.parquet(survivorsDir).count()
-    while (admitted() < 1 && System.currentTimeMillis() < deadline)
-      Thread.sleep(100)
-    q1.stop()
-    q1.awaitTermination(60000)
-    val afterKill = admitted()
-    assert(afterKill >= 1, "run 1 never admitted a row")
-
-    // run 2: resume on the SAME checkpoint, drain to completion
-    val q2 = Pipeline.runMultiSignalIngest(spark, flat, wh, ckpt)
-    q2.awaitTermination(120000)
 
     val got = MultiSignalIngest.survivors(spark, wh)
       .select(col("doc_id")).collect().map(_.getLong(0)).toSet
@@ -112,12 +132,14 @@ class MultiSignalIngestStreamSpec extends AnyFunSuite {
       s"admission log diverged: ${log.toSeq}")
 
     assert(afterKill < 3,
-      s"kill landed after the full drain ($afterKill survivors) — test proved nothing")
+      s"kill landed after the full drain ($afterKill survivors) in all " +
+        s"$tries attempts — the mid-drain restate path was never exercised")
 
     // a drained checkpoint re-run is a no-op
     val q3 = Pipeline.runMultiSignalIngest(spark, flat, wh, ckpt)
     q3.awaitTermination(120000)
-    assert(admitted() == 3L, "a drained checkpoint re-run must admit nothing")
+    assert(MultiSignalIngest.survivors(spark, wh).count() == 3L,
+      "a drained checkpoint re-run must admit nothing")
 
     // serving pre-check over the drained corpus {11, 20, 40}: a lexical
     // copy of 11 is rejected with 11 as the lexical match, a paraphrase
@@ -151,5 +173,70 @@ class MultiSignalIngestStreamSpec extends AnyFunSuite {
     assert(fromLog == fromTable,
       s"log-derived corpus size $fromLog != survivors count $fromTable — " +
         "the serving mask would diverge from the worker's")
+  }
+
+  test("lifecycle through a REAL checkpoint: horizon-pruned compact, takedown, rebucket under stale config") {
+    val base = Files.createTempDirectory("graft-ms-lifecycle")
+    val flat = base.resolve("in").toString
+    val wh = base.resolve("wh").toString
+    val ckpt = base.resolve("ckpt").toString
+    new java.io.File(flat).mkdirs()
+    val survivorsDir = s"$wh/ms_survivors"
+    val indexDir = s"$wh/ms_index"
+    import graft.sinks.UpsertWriter
+
+    // batch 0: two unrelated docs, bucketed state (4-way)
+    addFile(flat, base, "f0", Seq(
+      (11L, text("a"), vec(0)),
+      (20L, text("b"), vec(3))))
+    val q1 = MultiSignalIngest.start(spark, flat, wh, ckpt,
+      stateBuckets = Some(4))
+    assert(q1.awaitTermination(120000), "drain 1 did not finish")
+    assert(MultiSignalIngest.survivors(spark, wh).count() == 2)
+
+    // the checkpoint's commit log proves batch 0 dead → horizon 1, and
+    // a compact carrying it prunes the sidecar the drain's delta
+    // appends created — the maintenance cycle a production worker runs
+    val horizon = UpsertWriter.replayHorizon(ckpt)
+    assert(horizon.contains(1L),
+      s"commit log should prove batch 0 committed, got $horizon")
+    assert(UpsertWriter.foldedTags(survivorsDir).isEmpty) // nothing folded yet
+    UpsertWriter.compact(spark, survivorsDir, replayHorizon = horizon)
+    UpsertWriter.compact(spark, indexDir, replayHorizon = horizon)
+    assert(UpsertWriter.foldedTags(survivorsDir).isEmpty &&
+      UpsertWriter.foldedTags(indexDir).isEmpty,
+      "the horizon-pruned compact must leave an empty sidecar " +
+        "(b0 committed, its folded-tag guard is dead weight)")
+
+    // TAKEDOWN doc 11, then rebucket 4 → 8 — the pin moves while the
+    // worker's configured count below stays 4 (stale on purpose)
+    val (nSurv, nIdx) = MultiSignalIngest.takedown(
+      spark, wh, col("doc_id") === 11L)
+    assert(nSurv == 1L && nIdx > 0L, s"takedown removed ($nSurv, $nIdx)")
+    UpsertWriter.rebucket(spark, survivorsDir, keys = Seq("doc_id"),
+      newBuckets = 8, replayHorizon = horizon)
+    assert(UpsertWriter.pinnedBuckets(survivorsDir).contains(8))
+
+    // batch 1: a lexical copy of the REMOVED 11 must ADMIT (deleted,
+    // not shadow-banned); a copy of the still-present 20 must drop
+    addFile(flat, base, "f1", Seq(
+      (50L, text("a", "qq"), vec(5)),
+      (51L, text("b", "rr"), vec(6))))
+    val q2 = MultiSignalIngest.start(spark, flat, wh, ckpt,
+      stateBuckets = Some(4)) // stale config: the pin (8) must rule
+    assert(q2.awaitTermination(120000), "drain 2 did not finish")
+
+    val got = MultiSignalIngest.survivors(spark, wh)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(got == Set(20L, 50L),
+      s"post-takedown admission diverged: $got (50 must admit against " +
+        "the reduced corpus; 51 must drop against surviving 20)")
+    assert(UpsertWriter.pinnedBuckets(survivorsDir).contains(8),
+      "the stale-configured drain must follow the pin, not re-pin 4")
+    // every surviving row physically lives in its 8-way bucket
+    val misplaced = spark.read.parquet(survivorsDir)
+      .filter(col(UpsertWriter.BucketCol) =!=
+        pmod(xxhash64(col("doc_id")), lit(8L)).cast("int")).count()
+    assert(misplaced == 0, s"$misplaced rows outside their 8-way bucket")
   }
 }
