@@ -519,6 +519,23 @@ object AnnIngest {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else spark.read.parquet(dir)
 
+  /** TAKEDOWN: remove indexed vectors matching `predicate` — a
+    * searched row-grain [[UpsertWriter.deleteWhere]] on the postings
+    * index under the maintenance lease. The frozen quantizer
+    * (centroids) stays: it is fitted capacity, not per-row state — the
+    * next [[refit]]/[[refitIfDrifted]] re-fits over what remains,
+    * exactly as it would after any corpus shift. Folded tags keep a
+    * crashed batch's replay a no-op, so removed vectors are never
+    * resurrected by re-delivery. Returns rows removed. */
+  def takedown(
+      spark: SparkSession,
+      warehouseDir: String,
+      predicate: org.apache.spark.sql.Column): Long = {
+    val dir = s"$warehouseDir/ann_index"
+    if (!Files.exists(Paths.get(dir, "_SUCCESS"))) 0L
+    else UpsertWriter.deleteWhere(spark, dir, predicate)
+  }
+
   /** Serving view: the postings index (cell, vec_id, v, norm).
     * `batch_id` is the LAST batch that wrote the row (bumped by a
     * re-sent key's update); `first_admitted_batch` the batch that first

@@ -183,6 +183,22 @@ object DedupIngest {
     * uniform across this package's serving reads; this worker was the
     * one exception until round 8). The declared schema covers the
     * contract columns; extra input columns ride along once committed. */
+  /** TAKEDOWN: remove admitted documents matching `predicate` (over
+    * the survivors schema) from the corpus — a searched row-grain
+    * [[UpsertWriter.deleteWhere]] under the maintenance lease
+    * ([[MultiSignalIngest.takedown]]'s contract: the admission log is
+    * a journal and stays; a replayed batch whose deltas the rewrite
+    * folded stays a no-op; a later IDENTICAL document is then
+    * ADMITTED — removed, not shadow-banned). Returns rows removed. */
+  def takedown(
+      spark: SparkSession,
+      warehouseDir: String,
+      predicate: org.apache.spark.sql.Column): Long = {
+    val dir = s"$warehouseDir/dedup_survivors"
+    if (!Files.exists(Paths.get(dir, "_SUCCESS"))) 0L
+    else UpsertWriter.deleteWhere(spark, dir, predicate)
+  }
+
   def survivors(spark: SparkSession, warehouseDir: String): DataFrame =
     tableOrEmpty(spark, s"$warehouseDir/dedup_survivors",
       StructType(Seq(

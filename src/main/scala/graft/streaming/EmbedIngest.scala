@@ -472,6 +472,22 @@ object EmbedIngest {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else spark.read.parquet(dir)
 
+  /** TAKEDOWN: remove admitted vectors matching `predicate` from the
+    * corpus — a searched row-grain [[UpsertWriter.deleteWhere]] under
+    * the maintenance lease ([[MultiSignalIngest.takedown]]'s contract:
+    * the admission log is a journal and stays, so the occupancy mask
+    * keeps its monotone capacity sizing; folded tags keep replays
+    * no-ops; a later duplicate of a removed vector is ADMITTED).
+    * Returns rows removed. */
+  def takedown(
+      spark: SparkSession,
+      warehouseDir: String,
+      predicate: org.apache.spark.sql.Column): Long = {
+    val dir = s"$warehouseDir/embed_survivors"
+    if (!Files.exists(Paths.get(dir, "_SUCCESS"))) 0L
+    else UpsertWriter.deleteWhere(spark, dir, predicate)
+  }
+
   /** Serving view: every admitted (semantically-unique) vector with its
     * full-width signature. `batch_id` is the LAST batch that wrote the
     * row (content version); `first_admitted_batch` the batch that first

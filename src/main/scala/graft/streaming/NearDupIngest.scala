@@ -411,6 +411,23 @@ object NearDupIngest {
     * (immutable — the replay anchor; backfilled to `batch_id` for
     * pre-upgrade tables). Empty — not an error — before the first
     * admitting batch. */
+  /** TAKEDOWN: remove admitted documents matching `predicate` from the
+    * corpus — survivors AND the band index, each a searched row-grain
+    * [[UpsertWriter.deleteWhere]] under its own maintenance lease
+    * ([[MultiSignalIngest.takedown]]'s contract — journal-preserving,
+    * replay-safe via folded tags, removed-not-shadow-banned). Returns
+    * (survivor rows removed, index rows removed). */
+  def takedown(
+      spark: SparkSession,
+      warehouseDir: String,
+      predicate: org.apache.spark.sql.Column): (Long, Long) = {
+    def del(dir: String): Long =
+      if (!Files.exists(Paths.get(dir, "_SUCCESS"))) 0L
+      else UpsertWriter.deleteWhere(spark, dir, predicate)
+    (del(s"$warehouseDir/neardup_survivors"),
+      del(s"$warehouseDir/neardup_index"))
+  }
+
   def survivors(spark: SparkSession, warehouseDir: String): DataFrame =
     EmbedIngest.withFirstAdmitted(
       tableOrEmpty(spark, s"$warehouseDir/neardup_survivors", StructType(Seq(
