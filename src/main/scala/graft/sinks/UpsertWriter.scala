@@ -1379,21 +1379,30 @@ object UpsertWriter {
       }
       nDel
     } else {
-      // leaves holding matching rows; the distinct is partition-count
-      // bounded, so the collect is too (same bound as [[rebucket]]'s
-      // probe arithmetic — never row-sized)
-      val touched = full.filter(hit)
-        .select(partCols.map(col): _*).distinct()
-      val touchedRows = touched.collect()
-      if (touchedRows.isEmpty) 0L
+      // ONE grouped aggregation answers both driver-side questions —
+      // which leaves hold matching rows AND how many rows match — so
+      // the table is scanned once for the bookkeeping, not once per
+      // question. The collect is partition-count bounded (one row per
+      // touched leaf, same bound as [[rebucket]]'s probe arithmetic —
+      // never row-sized); groupBy keeps NULL partition values as their
+      // own group, matching the null-safe scope join below.
+      val perLeaf = full.filter(hit)
+        .groupBy(partCols.map(col): _*)
+        .agg(count(lit(1)).as("__n")).collect()
+      if (perLeaf.isEmpty) 0L
       else {
+        val partSchema = org.apache.spark.sql.types.StructType(
+          full.select(partCols.map(col): _*).schema.fields)
+        val touchedRows: Array[org.apache.spark.sql.Row] =
+          perLeaf.map(r =>
+            org.apache.spark.sql.Row.fromSeq(r.toSeq.dropRight(1)))
+        val nDel = perLeaf.map(r => r.getLong(r.length - 1)).sum
         val touchedB = broadcast(
           spark.createDataFrame(
-            java.util.Arrays.asList(touchedRows: _*), touched.schema))
+            java.util.Arrays.asList(touchedRows: _*), partSchema))
         val scopeCond = partCols.map(c => full(c) <=> touchedB(c))
           .reduce(_ && _)
         val scoped = full.join(touchedB, scopeCond, "left_semi")
-        val nDel = scoped.filter(hit).count()
         val remaining = scoped.filter(!hit)
         // refuse the unreadable end state up front: every live leaf
         // touched AND nothing survives anywhere
