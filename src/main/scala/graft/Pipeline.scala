@@ -29,13 +29,25 @@ object Pipeline {
 
   /** One daily run. `runVersion` is the orchestrator's monotonically
     * increasing run id (the reference used NOW(); a replayed run passes
-    * its original id and the upsert restates idempotently). */
+    * its original id and the upsert restates idempotently).
+    *
+    * `workerCheckpoint`: the Structured Streaming checkpoint of a
+    * worker that CO-WRITES the mart with batch-tagged appends, if the
+    * deployment has one. The daily upsert and the accretion compaction
+    * fold any such deltas and record their tags in the replay sidecar;
+    * the checkpoint proves which batches can never replay
+    * ([[UpsertWriter.replayHorizon]]), so this run's maintenance also
+    * PRUNES the sidecar instead of growing it forever. A pure-batch
+    * deployment (this pipeline alone writes the mart — the default)
+    * never creates deltas, so `None` is exact, not a loophole: the
+    * sidecar stays empty. */
   def runDaily(
       spark: SparkSession,
       sfDir: String,
       warehouseDir: String,
       runVersion: Long,
-      compactOver: Int = 64): Unit = {
+      compactOver: Int = 64,
+      workerCheckpoint: Option[String] = None): Unit = {
     Sessions.tune(spark)
 
     // 1. consolidate
@@ -66,7 +78,14 @@ object Pipeline {
     val files =
       try walk.filter(p => p.toString.endsWith(".parquet")).count()
       finally walk.close()
-    if (files > compactOver) UpsertWriter.compact(spark, martPath)
+    // the worker checkpoint (when a streamed co-writer exists) proves
+    // the replay horizon, so maintenance BOUNDS the folded-tag sidecar
+    // instead of only growing it: the compaction prunes when it fires,
+    // and the cheap metadata-only prune runs on the days it doesn't
+    val horizon = workerCheckpoint.flatMap(UpsertWriter.replayHorizon)
+    if (files > compactOver)
+      UpsertWriter.compact(spark, martPath, replayHorizon = horizon)
+    else horizon.foreach(UpsertWriter.pruneReplayMetadata(martPath, _))
   }
 
   /** The STREAMING counterpart of [[runDaily]] — the reference's queue
@@ -151,10 +170,12 @@ object Pipeline {
       vecsDir: String,
       warehouseDir: String,
       checkpointDir: String,
-      filesPerTrigger: Int = 1): StreamingQuery = {
+      filesPerTrigger: Int = 1,
+      stateBuckets: Option[Int] = None): StreamingQuery = {
     Sessions.tune(spark)
     streaming.AnnIngest.start(
-      spark, vecsDir, warehouseDir, checkpointDir, filesPerTrigger)
+      spark, vecsDir, warehouseDir, checkpointDir, filesPerTrigger,
+      stateBuckets = stateBuckets)
   }
 
   /** ONE scheduled ANN-maintenance cycle — the cadence a deployment
@@ -170,7 +191,17 @@ object Pipeline {
     * exactly which cycles paid a rewrite. A drain that does not finish
     * within `drainTimeoutMs` is stopped and the cycle fails loudly —
     * maintenance must never run beside a live drain.
-    * `AnnIngestStreamSpec` drives a drifted and a healthy cycle. */
+    *
+    * Every cycle also BOUNDS the worker's replay metadata: the drain's
+    * own checkpoint proves which batches committed
+    * ([[graft.sinks.UpsertWriter.replayHorizon]]), the rebucket prunes
+    * the folded-tags sidecar under that horizon when it fires, and the
+    * metadata-only prune ([[graft.sinks.UpsertWriter
+    * .pruneReplayMetadata]]) runs when it doesn't — so the sidecar
+    * stays O(replayable batches) across an unbounded cycle count
+    * (`PipelineStreamingSpec` drives 20+ orchestrated cycles and
+    * asserts it). `AnnIngestStreamSpec` drives a drifted and a healthy
+    * cycle. */
   def runAnnIngestCycle(
       spark: SparkSession,
       vecsDir: String,
@@ -178,7 +209,9 @@ object Pipeline {
       checkpointDir: String,
       filesPerTrigger: Int = 1,
       driftThreshold: Double = 0.5,
-      drainTimeoutMs: Long = 300000L): Option[streaming.AnnIngest.RefitReport] = {
+      drainTimeoutMs: Long = 300000L,
+      rebucketTargetBytes: Long = 256L << 20,
+      stateBuckets: Option[Int] = None): Option[streaming.AnnIngest.RefitReport] = {
     // CHECKED drain window ([[sinks.TableLease]]): while the drain is
     // live, a maintenance pass (compact/refit — this cycle's own or a
     // concurrently scheduled one, same process or not) is refused
@@ -190,7 +223,8 @@ object Pipeline {
         Seq(s"$warehouseDir/ann_index", s"$warehouseDir/ann_centroids"),
         s"ann-drain:pid${ProcessHandle.current().pid()}") {
       val q = runAnnIngest(
-        spark, vecsDir, warehouseDir, checkpointDir, filesPerTrigger)
+        spark, vecsDir, warehouseDir, checkpointDir, filesPerTrigger,
+        stateBuckets)
       if (!q.awaitTermination(drainTimeoutMs)) {
         q.stop()
         throw new IllegalStateException(
@@ -198,17 +232,29 @@ object Pipeline {
             "skipping maintenance (refit must never run beside a live drain)")
       }
     }
+    // the finished drain's checkpoint proves the replay horizon: every
+    // batch it committed can never replay, so this cycle's maintenance
+    // may prune the folded-tags sidecar down to the replayable set —
+    // the bound that keeps a long-lived worker's hot-path metadata
+    // O(replayable batches) instead of O(batches ever)
+    val horizon = graft.sinks.UpsertWriter.replayHorizon(checkpointDir)
     // same maintenance window, second policy: a pinned index whose
     // average bucket outgrew the target is re-bucketed (one directory
     // walk when healthy; loud when it fires — the run log must show
     // which cycles paid a rewrite)
     graft.sinks.UpsertWriter.rebucketIfOvergrown(
-        spark, s"$warehouseDir/ann_index", Seq("vec_id"))
+        spark, s"$warehouseDir/ann_index", Seq("vec_id"),
+        targetBucketBytes = rebucketTargetBytes, replayHorizon = horizon)
       .foreach { case (o, n) =>
         Console.err.println(
           s"[ann-cycle] ann_index rebucketed $o -> $n buckets " +
             "(average bucket outgrew the maintenance target)")
       }
+    // metadata-only prune on the cycles where no rewrite fired — one
+    // sidecar read, so it runs every cycle unconditionally
+    horizon.foreach(
+      graft.sinks.UpsertWriter.pruneReplayMetadata(
+        s"$warehouseDir/ann_index", _))
     streaming.AnnIngest.refitIfDrifted(spark, warehouseDir, driftThreshold)
   }
 

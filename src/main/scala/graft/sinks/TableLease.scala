@@ -79,30 +79,44 @@ object TableLease {
   private def read(path: String, kind: Kind): Option[(String, Long)] =
     readFile(leaseFile(path, kind))
 
-  /** The freshest RENEWAL SENTINEL beside lease file `f`, if any is
+  /** Directory holding lease `f`'s renewal sentinels: a SCOPED
+    * namespace (`<lease>.renewing/`), not a sibling-name prefix, so the
+    * gate's sentinel scan is one `isDirectory` stat on a table that has
+    * never renewed (the common case — [[requireNoForeignMaintenance]]
+    * runs on EVERY append/upsert) and a listing of at most the lease's
+    * own concurrent renewals otherwise — never a listing of the whole
+    * warehouse directory, whose cost grows with sibling tables and
+    * markers (and is a server-side prefix LIST, not a full scan, on an
+    * object store). The directory is left in place once created: a
+    * concurrent create-vs-delete race on the directory itself would
+    * force retries inside the renewal bracket, and an empty directory
+    * costs the gate one cheap empty listing. */
+  private def sentinelDir(f: Path): Path = {
+    val abs = f.toAbsolutePath
+    abs.resolveSibling(abs.getFileName.toString + ".renewing")
+  }
+
+  /** The freshest RENEWAL SENTINEL for lease file `f`, if any is
     * within `ttlMs`. A renewal brackets its tomb-and-re-create exchange
-    * with a uniquely named sibling (`<lease>.renewing-<pid>-<tid>-
-    * <nano>`, created before the tomb, deleted after the re-create), so
-    * the microseconds where the lease file is legitimately ABSENT are
-    * still visible as a held window to every read-only gate
-    * ([[readEffective]]). Unique names keep concurrent renewals (two
-    * threads of one process heartbeating the same path) from deleting
-    * each other's bracket. A sentinel older than the TTL is a renewal
-    * that crashed inside the exchange — its window is over (the lease
-    * file is gone too), so it is dropped, not honored. */
+    * with a uniquely named file under [[sentinelDir]]
+    * (`<pid>-<tid>-<nano>`, created before the tomb, deleted after the
+    * re-create), so the microseconds where the lease file is
+    * legitimately ABSENT are still visible as a held window to every
+    * read-only gate ([[readEffective]]). Unique names keep concurrent
+    * renewals (two threads of one process heartbeating the same path)
+    * from deleting each other's bracket. A sentinel older than the TTL
+    * is a renewal that crashed inside the exchange — its window is over
+    * (the lease file is gone too), so it is dropped, not honored. */
   private def freshRenewalSentinel(
       f: Path, ttlMs: Long): Option[(String, Long)] = {
     import scala.jdk.CollectionConverters._
-    val abs = f.toAbsolutePath
-    val parent = abs.getParent
-    if (parent == null || !Files.isDirectory(parent)) return None
-    val prefix = abs.getFileName.toString + ".renewing-"
+    val dir = sentinelDir(f)
+    if (!Files.isDirectory(dir)) return None
     val list =
-      try Files.list(parent)
+      try Files.list(dir)
       catch { case _: java.io.IOException => return None }
     val sentinels =
-      try list.iterator().asScala
-        .filter(_.getFileName.toString.startsWith(prefix)).toList
+      try list.iterator().asScala.toList
       finally list.close()
     val entries = sentinels.flatMap(p => readFile(p).map(p -> _))
     entries.filter(_._2._2 > ttlMs)
@@ -111,50 +125,63 @@ object TableLease {
   }
 
   private def renewalSentinelFile(f: Path): Path =
-    f.resolveSibling(f.getFileName.toString +
-      s".renewing-${ProcessHandle.current().pid()}-" +
+    sentinelDir(f).resolve(
+      s"${ProcessHandle.current().pid()}-" +
       s"${Thread.currentThread().getId}-${System.nanoTime()}")
 
-  /** The `kind` window as a read-only GATE must see it: the lease file
-    * itself, or — when that is absent — a fresh renewal sentinel (the
-    * lease is mid-exchange; the window is LIVE). This closes what the
-    * module long documented as the tomb-window residual: a gate read
-    * landing in a renewal's tomb-to-re-create gap used to pass while
-    * the window was held.
-    *
-    * At any single INSTANT a held window is visible (the sentinel is
-    * created before the tomb and deleted only after the re-create),
-    * but a gate's lease read and sentinel scan are two separate
-    * instants — the classic atomic-snapshot gap: lease read inside
-    * renewal k's gap, scan after k's sentinel delete, and a re-read
-    * landing inside renewal k+1's gap reports an empty field (observed
-    * once in ~150 attempts by the forked-JVM race spec against a
-    * back-to-back heartbeat loop). POSIX rename offers no atomic
-    * two-file read, so the gate instead makes THREE full (lease,
-    * sentinel) passes and reports absent only if every read of every
-    * pass came up empty: defeating it takes three complete renewal
-    * cycles each aligned to a different microsecond read of one gate
-    * call — vanishing even against a pathological zero-work renewal
-    * loop, unschedulable for real heartbeats spaced by batch work.
-    * Passes cost two file stats each and run ONLY when the lease file
-    * is absent (no maintenance running — the common case pays one
-    * lease stat plus the cheap empty scans). */
-  private def readEffective(
-      path: String, kind: Kind, ttlMs: Long): Option[(String, Long)] = {
-    val f = leaseFile(path, kind)
-    var pass = 0
-    while (pass < 3) {
-      read(path, kind) match {
-        case some @ Some(_) => return some
-        case None =>
-          freshRenewalSentinel(f, ttlMs) match {
-            case some @ Some(_) => return some
-            case None => pass += 1
-          }
-      }
-    }
-    None
+  /** Create an exchange sentinel bracketing a lease-file exchange on
+    * `f` for `holder`; returns the sentinel path (the caller deletes
+    * it in a finally). Used only by the RARE exchanges that absent the
+    * lease file while a window may be live — a near-boundary renewal
+    * and a release's verify/restore ([[readEffective]]'s contract;
+    * healthy heartbeats replace in place and need no bracket).
+    * Advisory — an IO failure never wedges the exchange; the gate's
+    * visibility degrades to the bare lease read for that one
+    * exchange. */
+  private def openSentinel(f: Path, holder: String): Path = {
+    val sentinel = renewalSentinelFile(f)
+    try {
+      Files.createDirectories(sentinel.getParent)
+      Files.write(sentinel, leasePayload(holder),
+        java.nio.file.StandardOpenOption.CREATE_NEW)
+    } catch { case _: java.io.IOException => () }
+    sentinel
   }
+
+  /** The `kind` window as a read-only GATE must see it: the lease file
+    * itself, or — when that is absent — a fresh exchange sentinel (the
+    * lease is mid-exchange; the window is LIVE).
+    *
+    * THE MODULE CONTRACT (r15): a HEALTHY renewal never removes the
+    * lease file at all — [[acquire]]'s heartbeat branch refreshes the
+    * payload IN PLACE with an atomic same-directory REPLACE rename —
+    * so for the whole life of a held window under a live heartbeat
+    * this gate is DETERMINISTIC: one lease-file read, no alignment
+    * windows, no probability argument. (The previous design tombed and
+    * re-created the file on every renewal and defended the absence gap
+    * with a three-pass sentinel scan; its own cross-process spec then
+    * measured 10/3000 gate admissions against a zero-work renewal
+    * loop — the passes are CORRELATED under a periodic adversary, so
+    * multiplying per-pass probabilities was wrong, and the machinery
+    * was replaced, not re-argued. The fork spec now asserts ZERO
+    * admissions, deterministically.)
+    *
+    * The only lease-file absences that can occur while a window is
+    * semantically live are sentinel-bracketed and rare: a NEAR-BOUNDARY
+    * renewal (lease age past ttl−margin — the holder all but went
+    * stale) and a release's foreign-restore exchange (theft already
+    * happened). For those the gate falls through to one sentinel-dir
+    * check — a single stat on a table with no exchange in flight
+    * ([[sentinelDir]]). The two-instant lease-then-sentinel read is a
+    * residual ONLY inside those exchanges: events whose frequency is
+    * theft/near-stale incidents, not heartbeats. Absences during a
+    * stale-lease STEAL ([[claimStale]]) are deliberately visible — a
+    * stale window is contractually unheld, so reading it absent is
+    * correct, not a gap. */
+  private def readEffective(
+      path: String, kind: Kind, ttlMs: Long): Option[(String, Long)] =
+    read(path, kind).orElse(
+      freshRenewalSentinel(leaseFile(path, kind), ttlMs))
 
   /** Atomically CLAIM a stale lease file: rename it to a unique tomb,
     * VERIFY the tombed content is actually stale, then drop the tomb.
@@ -223,29 +250,30 @@ object TableLease {
     }
   }
 
-  /** Atomically take OUR OWN lease file out of play before a renewal:
-    * tomb-rename it and verify the tombed content really is this
-    * holder's. The old refresh form — a blind REPLACE_EXISTING
-    * overwrite — re-opened the two-holders race exactly at the TTL
-    * boundary: a thief that had just stolen the (boundary-stale) lease
-    * and created its own would have it silently overwritten by the
-    * renewal, with both sides believing they held the window. With the
-    * tomb, a renewal that finds someone else's content restores it and
-    * reports failure (the caller refuses loudly), and the subsequent
-    * CREATE_NEW race decides every concurrent interleaving with exactly
-    * one winner. An absent file reports success — the race downstream
-    * decides.
+  /** Atomically take OUR OWN lease file out of play: tomb-rename it
+    * and verify the tombed content really is this holder's. Used by
+    * [[release]] and by [[acquire]]'s NEAR-BOUNDARY renewal branch
+    * only — a healthy heartbeat replaces the payload in place and
+    * never calls this (an UNCONDITIONAL blind REPLACE here would
+    * re-open the two-holders race exactly at the TTL boundary: a thief
+    * that had just stolen the boundary-stale lease and created its own
+    * would have it silently overwritten, with both sides believing
+    * they held the window — which is why the in-place path is gated on
+    * age ≤ ttl − ttl/4, where no concurrent steal can be legal). With
+    * the tomb, a caller that finds someone else's content restores it
+    * and reports failure, and a renewal's subsequent CREATE_NEW race
+    * decides every concurrent interleaving with exactly one winner. An
+    * absent file reports success — the race downstream decides.
     *
-    * ABSENCE WINDOW: between the tomb and the re-create the lease file
-    * is briefly ABSENT. POSIX rename cannot express the atomic
-    * two-file exchange that would avoid it (and the alternative — a
-    * blind REPLACE refresh with no gap — silently VIOLATED exclusivity
-    * at TTL boundaries, strictly worse). The gap is instead made
-    * VISIBLE: the renewal branch in [[acquire]] brackets this whole
-    * exchange with a renewal sentinel, and every read-only gate
-    * ([[readEffective]]) treats lease-absent-but-sentinel-fresh as a
-    * held window — the long-documented tomb-window residual is closed
-    * at the reader, not the renamer. */
+    * ABSENCE WINDOW: between the tomb and the restore/re-create the
+    * lease file is briefly ABSENT. POSIX rename cannot express the
+    * atomic two-file exchange that would avoid it. Both call sites
+    * bracket the exchange with a sentinel ([[openSentinel]]) so
+    * read-only gates ([[readEffective]]) see lease-absent-but-
+    * sentinel-fresh as a held window; because only near-stale renewals
+    * and releases ever enter this exchange, the gate's two-instant
+    * residual has the frequency of theft/near-stale incidents, not of
+    * heartbeats. */
   private def claimOwn(f: Path, holder: String): Boolean = {
     val tomb = f.resolveSibling(f.getFileName.toString +
       s".tomb-${ProcessHandle.current().pid()}-" +
@@ -306,21 +334,51 @@ object TableLease {
           s"cannot open a $kind window on $path: another $kind lease is " +
             s"held by '$h' (${age / 1000}s old) — two concurrent " +
             s"$kind holders violate the single-writer contract")
+      case Some((_, age)) if age <= ttlMs - ttlMs / 4 =>
+        // HEALTHY heartbeat (the overwhelming case — per-write renewals
+        // keep the age at seconds against a minutes TTL): refresh one's
+        // OWN fresh lease IN PLACE — new payload to a unique temp
+        // sibling, atomic same-directory REPLACE rename onto the lease
+        // file. The file is NEVER absent, so every read-only gate sees
+        // the held window deterministically ([[readEffective]]'s
+        // contract). Soundness of the replace: a thief may legally
+        // tomb-claim only a STALE lease (age > ttl), but this branch
+        // ran only because OUR read said age ≤ ttl − ttl/4 — the
+        // thief's qualifying read must come ≥ ttl/4 AFTER ours (same
+        // file, same stored timestamp, same clock), while our
+        // read-to-rename spans two adjacent file ops. Clobbering a
+        // thief would therefore take a ttl/4 stall between two
+        // syscalls — minutes at the default TTL, a holder the TTL
+        // model already declares crashed. Concurrent renewals by
+        // threads of the SAME holder commute (identical content
+        // modulo timestamp).
+        val tmp = f.resolveSibling(f.getFileName.toString +
+          s".renew-${ProcessHandle.current().pid()}-" +
+          s"${Thread.currentThread().getId}-${System.nanoTime()}")
+        Files.write(tmp, leasePayload(holder))
+        // ATOMIC_MOVE, not REPLACE_EXISTING: REPLACE without ATOMIC is
+        // implemented as unlink-target-then-rename — an absence window
+        // that re-opens the exact gap this branch exists to close (the
+        // fork gate-hammer spec measured 344/3000 admissions through
+        // it). ATOMIC_MOVE maps to plain rename(2), which replaces an
+        // existing target atomically on POSIX.
+        Files.move(tmp, f,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       case Some((_, age)) if age <= ttlMs =>
-        // refresh one's OWN fresh lease — atomically: tomb our file out
-        // ([[claimOwn]] verifies the content is really ours; a thief
-        // that won the boundary race is restored and we refuse), then
-        // the CREATE_NEW race decides concurrent renewers/stealers with
-        // exactly one winner. Never a blind overwrite. The whole
-        // exchange is bracketed by a RENEWAL SENTINEL so the lease
-        // file's brief absence stays visible as a held window to every
-        // read-only gate ([[readEffective]]); the bracket is removed in
-        // a finally — on refusal the window's true state is back in the
-        // lease file (restored by claimOwn or owned by the thief).
-        val sentinel = renewalSentinelFile(f)
-        try Files.write(sentinel, leasePayload(holder),
-          java.nio.file.StandardOpenOption.CREATE_NEW)
-        catch { case _: java.io.IOException => () } // advisory: never wedge a renewal
+        // NEAR-BOUNDARY renewal (age inside the last ttl/4 — the
+        // heartbeat all but went stale, so a concurrent thief's
+        // stale-read may already be legal and an in-place replace
+        // could clobber its fresh lease): take the conservative
+        // tomb-verify + CREATE_NEW exchange — [[claimOwn]] verifies
+        // the content is really ours (a thief that won the boundary
+        // race is restored and we refuse), then the CREATE_NEW race
+        // decides concurrent renewers/stealers with exactly one
+        // winner. The exchange briefly absents the lease file, so it
+        // is bracketed by a sentinel ([[openSentinel]]) that gates
+        // read as a held window; the bracket is removed in a finally —
+        // on refusal the window's true state is back in the lease file
+        // (restored by claimOwn or owned by the thief).
+        val sentinel = openSentinel(f, holder)
         try {
           if (!claimOwn(f, holder))
             throw new IllegalStateException(
@@ -370,15 +428,31 @@ object TableLease {
 
   /** Release `holder`'s lease. Releasing a lease someone else stole
     * (after this holder went stale) is a no-op — the thief owns it.
-    * Rides the same tomb-rename-verify as a renewal ([[claimOwn]]):
-    * the earlier read-check-delete form was a TOCTOU — a thief's fresh
-    * lease appearing between the read and the delete would be deleted
-    * by a holder releasing its own already-stolen window, re-opening
-    * the field to a third acquirer. With the tomb, a release that
-    * finds someone else's content restores it untouched. */
+    *
+    * READ-AND-COMPARE first: a foreign fresh lease (the common
+    * post-steal state) is never moved at all — the earlier form rode
+    * [[claimOwn]] unconditionally, which tombs the file BEFORE
+    * verifying ownership, so a thief's live window was briefly absent
+    * with no sentinel bracketing it (the same gap class the renewal
+    * sentinel closes, reintroduced). Only when the content reads as
+    * OURS (or unreadable — claimOwn's verify decides) does the
+    * tomb-verify exchange run, and it is BRACKETED by the same renewal
+    * sentinel as a renewal: if a thief replaced the file between the
+    * read and the move, the restore's brief absence still reads as a
+    * held window to every gate. (The bracket also covers the owner's
+    * own legitimate removal — a gate read landing just after the
+    * delete but before the sentinel drop sees "held" for a few extra
+    * microseconds, which is conservative, never unsafe.) */
   def release(path: String, kind: Kind, holder: String): Unit = {
-    claimOwn(leaseFile(path, kind), holder)
-    ()
+    val f = leaseFile(path, kind)
+    readFile(f) match {
+      case None => ()
+      case Some((h, _)) if h != holder && h != "<unreadable lease>" => ()
+      case _ =>
+        val sentinel = openSentinel(f, holder)
+        try { claimOwn(f, holder); () }
+        finally Files.deleteIfExists(sentinel)
+    }
   }
 
   // ── enforcement hooks the writers call ──────────────────────────────
@@ -412,19 +486,32 @@ object TableLease {
 
   /** Run `body` inside a maintenance window over `paths`: refuse if any
     * has a fresh drain lease, take maintenance leases on all (all-or-
-    * nothing), mark them owned for this thread, and always release. */
+    * nothing), mark them owned for this thread, and always release.
+    *
+    * RE-ENTRANT per thread: a path this thread's OUTER maintenance
+    * window already owns is not re-acquired (a nested acquire under a
+    * different holder name would refuse its own caller) and not
+    * released on the inner exit — the outer window's lifetime governs.
+    * This is what lets a multi-table op (e.g. a worker takedown over
+    * survivors + index) take ONE window over all its tables and call
+    * the per-table maintenance primitives ([[graft.sinks.UpsertWriter
+    * .deleteWhere]]) inside it: the pair of deletes is then
+    * all-or-nothing against concurrent windows — a foreign lease on
+    * EITHER table refuses the whole op before the first delete runs,
+    * never between them. */
   def withMaintenance[A](
       paths: Seq[String], holder: String,
       ttlMs: Long = DefaultTtlMs)(body: => A): A = {
-    acquireAll(paths, Maintenance, holder, ttlMs)
     val prev = ownMaintenance.get()
-    ownMaintenance.set(prev ++ paths)
-    paths.foreach(p => activeMaintenance.put(p, (holder, ttlMs)))
+    val fresh = paths.filterNot(prev.contains)
+    acquireAll(fresh, Maintenance, holder, ttlMs)
+    ownMaintenance.set(prev ++ fresh)
+    fresh.foreach(p => activeMaintenance.put(p, (holder, ttlMs)))
     try body
     finally {
-      paths.foreach(activeMaintenance.remove)
+      fresh.foreach(activeMaintenance.remove)
       ownMaintenance.set(prev)
-      paths.foreach(release(_, Maintenance, holder))
+      fresh.foreach(release(_, Maintenance, holder))
     }
   }
 

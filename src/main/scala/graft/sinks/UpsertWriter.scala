@@ -558,6 +558,24 @@ object UpsertWriter {
     else writeFoldedTags(path, kept)
   }
 
+  /** METADATA-ONLY maintenance: bound the folded-tags sidecar at
+    * `path` under a caller-proven replay horizon, without rewriting
+    * any data ([[pruneFoldedTags]] under the maintenance lease — the
+    * prune races a live drain's append exactly like a compact's
+    * sidecar rewrite would). [[compact]] and [[rebucket]] prune too,
+    * but only when their rewrite actually runs, and a healthy
+    * long-lived table can go thousands of maintenance cycles without
+    * one while its sidecar grows a line per folded batch — this is the
+    * cheap op an orchestrated cycle ([[graft.Pipeline
+    * .runAnnIngestCycle]]) runs EVERY time: one sidecar read plus at
+    * most one atomic rewrite, a no-op when no sidecar exists or
+    * nothing is provably dead. */
+  def pruneReplayMetadata(path: String, replayHorizon: Long): Unit =
+    TableLease.withMaintenance(
+        Seq(path), maintHolder("pruneReplayMetadata")) {
+      pruneFoldedTags(path, replayHorizon)
+    }
+
   /** The replay horizon a Structured Streaming CHECKPOINT proves: the
     * commit log at `<checkpointDir>/commits` holds one file per
     * committed batch id, and a batch whose commit is recorded is never
@@ -1343,17 +1361,19 @@ object UpsertWriter {
     // SQLConf), never on the caller's: the previous save/restore form
     // toggled the caller's session for the whole op, and any concurrent
     // batch query in that session saw partition columns change type
-    // mid-run. Only the execution-shaping runtime confs are copied over
-    // (newSession starts from builder-time defaults, which would
-    // silently drop a caller's tuned shuffle sizing — e.g. the
-    // streaming gates' micro-batch drive windows).
+    // mid-run. The caller session's FULL spark.sql.* runtime-conf delta
+    // is copied over, not a hand-picked allowlist (the earlier 7-conf
+    // list silently reverted anything else the caller tuned — parquet
+    // compression codec, maxRecordsPerFile, ANSI mode — so this op's
+    // staged rewrite came out with different file characteristics than
+    // every other write to the table). Static confs (warehouse dir,
+    // extensions) throw on set and are shared via the context anyway —
+    // skipped.
     val ds = spark.newSession()
-    Seq("spark.sql.shuffle.partitions", "spark.sql.adaptive.enabled",
-      "spark.sql.codegen.wholeStage", "spark.sql.codegen.factoryMode",
-      "spark.sql.session.timeZone",
-      "spark.sql.legacy.parquet.nanosAsLong",
-      "spark.sql.parquet.inferTimestampNTZ.enabled")
-      .foreach(k => spark.conf.getOption(k).foreach(ds.conf.set(k, _)))
+    spark.conf.getAll.foreach { case (k, v) =>
+      if (k.startsWith("spark.sql."))
+        try ds.conf.set(k, v) catch { case _: Exception => () }
+    }
     ds.conf.set(
       "spark.sql.sources.partitionColumnTypeInference.enabled", "false")
     deleteWhereInternal(ds, path, predicate)

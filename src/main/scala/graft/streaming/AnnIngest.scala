@@ -521,12 +521,19 @@ object AnnIngest {
 
   /** TAKEDOWN: remove indexed vectors matching `predicate` — a
     * searched row-grain [[UpsertWriter.deleteWhere]] on the postings
-    * index under the maintenance lease. The frozen quantizer
-    * (centroids) stays: it is fitted capacity, not per-row state — the
-    * next [[refit]]/[[refitIfDrifted]] re-fits over what remains,
-    * exactly as it would after any corpus shift. Folded tags keep a
-    * crashed batch's replay a no-op, so removed vectors are never
-    * resurrected by re-delivery. Returns rows removed. */
+    * index under the maintenance lease. ONE table, so no multi-table
+    * crash window exists here (unlike the two-table worker takedowns,
+    * [[MultiSignalIngest.takedown]]): the frozen quantizer (centroids)
+    * is deliberately NOT deleted from — it is fitted CAPACITY, not
+    * per-row state, so no predicate over vectors names a centroid row,
+    * and a centroid whose cell has lost every posting serves correctly
+    * (probes of that cell simply return nothing). The next
+    * [[refit]]/[[refitIfDrifted]] re-fits over what remains, exactly
+    * as it would after any corpus shift — refit state is derived, the
+    * postings are the single source of truth a takedown must reach.
+    * Folded tags keep a crashed batch's replay a no-op, so removed
+    * vectors are never resurrected by re-delivery. Returns rows
+    * removed. */
   def takedown(
       spark: SparkSession,
       warehouseDir: String,

@@ -569,10 +569,32 @@ object MultiSignalIngest {
   /** TAKEDOWN — remove every admitted document matching `predicate`
     * (over the survivors schema; a doc_id predicate fits both tables)
     * from the corpus: the survivors table AND the lexical band index,
-    * each a searched row-grain [[graft.sinks.UpsertWriter.deleteWhere]]
-    * under its own maintenance lease. The right-to-be-forgotten /
-    * contaminated-source op a training-data pipeline cannot live
-    * without at 100 TB, where the alternative is a corpus rewrite.
+    * two searched row-grain [[graft.sinks.UpsertWriter.deleteWhere]]
+    * passes under ONE maintenance window spanning both tables
+    * ([[graft.sinks.TableLease.withMaintenance]] is re-entrant), so a
+    * foreign lease on EITHER table refuses the whole takedown before
+    * the first row is deleted — never between the two deletes. The
+    * right-to-be-forgotten / contaminated-source op a training-data
+    * pipeline cannot live without at 100 TB, where the alternative is
+    * a corpus rewrite.
+    *
+    * CRASH CONTRACT (pinned by `WorkerTakedownSpec`'s crash-injection
+    * case): the two deletes are ordered SURVIVORS FIRST, and each is
+    * individually idempotent, so a crash between them leaves an
+    * ORPHANED-INDEX window — index rows whose documents are already
+    * gone. That window is (a) NEVER a shadow ban: admission's lexical
+    * verify joins index candidates back to the survivors' stored texts
+    * (an inner join on the shingle sets), so a dangling index row has
+    * no text to verify against and can neither drop a new admission
+    * nor resurrect the removed document — its only cost is dead index
+    * storage plus discarded candidate-join rows; and (b) HEALED by
+    * re-running the same takedown to completion, which deletes the
+    * leftover index rows and is a no-op on the already-clean survivors
+    * — a partially-applied takedown MUST be re-run (the first delete's
+    * count having been observed does not mean the document's index
+    * footprint is gone). The reverse order would be worse on both
+    * axes: a dangling SURVIVOR (index deleted first) would stay
+    * admittable-against forever.
     *
     * Semantics after a takedown: later batches check admission against
     * the REDUCED corpus — a new near-dup of a removed document is
@@ -599,8 +621,21 @@ object MultiSignalIngest {
     def del(dir: String): Long =
       if (!Files.exists(Paths.get(dir, "_SUCCESS"))) 0L
       else UpsertWriter.deleteWhere(spark, dir, predicate)
-    (del(s"$warehouseDir/ms_survivors"), del(s"$warehouseDir/ms_index"))
+    val surv = s"$warehouseDir/ms_survivors"
+    val idx = s"$warehouseDir/ms_index"
+    graft.sinks.TableLease.withMaintenance(Seq(surv, idx),
+        s"ms-takedown:pid${ProcessHandle.current().pid()}") {
+      val nSurv = del(surv)
+      takedownFault()
+      (nSurv, del(idx))
+    }
   }
+
+  /** Crash-injection hook for the takedown's between-deletes window —
+    * test-only, a no-op in production (the spec swaps in a throwing
+    * hook to pin the orphaned-index contract documented on
+    * [[takedown]]). */
+  private[graft] var takedownFault: () => Unit = () => ()
 
   /** Number of distinct admitted keys, from the admission log (one row
     * per batch): the serving-side corpus-size source for mask sizing. */

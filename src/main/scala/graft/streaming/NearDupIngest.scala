@@ -412,11 +412,16 @@ object NearDupIngest {
     * pre-upgrade tables). Empty — not an error — before the first
     * admitting batch. */
   /** TAKEDOWN: remove admitted documents matching `predicate` from the
-    * corpus — survivors AND the band index, each a searched row-grain
-    * [[UpsertWriter.deleteWhere]] under its own maintenance lease
-    * ([[MultiSignalIngest.takedown]]'s contract — journal-preserving,
-    * replay-safe via folded tags, removed-not-shadow-banned). Returns
-    * (survivor rows removed, index rows removed). */
+    * corpus — survivors AND the band index, two searched row-grain
+    * [[UpsertWriter.deleteWhere]] passes under ONE maintenance window
+    * spanning both tables ([[MultiSignalIngest.takedown]]'s contract
+    * in full — journal-preserving, replay-safe via folded tags,
+    * removed-not-shadow-banned, survivors-first ordering, and the same
+    * crash contract: a crash between the deletes leaves an
+    * orphaned-index window that can never shadow-ban — the lexical
+    * verify joins candidates back to survivors' texts — and is healed
+    * by re-running the takedown to completion). Returns (survivor rows
+    * removed, index rows removed). */
   def takedown(
       spark: SparkSession,
       warehouseDir: String,
@@ -424,8 +429,12 @@ object NearDupIngest {
     def del(dir: String): Long =
       if (!Files.exists(Paths.get(dir, "_SUCCESS"))) 0L
       else UpsertWriter.deleteWhere(spark, dir, predicate)
-    (del(s"$warehouseDir/neardup_survivors"),
-      del(s"$warehouseDir/neardup_index"))
+    val surv = s"$warehouseDir/neardup_survivors"
+    val idx = s"$warehouseDir/neardup_index"
+    graft.sinks.TableLease.withMaintenance(Seq(surv, idx),
+        s"neardup-takedown:pid${ProcessHandle.current().pid()}") {
+      (del(surv), del(idx))
+    }
   }
 
   def survivors(spark: SparkSession, warehouseDir: String): DataFrame =

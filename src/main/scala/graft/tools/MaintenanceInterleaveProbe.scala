@@ -21,7 +21,16 @@ import java.nio.file.Files
   *  - appends AFTER the fold land normally and stay ≈ flat per batch
   *    (the fold must not degrade the O(batch) ingest form);
   *  - the final table holds exactly the input key set (checksum vs the
-  *    source rows — self-contained, no reference run needed).
+  *    source rows — self-contained, no reference run needed);
+  *  - (r15) the replay horizon is DERIVED from a worker-style
+  *    checkpoint commits dir the probe maintains — the orchestrated
+  *    path's own chain (commits → [[UpsertWriter.replayHorizon]] →
+  *    prune), never a hand-passed constant: the mid-sequence fold's
+  *    horizon must keep the uncommitted (replayable) batch's guard
+  *    while pruning the dead ones, and the final metadata-only prune
+  *    ([[UpsertWriter.pruneReplayMetadata]], what
+  *    [[graft.Pipeline.runAnnIngestCycle]] schedules) must empty the
+  *    sidecar once every batch has committed.
   *
   * Prints one JSON line; non-zero exit on any violated invariant.
   * Usage: MaintenanceInterleaveProbe [sfDir] [nBatches] (default
@@ -57,12 +66,23 @@ object MaintenanceInterleaveProbe {
       rows.filter(col("__b") === i).drop("__b")
         .withColumn("ver", lit(i.toLong))
 
-    val path = Files.createTempDirectory("graft-interleave-probe")
-      .resolve("t").toString
+    val probeDir = Files.createTempDirectory("graft-interleave-probe")
+    val path = probeDir.resolve("t").toString
+    // a worker-style CHECKPOINT commits dir (one file per committed
+    // batch id — exactly the layout Structured Streaming writes), so
+    // the maintenance horizon is DERIVED the way the orchestrated path
+    // derives it ([[UpsertWriter.replayHorizon]]), never hand-passed
+    val ckpt = probeDir.resolve("ckpt").toString
+    val commits = probeDir.resolve("ckpt").resolve("commits")
+    Files.createDirectories(commits)
+    def commitBatch(i: Int): Unit =
+      Files.write(commits.resolve(i.toString), Array.emptyByteArray)
     val foldAt = nBatches / 2
     var compactSec = 0.0
     var replaySkipped = false
     var countStableAfterReplay = false
+    var midHorizon = -1L
+    var guardKeptForReplayable = false
     val perBatchMs = (0 until nBatches).map { i =>
       val b = batch(i)
       val t0 = System.nanoTime()
@@ -70,11 +90,20 @@ object MaintenanceInterleaveProbe {
         keys = Seq("id"), batchTag = s"b$i", numBuckets = numBuckets)
       val ms = (System.nanoTime() - t0) / 1000000L
       if (i == foldAt) {
-        // legal maintenance window: nothing draining, compact takes
-        // (and releases) the maintenance lease itself
+        // the CRASH story: batch foldAt's append landed but its
+        // checkpoint commit did NOT (commits hold 0..foldAt-1), so the
+        // batch is REPLAYABLE. The mid-sequence compact derives its
+        // horizon from the checkpoint exactly as the orchestrated
+        // maintenance cycle does — and that horizon (= foldAt) must
+        // KEEP the replayable batch's folded-tag guard while remaining
+        // free to prune everything older.
         val c0 = System.nanoTime()
-        UpsertWriter.compact(spark, path)
+        UpsertWriter.compact(spark, path,
+          replayHorizon = UpsertWriter.replayHorizon(ckpt))
         compactSec = (System.nanoTime() - c0) / 1e9
+        midHorizon = UpsertWriter.replayHorizon(ckpt).getOrElse(-1L)
+        guardKeptForReplayable =
+          UpsertWriter.foldedTags(path).contains(s"b$i")
         // the crashed-drain replay: batch b$i re-delivered AFTER the
         // compaction folded its delta files — must be a skipped no-op
         val nBeforeReplay = spark.read.parquet(path).count()
@@ -83,6 +112,7 @@ object MaintenanceInterleaveProbe {
         countStableAfterReplay =
           spark.read.parquet(path).count() == nBeforeReplay
       }
+      commitBatch(i) // the batch's checkpoint commit lands AFTER its work
       ms
     }
 
@@ -94,11 +124,19 @@ object MaintenanceInterleaveProbe {
     // file O(replayable batches) on a long-lived table instead of
     // growing one line per batch forever.
     val sidecarAfterMidFold = UpsertWriter.foldedTags(path).size
-    UpsertWriter.compact(spark, path,
-      replayHorizon = Some(nBatches.toLong))
+    // every batch has now committed, so the checkpoint-derived horizon
+    // is nBatches and the ORCHESTRATED cheap path — the metadata-only
+    // prune a scheduled cycle runs unconditionally
+    // ([[UpsertWriter.pruneReplayMetadata]], wired into
+    // [[graft.Pipeline.runAnnIngestCycle]]) — must empty the sidecar
+    // without rewriting a byte of data
+    val finalHorizon = UpsertWriter.replayHorizon(ckpt)
+    finalHorizon.foreach(UpsertWriter.pruneReplayMetadata(path, _))
     val sidecarAfterHorizon = UpsertWriter.foldedTags(path).size
     val sidecarBounded =
-      sidecarAfterMidFold > 0 && sidecarAfterHorizon == 0
+      sidecarAfterMidFold > 0 && sidecarAfterHorizon == 0 &&
+        midHorizon == foldAt.toLong && guardKeptForReplayable &&
+        finalHorizon.contains(nBatches.toLong)
 
     val finalDf = spark.read.parquet(path)
     val nFinal = finalDf.count()
@@ -121,8 +159,11 @@ object MaintenanceInterleaveProbe {
       f""""compact_sec":$compactSec%.1f,""" +
       s""""folded_tag_replay_skipped":$replaySkipped,""" +
       s""""count_stable_after_replay":$countStableAfterReplay,""" +
+      s""""horizon_source":"checkpoint_commits",""" +
+      s""""mid_fold_horizon":$midHorizon,""" +
+      s""""replayable_guard_kept_by_mid_prune":$guardKeptForReplayable,""" +
       s""""sidecar_tags_after_mid_fold":$sidecarAfterMidFold,""" +
-      s""""sidecar_tags_after_horizon_compact":$sidecarAfterHorizon,""" +
+      s""""sidecar_tags_after_final_metadata_prune":$sidecarAfterHorizon,""" +
       s""""sidecar_bounded":$sidecarBounded,""" +
       s""""final_checksum_matches_source":$contentOk,""" +
       f""""post_fold_over_pre_fold_avg":$postOverPre%.2f,""" +

@@ -128,4 +128,59 @@ class LeaseForkRaceSpec extends AnyFunSuite {
       ()
     }
   }
+
+  test("gate contract: zero cross-process admissions against a zero-work renewal loop") {
+    // The module contract adopted in r15 (TableLease.readEffective): a
+    // HEALTHY renewal refreshes the lease file IN PLACE (atomic
+    // REPLACE rename), so a held window under a live heartbeat is
+    // visible to every gate deterministically — the file is never
+    // absent. This case is the pin, across PROCESSES, against the
+    // pathological zero-work heartbeat (renewals back to back, the
+    // worst adversary the old tomb-and-re-create renewal had — this
+    // very case measured 10/3000 admissions against that design and
+    // forced the replacement): thousands of foreign gate calls, ZERO
+    // admissions, while the parent's renewals all succeed.
+    val dir = Files.createTempDirectory("graft-lease-gate").toString
+    val t = table(dir)
+    Files.createDirectories(Paths.get(t))
+    TableLease.acquire(t, TableLease.Maintenance, "parent")
+
+    val javaBin = Paths.get(sys.props("java.home"), "bin", "java").toString
+    val pb = new ProcessBuilder(
+      javaBin, "-cp", sys.props("java.class.path"),
+      "graft.LeaseRaceMain", dir, "gate")
+    pb.redirectOutput(ProcessBuilder.Redirect.INHERIT)
+    pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+    val child = pb.start()
+    try {
+      Files.createFile(go(dir, GateRound))
+      // zero-work renewal loop until the child publishes — every
+      // renewal tombs and re-creates the lease file, so the gate's
+      // adversary is as hot as this filesystem can make it
+      val outF = out(dir, "child", GateRound)
+      val deadline = System.currentTimeMillis() + 120000
+      var renewals = 0L
+      while (!Files.exists(outF)) {
+        if (System.currentTimeMillis() > deadline)
+          fail("gate-hammer child never published")
+        TableLease.acquire(t, TableLease.Maintenance, "parent")
+        renewals += 1
+      }
+      val outcome = readOutcome(outF) // passes=<n>;attempts=<k>
+      val fields = outcome.split(";").map(_.split("=")).map(a => a(0) -> a(1).toLong).toMap
+      assert(fields("attempts") == GateAttempts.toLong)
+      assert(fields("passes") == 0L,
+        s"cross-process writer gate passed ${fields("passes")}/" +
+          s"${fields("attempts")} times against a zero-work renewal " +
+          "loop — the in-place-renewal contract was breached (the " +
+          "lease file must never be absent during a healthy heartbeat)")
+      assert(renewals >= 50L,
+        s"only $renewals renewals ran — the adversary loop never got hot")
+      assert(child.waitFor(30, java.util.concurrent.TimeUnit.SECONDS))
+      assert(child.exitValue() == 0)
+    } finally {
+      child.destroyForcibly()
+      TableLease.release(t, TableLease.Maintenance, "parent")
+    }
+  }
 }

@@ -42,6 +42,16 @@ private[graft] object LeaseRaceProtocol {
     case _ => Cross
   }
 
+  val Rounds2 = Rounds // alias kept for readability at call sites
+
+  /** Round index reserved for the GATE-HAMMER case (outside the 0 until
+    * Rounds contested cycle) and the number of gate calls the child
+    * makes — the module-contract pin for [[graft.sinks.TableLease]]'s
+    * three-pass sentinel gate: thousands of cross-process gate reads
+    * against a ZERO-WORK renewal loop, zero admissions allowed. */
+  val GateRound = 1000
+  val GateAttempts = 3000
+
   def table(dir: String): String = s"$dir/t"
   def go(dir: String, i: Int): Path = Paths.get(dir, s"go-$i")
   def out(dir: String, side: String, i: Int): Path =
@@ -82,6 +92,7 @@ object LeaseRaceMain {
 
   def main(args: Array[String]): Unit = {
     val dir = args(0)
+    if (args.length > 1 && args(1) == "gate") { gateMain(dir); return }
     val t = table(dir)
     for (i <- 0 until Rounds) {
       await(go(dir, i))
@@ -98,5 +109,24 @@ object LeaseRaceMain {
       publish(out(dir, "child", i), outcome)
       await(done(dir, i)) // parent finished judging + cleanup
     }
+  }
+
+  /** GATE-HAMMER child: while the parent runs a zero-work renewal loop
+    * on its own fresh Maintenance lease (the pathological adversary the
+    * three-pass gate's contract names — renewals back to back, the
+    * lease file repeatedly absent for microseconds), hammer the
+    * writer-side gate from THIS separate process. Every call must
+    * refuse; a single pass is a cross-process tomb-window admission.
+    * Publishes `passes=<n>;attempts=<k>`. */
+  private def gateMain(dir: String): Unit = {
+    val t = table(dir)
+    await(go(dir, GateRound))
+    var passes = 0L
+    (1 to GateAttempts).foreach { _ =>
+      try { TableLease.requireNoForeignMaintenance(t); passes += 1 }
+      catch { case _: IllegalStateException => () }
+    }
+    publish(out(dir, "child", GateRound),
+      s"passes=$passes;attempts=$GateAttempts")
   }
 }

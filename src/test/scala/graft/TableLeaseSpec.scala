@@ -393,7 +393,8 @@ class TableLeaseSpec extends AnyFunSuite {
     val path = tmp(); mkTable(path)
     // engineer the mid-renewal state directly: lease file tombed away
     // (absent), sentinel bracket present and fresh
-    Files.write(Paths.get(path + ".__maint-lease.renewing-1-1-1"),
+    Files.createDirectories(Paths.get(path + ".__maint-lease.renewing"))
+    Files.write(Paths.get(path + ".__maint-lease.renewing", "1-1-1"),
       s"mid-renewal-holder\n${System.currentTimeMillis()}".getBytes("UTF-8"))
     val e = intercept[IllegalStateException] {
       TableLease.requireNoForeignMaintenance(path)
@@ -410,7 +411,8 @@ class TableLeaseSpec extends AnyFunSuite {
 
   test("a STALE renewal sentinel is a crashed renewal: dropped, not honored") {
     val path = tmp(); mkTable(path)
-    val sentinel = Paths.get(path + ".__maint-lease.renewing-1-1-2")
+    Files.createDirectories(Paths.get(path + ".__maint-lease.renewing"))
+    val sentinel = Paths.get(path + ".__maint-lease.renewing", "1-1-2")
     Files.write(sentinel,
       s"crashed-renewal\n${System.currentTimeMillis() - 3600_000L}"
         .getBytes("UTF-8"))

@@ -131,4 +131,62 @@ class WorkerTakedownSpec extends AnyFunSuite {
     assert(after.count() == 13 && after.filter($"vec_id" < 4L).count() == 0,
       "refit resurrected or lost rows across a takedown")
   }
+
+  test("MultiSignal takedown crash between the two deletes: the orphaned index cannot shadow-ban, and a re-run heals exactly") {
+    // The two-table takedown's documented crash contract
+    // (MultiSignalIngest.takedown): deletes are survivors-FIRST under
+    // one maintenance window; a crash between them leaves index rows
+    // whose documents are gone. Pin all three legs: (a) the window is
+    // real — survivors clean, index dangling, both leases released;
+    // (b) IN the window a near-dup of the removed doc still ADMITS
+    // (verification is survivor-anchored, so a dangling index row has
+    // no text to verify against — never a shadow ban, never a
+    // resurrection); (c) re-running the SAME takedown completes the
+    // removal and is a no-op on the already-clean survivors.
+    import graft.streaming.MultiSignalIngest
+    val w = wh()
+    MultiSignalIngest.processBatch(
+      Seq((11L, text("a"), vec(0)), (20L, text("b"), vec(3)))
+        .toDF("doc_id", "text", "embedding"), 0L, w)
+
+    MultiSignalIngest.takedownFault =
+      () => throw new RuntimeException("injected crash between deletes")
+    try intercept[RuntimeException] {
+      MultiSignalIngest.takedown(spark, w, $"doc_id" === 11L)
+    } finally MultiSignalIngest.takedownFault = () => ()
+
+    // (a) the orphaned-index window, with the maintenance window closed
+    // (a real crash leaves stale leases that the TTL unwedges; the
+    // in-process injection releases through the bracket's finally)
+    assert(MultiSignalIngest.survivors(spark, w)
+      .filter($"doc_id" === 11L).count() == 0, "survivors delete ran first")
+    val dangling = MultiSignalIngest.index(spark, w)
+      .filter($"doc_id" === 11L).count()
+    assert(dangling > 0, "crash case degenerated: no orphaned index rows")
+    assert(!Files.exists(java.nio.file.Paths.get(
+        s"$w/ms_survivors.__maint-lease")) &&
+      !Files.exists(java.nio.file.Paths.get(s"$w/ms_index.__maint-lease")),
+      "maintenance leases leaked across the injected crash")
+
+    // (b) a lexical near-copy of removed 11 admits DESPITE the dangling
+    // index rows; a near-copy of surviving 20 still drops
+    MultiSignalIngest.processBatch(
+      Seq((50L, text("a", "qq"), vec(5)), (51L, text("b", "rr"), vec(6)))
+        .toDF("doc_id", "text", "embedding"), 1L, w)
+    val got = MultiSignalIngest.survivors(spark, w)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(got == Set(20L, 50L),
+      s"$got — the orphaned index shadow-banned 50 (or admitted 51)")
+
+    // (c) re-run to completion: deletes the leftovers, touches nothing
+    // else — the exact state a never-crashed takedown leaves
+    val (nS2, nI2) = MultiSignalIngest.takedown(spark, w, $"doc_id" === 11L)
+    assert(nS2 == 0L && nI2 == dangling,
+      s"re-run removed ($nS2, $nI2), expected (0, $dangling)")
+    assert(MultiSignalIngest.index(spark, w)
+      .filter($"doc_id" === 11L).count() == 0, "index leftovers survived")
+    assert(MultiSignalIngest.survivors(spark, w)
+      .select($"doc_id").as[Long].collect().toSet == Set(20L, 50L),
+      "the healing re-run disturbed unrelated state")
+  }
 }
