@@ -14,6 +14,24 @@ import duckdb
 def main(sf_dir, out_dir, json_out=None):
     results = {}
     con = duckdb.connect()
+    # Scale-probe memory discipline (CHECK_MEM_LIMIT, e.g. "48GB"):
+    # without a bound, a multiset EXCEPT over a 60M-row result builds
+    # its hash tables fully in RAM and the OS OOM-killer takes the
+    # whole run; with one, DuckDB spills to temp_directory instead.
+    mem = os.environ.get("CHECK_MEM_LIMIT")
+    if mem:
+        con.execute(f"SET memory_limit='{mem}'")
+        # per-process spill dir: two concurrent checks sharing one
+        # directory delete each other's temp blocks on cleanup
+        con.execute(
+            f"SET temp_directory='/tmp/duck_spill_{os.getpid()}'")
+    # Resume a killed run (CHECK_RESUME=<prior json>): queries already
+    # recorded ok:true there are carried over, not re-compared.
+    prior = {}
+    rp = os.environ.get("CHECK_RESUME")
+    if rp and os.path.exists(rp):
+        prior = {k: v for k, v in json.load(open(rp))["queries"].items()
+                 if isinstance(v, dict) and v.get("ok") is True}
     for t in ("region nation customer supplier part orders lineitem "
               "events documents embeddings").split():
         p = f"{sf_dir}/{t}.parquet"
@@ -39,13 +57,113 @@ def main(sf_dir, out_dir, json_out=None):
               "order-tie fallback disabled — positional mismatches on "
               "tied sort keys will report FAIL")
     n_pass = n_fail = 0
+    # Scale-probe fast path (CHECK_MULTISET_OVER=N, default off → the
+    # driver-identical row-by-row compare): a result larger than N rows
+    # compares as an exact MULTISET inside DuckDB (count + sorted column
+    # set + EXCEPT ALL in both directions), never materialized in
+    # python. At probe corpora (sf1/sf10, built by row replication) the
+    # positional compare degenerates anyway — duplicate sort keys
+    # interleave per engine and the sf1 sweep already fell back to
+    # multiset for those — while a 60M-row to_pylist costs tens of GB
+    # and hours. The multiset check is exact on values (EXCEPT ALL is
+    # bag difference); order contracts stay pinned by the positional
+    # compare at the gate SFs.
+    big_over = int(os.environ.get("CHECK_MULTISET_OVER", "0") or 0)
+    # Local-iteration filter (CHECK_ONLY=<regex>): check only matching
+    # queries. Needed because Verify now always dumps the FULL oracle
+    # map (a filtered dump into an existing dir truncated the suite);
+    # without this, a single-query re-verify into a fresh dir would
+    # report every other query as "no spark output".
+    only = os.environ.get("CHECK_ONLY")
+    if only:
+        import re as _re
+        oracles = {k: v for k, v in oracles.items() if _re.search(only, k)}
     for name in sorted(oracles):
+        if name in prior:
+            print(f"PASS {name} (carried from resumed run)")
+            results[name] = prior[name]
+            n_pass += 1
+            continue
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output")
             results[name] = {"ok": False, "err": "no spark output"}
             n_fail += 1
             continue
+        if big_over:
+            n_got = con.execute(
+                f"SELECT count(*) FROM read_parquet({files!r})").fetchone()[0]
+            if n_got > big_over:
+                try:
+                    gcols = sorted(con.execute(
+                        f"SELECT * FROM read_parquet({files!r}) LIMIT 0"
+                    ).fetch_arrow_table().column_names)
+                    con.execute("DROP VIEW IF EXISTS __exp_v")
+                    con.execute(f"CREATE TEMP VIEW __exp_v AS {oracles[name]}")
+                    ecols = sorted(con.execute(
+                        "SELECT * FROM __exp_v LIMIT 0"
+                    ).fetch_arrow_table().column_names)
+                    if gcols != ecols:
+                        print(f"FAIL {name}: columns {gcols} vs {ecols}")
+                        results[name] = {"ok": False,
+                                         "err": f"columns {gcols} vs {ecols}"}
+                        n_fail += 1
+                        continue
+                    cols = ", ".join(f'"{c}"' for c in gcols)
+                    tmo = float(os.environ.get(
+                        "CHECK_ORACLE_TIMEOUT", "0") or 0)
+                    timer = None
+                    if tmo > 0:
+                        import threading
+                        timer = threading.Timer(3 * tmo, con.interrupt)
+                        timer.start()
+                    try:
+                        n_exp = con.execute(
+                            "SELECT count(*) FROM __exp_v").fetchone()[0]
+                        if n_got != n_exp:
+                            print(f"FAIL {name}: rows {n_got} vs {n_exp}")
+                            results[name] = {"ok": False,
+                                             "err": f"rows {n_got} vs {n_exp}"}
+                            n_fail += 1
+                            continue
+                        d1 = con.execute(
+                            f"SELECT count(*) FROM (SELECT {cols} FROM "
+                            f"read_parquet({files!r}) EXCEPT ALL "
+                            f"SELECT {cols} FROM __exp_v)").fetchone()[0]
+                        d2 = con.execute(
+                            f"SELECT count(*) FROM (SELECT {cols} FROM __exp_v "
+                            f"EXCEPT ALL SELECT {cols} FROM "
+                            f"read_parquet({files!r}))").fetchone()[0]
+                    finally:
+                        if timer is not None:
+                            timer.cancel()
+                    if d1 or d2:
+                        print(f"FAIL {name}: multiset differs "
+                              f"(spark-only {d1}, duck-only {d2} of {n_got})")
+                        results[name] = {"ok": False,
+                                         "err": f"multiset diff {d1}/{d2}"}
+                        n_fail += 1
+                    else:
+                        print(f"PASS {name} ({n_got} rows; multiset compare "
+                              f"— result > {big_over} rows)")
+                        results[name] = {"ok": True, "rows": n_got,
+                                         "note": "multiset compare (big result)"}
+                        n_pass += 1
+                except KeyboardInterrupt:
+                    print(f"SKIP {name}: oracle exceeded the multiset "
+                          "timeout (quadratic twin)")
+                    results[name] = {"ok": None, "err": "oracle_timeout"}
+                except Exception as e:
+                    if "INTERRUPT" in str(e).upper():
+                        print(f"SKIP {name}: oracle exceeded the multiset "
+                              "timeout (quadratic twin)")
+                        results[name] = {"ok": None, "err": "oracle_timeout"}
+                    else:
+                        print(f"FAIL {name}: oracle error {e}")
+                        results[name] = {"ok": False,
+                                         "err": f"oracle error {e}"}
+                        n_fail += 1
+                continue
         got = con.execute(
             f"SELECT * FROM read_parquet({files!r})").fetch_arrow_table()
         try:

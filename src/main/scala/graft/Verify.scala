@@ -48,8 +48,13 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // The dumps are ALWAYS the full maps, never filtered: a
+    // name-filtered re-run into an EXISTING out dir (regenerating one
+    // query's parquet after a fix) must not truncate the sidecars the
+    // whole-dir compare reads — a 1-entry oracle_sql.json silently
+    // shrinks "the suite" to one query for any later check over that
+    // directory (this exact footgun cost a 155-green sf10 record).
     val json = SparkEntry.oracleSql
-      .filter { case (k, _) => keep(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // Determinism sort keys per query, for the local gate mirror
@@ -57,7 +62,7 @@ object Verify {
     // when a query's sort keys are verifiably NON-unique in the result —
     // otherwise a genuine ordering divergence must stay a FAIL. A
     // separate file so the driver's oracle_sql.json contract is untouched.
-    val sortJson = SparkEntry.queries.keys.toSeq.filter(keep).sorted
+    val sortJson = SparkEntry.queries.keys.toSeq.sorted
       .map { k =>
         val keys = SparkEntry.sortKeys.getOrElse(k, Nil)
         s"${q(k)}: ${keys.map(q).mkString("[", ",", "]")}"

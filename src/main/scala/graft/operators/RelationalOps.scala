@@ -759,18 +759,31 @@ object RelationalOps extends OpModule {
     "sk7_kmv_quantiles" -> Q(
       (s, d) => {
         val k = 256
-        val ord = Seq($("h").asc, $("l_orderkey").asc, $("l_linenumber").asc)
+        // the full tie-break chain MUST be a total order on the actual
+        // fixture, not on TPC-H's paper schema: the driver's generator
+        // emits DUPLICATE (l_orderkey, l_linenumber) pairs (~24% of
+        // rows at every sf), so (h, okey, line) alone leaves real ties
+        // — harmless until a tie straddles the k boundary, which first
+        // happened at the ×100 corpus (ranks 256/257 shared a key pair
+        // and the two engines kept different rows, shifting the
+        // rank-128 readout). The value columns complete the order; a
+        // residual tie would then be a value-identical row, which
+        // cannot change any readout.
+        val ord = Seq($("h").asc, $("l_orderkey").asc, $("l_linenumber").asc,
+          $("l_extendedprice").asc, $("l_quantity").asc,
+          $("l_discount").asc, $("l_tax").asc)
         val wGroup = Window.partitionBy($("l_returnflag")).orderBy(ord: _*)
         val wVal = Window.partitionBy($("l_returnflag"))
           .orderBy($("l_extendedprice").asc, $("rh").asc)
         Tables
           .lineitem(s, d)
           .select($("l_returnflag"), $("l_orderkey"), $("l_linenumber"),
-            $("l_extendedprice"),
+            $("l_extendedprice"), $("l_quantity"), $("l_discount"),
+            $("l_tax"),
             // pmix2, not phash: the md5 hex round-trip dominated this
             // scan (3.2 s isolated at sf0.1 → the integer mix trims it);
             // 31-bit output is plenty for a k=256 bottom-k whose ties
-            // break on (orderkey, linenumber) anyway
+            // break on the row chain below anyway
             Exprs.pmix2($("l_orderkey"), $("l_linenumber")).as("h"))
           .withColumn("rh", row_number().over(wGroup)).filter($("rh") <= k)
           .withColumn("rv", row_number().over(wVal))
@@ -788,7 +801,8 @@ object RelationalOps extends OpModule {
               |    SELECT l_returnflag, l_extendedprice,
               |      ROW_NUMBER() OVER (PARTITION BY l_returnflag
               |        ORDER BY ${Exprs.pmix2Sql("l_orderkey", "l_linenumber")},
-              |          l_orderkey, l_linenumber) AS rh
+              |          l_orderkey, l_linenumber, l_extendedprice,
+              |          l_quantity, l_discount, l_tax) AS rh
               |    FROM lineitem)
               |  WHERE rh <= 256),
               |r AS (

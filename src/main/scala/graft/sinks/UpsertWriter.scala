@@ -469,8 +469,13 @@ object UpsertWriter {
     val tmp = marker.resolveSibling(marker.getFileName.toString + ".tmp")
     Files.write(tmp,
       numBuckets.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // ATOMIC_MOVE: REPLACE_EXISTING alone is implemented as
+    // unlink-then-rename (measured by the lease fork spec), leaving a
+    // reader-visible absence window; rename(2) replaces atomically.
+    // Readers of this pin are lease-disciplined today — this is
+    // defense-in-depth for any future lock-free reader.
     Files.move(tmp, marker,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
   private def foldedMarker(path: String) =
@@ -528,8 +533,10 @@ object UpsertWriter {
       .resolveSibling(foldedMarker(path).getFileName.toString + ".tmp")
     Files.write(tmp, all.toSeq.sorted.mkString("\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // ATOMIC_MOVE for the same reason as [[pinBuckets]]: never a
+    // reader-visible absence of the replay-idempotence record
     Files.move(tmp, foldedMarker(path),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
   /** Drop sidecar tags whose batches can NEVER replay: a tag of the

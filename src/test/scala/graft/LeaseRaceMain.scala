@@ -42,12 +42,10 @@ private[graft] object LeaseRaceProtocol {
     case _ => Cross
   }
 
-  val Rounds2 = Rounds // alias kept for readability at call sites
-
   /** Round index reserved for the GATE-HAMMER case (outside the 0 until
     * Rounds contested cycle) and the number of gate calls the child
     * makes — the module-contract pin for [[graft.sinks.TableLease]]'s
-    * three-pass sentinel gate: thousands of cross-process gate reads
+    * in-place renewal design: thousands of cross-process gate reads
     * against a ZERO-WORK renewal loop, zero admissions allowed. */
   val GateRound = 1000
   val GateAttempts = 3000
@@ -112,9 +110,9 @@ object LeaseRaceMain {
   }
 
   /** GATE-HAMMER child: while the parent runs a zero-work renewal loop
-    * on its own fresh Maintenance lease (the pathological adversary the
-    * three-pass gate's contract names — renewals back to back, the
-    * lease file repeatedly absent for microseconds), hammer the
+    * on its own fresh Maintenance lease (the pathological adversary —
+    * renewals back to back; under the replaced tomb-based design the
+    * lease file was repeatedly absent for microseconds), hammer the
     * writer-side gate from THIS separate process. Every call must
     * refuse; a single pass is a cross-process tomb-window admission.
     * Publishes `passes=<n>;attempts=<k>`. */

@@ -1243,6 +1243,41 @@ class UpsertWriterSpec extends AnyFunSuite {
     assert(spark.read.parquet(path).count() == 3)
   }
 
+  test("pruneReplayMetadata: the metadata-only prune is lease-gated and touches no data") {
+    // the op the orchestrated cycle runs unconditionally (r15): same
+    // prune semantics as a horizon-carrying compact, but one sidecar
+    // read instead of a table rewrite — and it must refuse while a
+    // drain window is open, exactly like every other maintenance op
+    val path = tmp()
+    def landTag(tag: String, id: Long): Unit =
+      assert(UpsertWriter.appendBucketed(spark, path,
+        Seq((id, s"v$id", 0L)).toDF("id", "v", "ver"),
+        keys = Seq("id"), batchTag = tag, numBuckets = 4))
+    landTag("b0", 1L); landTag("b1", 2L); landTag("manual-x", 3L)
+    UpsertWriter.compact(spark, path) // folds all three tags
+    val filesBefore = {
+      import scala.jdk.CollectionConverters._
+      val w = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
+      try w.iterator().asScala.map(_.toString).toSet finally w.close()
+    }
+    graft.sinks.TableLease.withDrain(Seq(path), "live-drain") {
+      intercept[IllegalStateException] {
+        UpsertWriter.pruneReplayMetadata(path, replayHorizon = 2L)
+      }
+    }
+    UpsertWriter.pruneReplayMetadata(path, replayHorizon = 2L)
+    assert(UpsertWriter.foldedTags(path) == Set("manual-x"),
+      "b0/b1 dead under horizon 2; the non-convention tag must stay")
+    val filesAfter = {
+      import scala.jdk.CollectionConverters._
+      val w = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
+      try w.iterator().asScala.map(_.toString).toSet finally w.close()
+    }
+    assert(filesAfter == filesBefore,
+      "the metadata-only prune rewrote table data")
+    assert(spark.read.parquet(path).count() == 3)
+  }
+
   test("a pruned tag's replayed append is RE-APPLIED — the guard is gone, safe only under the horizon contract") {
     val path = tmp()
     def b0(): Boolean = UpsertWriter.appendBucketed(spark, path,
