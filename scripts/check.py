@@ -10,6 +10,7 @@ row-by-row (columns sorted by name, rows in result order).
 """
 import sys, json, glob, os
 import duckdb
+import pyarrow.types as pt
 
 def main(sf_dir, out_dir, json_out=None):
     results = {}
@@ -56,7 +57,7 @@ def main(sf_dir, out_dir, json_out=None):
         print(f"NOTE: {sk_path} missing (pre-sidecar verify output); "
               "order-tie fallback disabled — positional mismatches on "
               "tied sort keys will report FAIL")
-    n_pass = n_fail = 0
+    n_pass = n_fail = n_skip = 0
     # Scale-probe fast path (CHECK_MULTISET_OVER=N, default off → the
     # driver-identical row-by-row compare): a result larger than N rows
     # compares as an exact MULTISET inside DuckDB (count + sorted column
@@ -143,6 +144,25 @@ def main(sf_dir, out_dir, json_out=None):
                         results[name] = {"ok": False,
                                          "err": f"multiset diff {d1}/{d2}"}
                         n_fail += 1
+                        continue
+                    # same driver hash-red rule the row path enforces: a
+                    # decimal128 column on EITHER side fails the driver's
+                    # hash gate even when values match, so the fast path
+                    # must flag it too (it previously didn't)
+                    decs = [
+                        f"{side}:{f.name}:{f.type}"
+                        for side, q in (
+                            ("spark",
+                             f"SELECT * FROM read_parquet({files!r}) LIMIT 0"),
+                            ("duck", "SELECT * FROM __exp_v LIMIT 0"))
+                        for f in con.execute(q).fetch_arrow_table().schema
+                        if pt.is_decimal(f.type)]
+                    if decs:
+                        print(f"FAIL {name}: decimal128 in output "
+                              f"(driver hash-red): {decs}")
+                        results[name] = {"ok": False,
+                                         "err": f"decimal128: {decs}"}
+                        n_fail += 1
                     else:
                         print(f"PASS {name} ({n_got} rows; multiset compare "
                               f"— result > {big_over} rows)")
@@ -153,11 +173,13 @@ def main(sf_dir, out_dir, json_out=None):
                     print(f"SKIP {name}: oracle exceeded the multiset "
                           "timeout (quadratic twin)")
                     results[name] = {"ok": None, "err": "oracle_timeout"}
+                    n_skip += 1
                 except Exception as e:
                     if "INTERRUPT" in str(e).upper():
                         print(f"SKIP {name}: oracle exceeded the multiset "
                               "timeout (quadratic twin)")
                         results[name] = {"ok": None, "err": "oracle_timeout"}
+                        n_skip += 1
                     else:
                         print(f"FAIL {name}: oracle error {e}")
                         results[name] = {"ok": False,
@@ -185,11 +207,13 @@ def main(sf_dir, out_dir, json_out=None):
         except KeyboardInterrupt:
             print(f"SKIP {name}: oracle exceeded {tmo:.0f}s (quadratic twin)")
             results[name] = {"ok": None, "err": f"oracle_timeout_{tmo:.0f}s"}
+            n_skip += 1
             continue
         except Exception as e:
             if "INTERRUPT" in str(e).upper():
                 print(f"SKIP {name}: oracle exceeded {tmo:.0f}s (quadratic twin)")
                 results[name] = {"ok": None, "err": f"oracle_timeout_{tmo:.0f}s"}
+                n_skip += 1
                 continue
             print(f"FAIL {name}: oracle error {e}")
             results[name] = {"ok": False, "err": f"oracle error {e}"}
@@ -257,7 +281,6 @@ def main(sf_dir, out_dir, json_out=None):
         # round-2 showed it fails whenever a decimal128 column appears on
         # EITHER side (per-engine decimal canonicalization). Flag that
         # here so value-identical-but-type-red rows fail locally too.
-        import pyarrow.types as pt
         decs = [f"{side}:{f.name}:{f.type}"
                 for side, tbl in (("spark", got), ("duck", exp))
                 for f in tbl.schema
@@ -270,13 +293,23 @@ def main(sf_dir, out_dir, json_out=None):
             print(f"PASS {name} ({got.num_rows} rows)")
             results[name] = {"ok": True, "rows": got.num_rows}
             n_pass += 1
-    print(f"\n{n_pass} pass, {n_fail} fail")
+    # Skips are visible in the tally and the artifact, never silently
+    # folded into "0 fail": a run that skipped oracles is NOT a clean
+    # sweep. CHECK_STRICT_SKIPS=1 additionally makes skips fail the
+    # exit code (distinct code 2), for sweeps that must adjudicate
+    # every row rather than tolerate timeout-prone quadratic twins.
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_skip} skip")
     if json_out:
         json.dump({"sf_dir": sf_dir, "n_pass": n_pass, "n_fail": n_fail,
+                   "n_skip": n_skip,
                    "sort_keys_sidecar_present": sort_keys is not None,
                    "queries": results},
                   open(json_out, "w"), indent=1, sort_keys=True)
-    return 1 if n_fail else 0
+    if n_fail:
+        return 1
+    if n_skip and os.environ.get("CHECK_STRICT_SKIPS"):
+        return 2
+    return 0
 
 if __name__ == "__main__":
     sys.exit(main(sys.argv[1], sys.argv[2],

@@ -33,6 +33,26 @@ import java.nio.charset.StandardCharsets.UTF_8
   * closed separately for the append path by [[UpsertWriter.compact]]'s
   * folded-tag sidecar, which makes a replayed append idempotent across
   * a compaction instead of relying on timing.
+  *
+  * FILESYSTEM MODEL: the protocol requires POSIX rename semantics —
+  * same-directory `rename(2)` atomically replaces an existing target
+  * (the ATOMIC_MOVE healthy-heartbeat renewal) and is the
+  * linearization point of every tomb claim. On a filesystem where
+  * `ATOMIC_MOVE` is unsupported (some network mounts),
+  * `AtomicMoveNotSupportedException` fails the renewal loudly — there
+  * is deliberately NO non-atomic fallback, because a fallback would
+  * reintroduce the measured 344/3000 absence-window admissions the
+  * atomic form exists to close.
+  *
+  * CLOCK MODEL: lease ages compare a stored `System.currentTimeMillis`
+  * against the READER'S clock, so every soundness argument phrased as
+  * "the thief's qualifying read must come ≥ ttl/4 after ours" assumes
+  * all holders share one clock: a single host (the local[*] deployment
+  * this package targets), or hosts whose clocks are synchronized to
+  * well under ttl/4. On a shared warehouse mounted from multiple
+  * unsynchronized hosts, skew ≥ ttl/4 lets a healthy in-place renewal
+  * clobber a legal thief's fresh lease — deploy with synchronized
+  * clocks or a per-deployment TTL sized ≥ 4× the worst-case skew.
   */
 object TableLease {
 
@@ -79,125 +99,101 @@ object TableLease {
   private def read(path: String, kind: Kind): Option[(String, Long)] =
     readFile(leaseFile(path, kind))
 
-  /** Directory holding lease `f`'s renewal sentinels: a SCOPED
-    * namespace (`<lease>.renewing/`), not a sibling-name prefix, so the
-    * gate's sentinel scan is one `isDirectory` stat on a table that has
-    * never renewed (the common case — [[requireNoForeignMaintenance]]
-    * runs on EVERY append/upsert) and a listing of at most the lease's
-    * own concurrent renewals otherwise — never a listing of the whole
-    * warehouse directory, whose cost grows with sibling tables and
-    * markers (and is a server-side prefix LIST, not a full scan, on an
-    * object store). The directory is left in place once created: a
-    * concurrent create-vs-delete race on the directory itself would
-    * force retries inside the renewal bracket, and an empty directory
-    * costs the gate one cheap empty listing. */
-  private def sentinelDir(f: Path): Path = {
-    val abs = f.toAbsolutePath
-    abs.resolveSibling(abs.getFileName.toString + ".renewing")
-  }
-
-  /** The freshest RENEWAL SENTINEL for lease file `f`, if any is
-    * within `ttlMs`. A renewal brackets its tomb-and-re-create exchange
-    * with a uniquely named file under [[sentinelDir]]
-    * (`<pid>-<tid>-<nano>`, created before the tomb, deleted after the
-    * re-create), so the microseconds where the lease file is
-    * legitimately ABSENT are still visible as a held window to every
-    * read-only gate ([[readEffective]]). Unique names keep concurrent
-    * renewals (two threads of one process heartbeating the same path)
-    * from deleting each other's bracket. A sentinel older than the TTL
-    * is a renewal that crashed inside the exchange — its window is over
-    * (the lease file is gone too), so it is dropped, not honored. */
-  private def freshRenewalSentinel(
-      f: Path, ttlMs: Long): Option[(String, Long)] = {
-    import scala.jdk.CollectionConverters._
-    val dir = sentinelDir(f)
-    if (!Files.isDirectory(dir)) return None
-    val list =
-      try Files.list(dir)
-      catch { case _: java.io.IOException => return None }
-    val sentinels =
-      try list.iterator().asScala.toList
-      finally list.close()
-    val entries = sentinels.flatMap(p => readFile(p).map(p -> _))
-    entries.filter(_._2._2 > ttlMs)
-      .foreach(e => Files.deleteIfExists(e._1))
-    entries.map(_._2).filter(_._2 <= ttlMs).sortBy(_._2).headOption
-  }
-
-  private def renewalSentinelFile(f: Path): Path =
-    sentinelDir(f).resolve(
-      s"${ProcessHandle.current().pid()}-" +
-      s"${Thread.currentThread().getId}-${System.nanoTime()}")
-
-  /** Create an exchange sentinel bracketing a lease-file exchange on
-    * `f` for `holder`; returns the sentinel path (the caller deletes
-    * it in a finally). Used only by the RARE exchanges that absent the
-    * lease file while a window may be live — a near-boundary renewal
-    * and a release's verify/restore ([[readEffective]]'s contract;
-    * healthy heartbeats replace in place and need no bracket).
-    * Advisory — an IO failure never wedges the exchange; the gate's
-    * visibility degrades to the bare lease read for that one
-    * exchange. */
-  private def openSentinel(f: Path, holder: String): Path = {
-    val sentinel = renewalSentinelFile(f)
-    try {
-      Files.createDirectories(sentinel.getParent)
-      Files.write(sentinel, leasePayload(holder),
-        java.nio.file.StandardOpenOption.CREATE_NEW)
-    } catch { case _: java.io.IOException => () }
-    sentinel
-  }
-
-  /** The `kind` window as a read-only GATE must see it: the lease file
-    * itself, or — when that is absent — a fresh exchange sentinel (the
-    * lease is mid-exchange; the window is LIVE).
+  /** THE MODULE CONTRACT (r16): the lease file of a LIVE window is
+    * NEVER absent — every read-only gate is therefore ONE lease-file
+    * read, deterministic, with no alignment windows and no probability
+    * argument anywhere in the protocol. Three mechanisms add up to it:
     *
-    * THE MODULE CONTRACT (r15): a HEALTHY renewal never removes the
-    * lease file at all — [[acquire]]'s heartbeat branch refreshes the
-    * payload IN PLACE with an atomic same-directory REPLACE rename —
-    * so for the whole life of a held window under a live heartbeat
-    * this gate is DETERMINISTIC: one lease-file read, no alignment
-    * windows, no probability argument. (The previous design tombed and
-    * re-created the file on every renewal and defended the absence gap
-    * with a three-pass sentinel scan; its own cross-process spec then
-    * measured 10/3000 gate admissions against a zero-work renewal
-    * loop — the passes are CORRELATED under a periodic adversary, so
-    * multiplying per-pass probabilities was wrong, and the machinery
-    * was replaced, not re-argued. The fork spec now asserts ZERO
-    * admissions, deterministically.)
+    *  - HEALTHY heartbeats (age ≤ ttl − ttl/4, the overwhelming case)
+    *    refresh the payload in place with an atomic same-directory
+    *    REPLACE rename — adopted in r15 after the tomb-and-re-create
+    *    renewal was falsified by its own spec (10/3000 cross-process
+    *    gate admissions; correlated passes under a periodic adversary);
+    *  - the RARE exchanges that used to absent the file — a
+    *    near-boundary renewal, a stale claim's verify, a release —
+    *    serialize on a short-lived EXCHANGE LOCK ([[withExchangeLock]])
+    *    and then also mutate in place (replace or delete-when-ours),
+    *    never tomb-and-re-create. Adopted in r16 after the r15
+    *    sentinel-bracket defense of the boundary branch was likewise
+    *    falsified by measurement (11/3000 admissions through the
+    *    bracket's two-instant lease-then-sentinel read, even with a
+    *    completed-exchange re-read — the same correlated-adversary
+    *    failure class, one branch over);
+    *  - the only remaining absences are CONTRACTUALLY UNHELD states:
+    *    a never-acquired or released window, and a verified-stale
+    *    lease deleted under the exchange lock (the crashed holder the
+    *    TTL model already declares dead).
     *
-    * The only lease-file absences that can occur while a window is
-    * semantically live are sentinel-bracketed and rare: a NEAR-BOUNDARY
-    * renewal (lease age past ttl−margin — the holder all but went
-    * stale) and a release's foreign-restore exchange (theft already
-    * happened). For those the gate falls through to one sentinel-dir
-    * check — a single stat on a table with no exchange in flight
-    * ([[sentinelDir]]). The two-instant lease-then-sentinel read is a
-    * residual ONLY inside those exchanges: events whose frequency is
-    * theft/near-stale incidents, not heartbeats. Absences during a
-    * stale-lease STEAL ([[claimStale]]) are deliberately visible — a
-    * stale window is contractually unheld, so reading it absent is
-    * correct, not a gap. */
+    * [[graft.LeaseForkRaceSpec]] pins both hammers at zero admissions
+    * in 3000 cross-process gate reads — against a zero-work healthy
+    * heartbeat loop AND against back-to-back forced near-boundary
+    * renewals. */
   private def readEffective(
       path: String, kind: Kind, ttlMs: Long): Option[(String, Long)] =
-    read(path, kind).orElse(
-      freshRenewalSentinel(leaseFile(path, kind), ttlMs))
+    read(path, kind)
 
-  /** Atomically CLAIM a stale lease file: rename it to a unique tomb,
-    * VERIFY the tombed content is actually stale, then drop the tomb.
-    * The rename is the claim's linearization point — of N concurrent
-    * claimants exactly one rename succeeds; a loser's throws
-    * NoSuchFileException (the file is already gone — claimed; report
-    * success, the creation race downstream decides the winner). The
-    * verify step closes the ABA window between the caller's read and
-    * the rename: if the crashed holder's lease was meanwhile replaced
-    * by someone ELSE's fresh lease, the rename tombed a LIVE window —
-    * restore it and report failure so the caller refuses instead of
-    * proceeding. (The previous form — deleteIfExists + REPLACE_EXISTING
-    * write — let a slow loser delete the winner's fresh lease and
-    * overwrite it: two "exclusive" windows open at once, the exact race
-    * the lease exists to close.) */
-  private def claimStale(f: Path, ttlMs: Long): Boolean = {
+  /** Serialize a RARE lease-file exchange (near-boundary renewal,
+    * stale-claim verify, release) on `<lease>.__xlock` so the
+    * read-decide-mutate sequence is atomic against every other
+    * exchange on the same lease file — which is what lets each of them
+    * mutate IN PLACE (replace / delete) instead of tombing the file
+    * through an absence window a read-only gate could land in.
+    *
+    * The lock is held for a handful of file ops (µs); acquisition
+    * polls CREATE_NEW briefly and fails LOUDLY after `AcquireWaitMs`
+    * rather than blocking a writer behind a wedged lock. A lock left
+    * by a crashed holder (a kill inside the µs-scale critical
+    * section) is tomb-claimed once it is older than ttl/4 — the same
+    * "stalled ≥ ttl/4 between adjacent syscalls ⇒ outside the model,
+    * declared crashed" threshold the healthy in-place renewal already
+    * leans on, so the protocol has exactly one stall bound, not two.
+    * Never nested (no call inside `body` takes another exchange lock —
+    * locks are per lease file and each critical section touches one
+    * lease file only). */
+  private val AcquireWaitMs = 5000L
+  private def withExchangeLock[A](
+      f: Path, ttlMs: Long)(body: => A): A = {
+    val lock = f.resolveSibling(f.getFileName.toString + ".__xlock")
+    val staleMs = math.max(1000L, ttlMs / 4)
+    val deadline = System.currentTimeMillis() + AcquireWaitMs
+    var held = false
+    while (!held) {
+      if (f.getParent != null) Files.createDirectories(f.getParent)
+      try {
+        Files.write(lock, leasePayload("xlock"),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        held = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          val age = readFile(lock).map(_._2).getOrElse(0L)
+          if (age > staleMs) tombClaim(lock, staleMs)
+          else if (System.currentTimeMillis() > deadline)
+            throw new IllegalStateException(
+              s"exchange lock $lock held for ${age}ms and not yet " +
+                s"stale (bound ${staleMs}ms) — a concurrent exchange " +
+                "is wedged; retry after it is declared crashed")
+          else java.util.concurrent.locks.LockSupport.parkNanos(200000)
+      }
+    }
+    try body
+    finally Files.deleteIfExists(lock)
+  }
+
+  /** Atomically CLAIM a stale marker file (today: only a crashed
+    * exchange lock): rename it to a unique tomb, VERIFY the tombed
+    * content is actually stale, then drop the tomb. The rename is the
+    * claim's linearization point — of N concurrent claimants exactly
+    * one rename succeeds; a loser's throws NoSuchFileException (the
+    * file is already gone — claimed; report success, the creation race
+    * downstream decides the winner). The verify step closes the ABA
+    * window between the caller's read and the rename: if the crashed
+    * holder's file was meanwhile replaced by someone ELSE's fresh one,
+    * the rename tombed a LIVE window — restore it and report failure.
+    * NOT used on lease files anymore ([[claimStale]] re-verifies under
+    * the exchange lock instead, so a live lease is never even briefly
+    * absent); the tomb dance is the bootstrap primitive for the lock
+    * file itself, where no further serialization exists to stand on. */
+  private def tombClaim(f: Path, ttlMs: Long): Boolean = {
     val tomb = f.resolveSibling(f.getFileName.toString +
       s".tomb-${ProcessHandle.current().pid()}-" +
       s"${Thread.currentThread().getId}-${System.nanoTime()}")
@@ -216,10 +212,10 @@ object TableLease {
           catch { case _: Exception => 0L }
       }
     if (ageMs <= ttlMs) {
-      // tombed a LIVE lease (refreshed/re-created between the caller's
+      // tombed a LIVE file (refreshed/re-created between the caller's
       // read and the rename): put it back and fail the claim. If a new
-      // lease already appeared where it was, the restore loses — drop
-      // the tomb (that new lease now owns the window) and still fail.
+      // file already appeared where it was, the restore loses — drop
+      // the tomb (that new file now owns the window) and still fail.
       try Files.move(tomb, f)
       catch { case _: Exception => Files.deleteIfExists(tomb) }
       false
@@ -228,6 +224,34 @@ object TableLease {
       true
     }
   }
+
+  /** Claim a STALE lease file: re-verify its age under the exchange
+    * lock, then delete it in place. True = the field is clear (deleted
+    * here, or already gone); false = the lease is fresh again (someone
+    * renewed or re-created it since the caller's read) — refuse.
+    *
+    * Under the lock the read-verify-delete is atomic against every
+    * other exchange, so a FRESH lease is never deleted (the old
+    * tomb-rename form restored a tombed-live lease after the fact,
+    * which left a sentinel-less absence gap a gate read could land
+    * in). The non-serialized writers stay safe by the timestamp
+    * argument: a healthy in-place replace lands within syscalls of a
+    * read that saw age ≤ ttl − ttl/4, while this delete runs after a
+    * read that saw age > ttl — on one clock those reads are ≥ ttl/4
+    * apart, so the replace cannot land inside this critical section
+    * unless its holder stalled ≥ ttl/4 between two adjacent syscalls
+    * (outside the model, declared crashed); and a CREATE_NEW first
+    * acquisition cannot land while the file exists at all. */
+  private def claimStale(f: Path, ttlMs: Long): Boolean =
+    withExchangeLock(f, ttlMs) {
+      readFile(f) match {
+        case None => true
+        case Some((_, age)) if age > ttlMs =>
+          Files.deleteIfExists(f)
+          true
+        case _ => false
+      }
+    }
 
   private def leasePayload(holder: String): Array[Byte] =
     s"$holder\n${System.currentTimeMillis()}".getBytes(UTF_8)
@@ -250,55 +274,41 @@ object TableLease {
     }
   }
 
-  /** Atomically take OUR OWN lease file out of play: tomb-rename it
-    * and verify the tombed content really is this holder's. Used by
-    * [[release]] and by [[acquire]]'s NEAR-BOUNDARY renewal branch
-    * only — a healthy heartbeat replaces the payload in place and
-    * never calls this (an UNCONDITIONAL blind REPLACE here would
-    * re-open the two-holders race exactly at the TTL boundary: a thief
-    * that had just stolen the boundary-stale lease and created its own
-    * would have it silently overwritten, with both sides believing
-    * they held the window — which is why the in-place path is gated on
-    * age ≤ ttl − ttl/4, where no concurrent steal can be legal). With
-    * the tomb, a caller that finds someone else's content restores it
-    * and reports failure, and a renewal's subsequent CREATE_NEW race
-    * decides every concurrent interleaving with exactly one winner. An
-    * absent file reports success — the race downstream decides.
-    *
-    * ABSENCE WINDOW: between the tomb and the restore/re-create the
-    * lease file is briefly ABSENT. POSIX rename cannot express the
-    * atomic two-file exchange that would avoid it. Both call sites
-    * bracket the exchange with a sentinel ([[openSentinel]]) so
-    * read-only gates ([[readEffective]]) see lease-absent-but-
-    * sentinel-fresh as a held window; because only near-stale renewals
-    * and releases ever enter this exchange, the gate's two-instant
-    * residual has the frequency of theft/near-stale incidents, not of
-    * heartbeats. */
-  private def claimOwn(f: Path, holder: String): Boolean = {
-    val tomb = f.resolveSibling(f.getFileName.toString +
-      s".tomb-${ProcessHandle.current().pid()}-" +
+  /** Refresh lease file `f`'s payload IN PLACE: fresh payload to a
+    * unique temp sibling, atomic same-directory REPLACE rename onto
+    * the lease file. The file is NEVER absent, so every read-only gate
+    * sees the held window deterministically ([[readEffective]]'s
+    * contract). ATOMIC_MOVE, not REPLACE_EXISTING: REPLACE without
+    * ATOMIC is implemented as unlink-target-then-rename — an absence
+    * window that re-opens the exact gap this form exists to close (the
+    * fork gate-hammer spec measured 344/3000 admissions through it).
+    * ATOMIC_MOVE maps to plain rename(2), which replaces an existing
+    * target atomically on POSIX. A failed write/rename (disk full,
+    * non-POSIX mount) fails the renewal loudly but must not leak the
+    * temp sibling beside the lease forever: it is deleted on the way
+    * out. */
+  private def replaceInPlace(f: Path, holder: String): Unit = {
+    val tmp = f.resolveSibling(f.getFileName.toString +
+      s".renew-${ProcessHandle.current().pid()}-" +
       s"${Thread.currentThread().getId}-${System.nanoTime()}")
-    try Files.move(f, tomb)
-    catch { case _: java.nio.file.NoSuchFileException => return true }
-    val owner =
-      try new String(Files.readAllBytes(tomb), UTF_8).split("\n")(0)
-      catch { case _: Exception => "<unreadable lease>" }
-    if (owner == holder) { Files.deleteIfExists(tomb); true }
-    else {
-      try Files.move(tomb, f)
-      catch { case _: Exception => Files.deleteIfExists(tomb) }
-      false
-    }
+    var moved = false
+    try {
+      Files.write(tmp, leasePayload(holder))
+      Files.move(tmp, f,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      moved = true
+    } finally if (!moved) Files.deleteIfExists(tmp)
   }
 
   /** Take the `kind` lease on `path` for `holder`, refusing loudly if
     * the OPPOSITE kind is held fresh, or the SAME kind is held fresh by
     * a different holder. A stale lease (older than `ttlMs`) is a
     * crashed holder and is stolen — atomically: concurrent stealers
-    * race a tomb-rename + CREATE_NEW create, and exactly one wins (the
-    * losers are refused, never silently co-admitted). Re-acquiring
-    * one's own FRESH lease refreshes its timestamp — the heartbeat a
-    * long drain rides ([[renewIfDraining]]). */
+    * serialize on the exchange lock for the verified delete
+    * ([[claimStale]]) and then race CREATE_NEW, so exactly one wins
+    * (the losers are refused, never silently co-admitted).
+    * Re-acquiring one's own FRESH lease refreshes its timestamp — the
+    * heartbeat a long drain rides ([[renewIfDraining]]). */
   def acquire(
       path: String, kind: Kind, holder: String,
       ttlMs: Long = DefaultTtlMs): Unit = {
@@ -309,8 +319,8 @@ object TableLease {
           s"held by '$h' (${age / 1000}s old, ttl ${ttlMs / 1000}s) — " +
           "wait for the window to close, or delete the lease file if " +
           "the holder is known dead")
-    // sentinel-aware read: an opposite-kind renewal's mid-exchange gap
-    // must read as a held window, not an empty field
+    // one deterministic read: a live opposite window's lease file is
+    // never absent (the module contract), so absence here IS absence
     readEffective(path, opposite, ttlMs).foreach { case (h, age) =>
       if (age <= ttlMs) refuseOpposite(h, age)
       // stale: crashed holder — claim atomically; a failed claim means
@@ -321,13 +331,13 @@ object TableLease {
       }
     }
     val f = leaseFile(path, kind)
-    // SAME-kind read is sentinel-aware too: a foreign holder's renewal
-    // gap must read as that holder's held window, or a concurrent
-    // acquirer walks into the "empty" field, CREATE_NEW-wins it, and
-    // the fresh window's legitimate holder loses its own renewal — a
-    // fresh-window steal the protocol promises cannot happen (caught
-    // by the forked-JVM race spec's renew rounds, not the same-JVM
-    // hammers: only a second process's acquire ever lands there).
+    // SAME-kind read rides the same contract: a foreign holder's
+    // renewal never absents its lease file (in-place replace, healthy
+    // or lock-serialized near-boundary), so a concurrent acquirer can
+    // never walk into a spuriously "empty" field and CREATE_NEW-win a
+    // window whose legitimate holder was mid-heartbeat (caught by the
+    // forked-JVM race spec's renew rounds, not the same-JVM hammers:
+    // only a second process's acquire ever lands there).
     readEffective(path, kind, ttlMs) match {
       case Some((h, age)) if age <= ttlMs && h != holder =>
         throw new IllegalStateException(
@@ -337,62 +347,44 @@ object TableLease {
       case Some((_, age)) if age <= ttlMs - ttlMs / 4 =>
         // HEALTHY heartbeat (the overwhelming case — per-write renewals
         // keep the age at seconds against a minutes TTL): refresh one's
-        // OWN fresh lease IN PLACE — new payload to a unique temp
-        // sibling, atomic same-directory REPLACE rename onto the lease
-        // file. The file is NEVER absent, so every read-only gate sees
-        // the held window deterministically ([[readEffective]]'s
-        // contract). Soundness of the replace: a thief may legally
-        // tomb-claim only a STALE lease (age > ttl), but this branch
-        // ran only because OUR read said age ≤ ttl − ttl/4 — the
-        // thief's qualifying read must come ≥ ttl/4 AFTER ours (same
-        // file, same stored timestamp, same clock), while our
-        // read-to-rename spans two adjacent file ops. Clobbering a
-        // thief would therefore take a ttl/4 stall between two
-        // syscalls — minutes at the default TTL, a holder the TTL
-        // model already declares crashed. Concurrent renewals by
-        // threads of the SAME holder commute (identical content
-        // modulo timestamp).
-        val tmp = f.resolveSibling(f.getFileName.toString +
-          s".renew-${ProcessHandle.current().pid()}-" +
-          s"${Thread.currentThread().getId}-${System.nanoTime()}")
-        Files.write(tmp, leasePayload(holder))
-        // ATOMIC_MOVE, not REPLACE_EXISTING: REPLACE without ATOMIC is
-        // implemented as unlink-target-then-rename — an absence window
-        // that re-opens the exact gap this branch exists to close (the
-        // fork gate-hammer spec measured 344/3000 admissions through
-        // it). ATOMIC_MOVE maps to plain rename(2), which replaces an
-        // existing target atomically on POSIX.
-        Files.move(tmp, f,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        // OWN fresh lease IN PLACE, lock-free. Soundness of the
+        // replace: a thief may legally delete only a STALE lease
+        // (age > ttl, re-verified under the exchange lock), but this
+        // branch ran only because OUR read said age ≤ ttl − ttl/4 —
+        // the thief's qualifying read must come ≥ ttl/4 AFTER ours
+        // (same file, same stored timestamp, same clock — see the
+        // module doc's clock model), while our read-to-rename spans
+        // two adjacent file ops. Clobbering a thief would therefore
+        // take a ttl/4 stall between two syscalls — minutes at the
+        // default TTL, a holder the TTL model already declares
+        // crashed. Concurrent renewals by threads of the SAME holder
+        // commute (identical content modulo timestamp).
+        replaceInPlace(f, holder)
       case Some((_, age)) if age <= ttlMs =>
         // NEAR-BOUNDARY renewal (age inside the last ttl/4 — the
         // heartbeat all but went stale, so a concurrent thief's
-        // stale-read may already be legal and an in-place replace
-        // could clobber its fresh lease): take the conservative
-        // tomb-verify + CREATE_NEW exchange — [[claimOwn]] verifies
-        // the content is really ours (a thief that won the boundary
-        // race is restored and we refuse), then the CREATE_NEW race
-        // decides concurrent renewers/stealers with exactly one
-        // winner. The exchange briefly absents the lease file, so it
-        // is bracketed by a sentinel ([[openSentinel]]) that gates
-        // read as a held window; the bracket is removed in a finally —
-        // on refusal the window's true state is back in the lease file
-        // (restored by claimOwn or owned by the thief).
-        val sentinel = openSentinel(f, holder)
-        try {
-          if (!claimOwn(f, holder))
-            throw new IllegalStateException(
-              s"cannot renew the $kind lease on $path: the lease was " +
-                s"taken by '${read(path, kind).map(_._1).getOrElse("<gone>")}'" +
-                " — the window was stolen at the TTL boundary")
-          if (!tryCreate(f, holder)) {
-            val winner = read(path, kind).map(_._1).getOrElse("<unknown>")
-            if (winner != holder)
+        // stale-read may become legal within syscalls and a LOCK-FREE
+        // in-place replace could clobber its fresh lease): serialize
+        // on the exchange lock and re-verify. Under the lock the
+        // verify-then-replace is atomic against every stale claim and
+        // release, so the replace never clobbers a thief — and the
+        // lease file is still NEVER absent (the r15 form tombed and
+        // re-created it here behind a sentinel bracket; the r16 fork
+        // hammer measured 11/3000 cross-process gate admissions
+        // through that bracket's two-instant read and the exchange
+        // was replaced with this serialized in-place form, which the
+        // same hammer pins at zero).
+        withExchangeLock(f, ttlMs) {
+          readFile(f) match {
+            case Some((h, _)) if h == holder =>
+              replaceInPlace(f, holder)
+            case other =>
               throw new IllegalStateException(
-                s"cannot renew the $kind lease on $path: lost the " +
-                  s"re-creation race to '$winner'")
+                s"cannot renew the $kind lease on $path: the lease " +
+                  s"was taken by '${other.map(_._1).getOrElse("<gone>")}'" +
+                  " — the window was stolen at the TTL boundary")
           }
-        } finally Files.deleteIfExists(sentinel)
+        }
       case stale =>
         // stale same-kind: claim the crashed holder's file (a failed
         // claim = someone re-created it fresh; fall through — tryCreate
@@ -429,29 +421,30 @@ object TableLease {
   /** Release `holder`'s lease. Releasing a lease someone else stole
     * (after this holder went stale) is a no-op — the thief owns it.
     *
-    * READ-AND-COMPARE first: a foreign fresh lease (the common
-    * post-steal state) is never moved at all — the earlier form rode
-    * [[claimOwn]] unconditionally, which tombs the file BEFORE
-    * verifying ownership, so a thief's live window was briefly absent
-    * with no sentinel bracketing it (the same gap class the renewal
-    * sentinel closes, reintroduced). Only when the content reads as
-    * OURS (or unreadable — claimOwn's verify decides) does the
-    * tomb-verify exchange run, and it is BRACKETED by the same renewal
-    * sentinel as a renewal: if a thief replaced the file between the
-    * read and the move, the restore's brief absence still reads as a
-    * held window to every gate. (The bracket also covers the owner's
-    * own legitimate removal — a gate read landing just after the
-    * delete but before the sentinel drop sees "held" for a few extra
-    * microseconds, which is conservative, never unsafe.) */
+    * READ-AND-COMPARE first, lock-free: a foreign fresh lease (the
+    * common post-steal state) is never touched at all. Only when the
+    * content reads as OURS (or unreadable) does the serialized
+    * exchange run: under the exchange lock, re-verify ownership and
+    * delete in place. A thief that replaced the file between the
+    * outer read and the lock is seen by the re-verify and left alone —
+    * its window is never moved, tombed, or even briefly absent (the
+    * r15 form tombed first and restored after, a gap class the r16
+    * serialization removes entirely). The absence AFTER a successful
+    * delete is the contractually correct state: the window is over. */
   def release(path: String, kind: Kind, holder: String): Unit = {
     val f = leaseFile(path, kind)
     readFile(f) match {
       case None => ()
       case Some((h, _)) if h != holder && h != "<unreadable lease>" => ()
       case _ =>
-        val sentinel = openSentinel(f, holder)
-        try { claimOwn(f, holder); () }
-        finally Files.deleteIfExists(sentinel)
+        withExchangeLock(f, DefaultTtlMs) {
+          readFile(f) match {
+            case Some((h, _)) if h == holder =>
+              Files.deleteIfExists(f)
+              ()
+            case _ => () // foreign, unreadable, or gone: not ours to remove
+          }
+        }
     }
   }
 
@@ -629,10 +622,13 @@ object TableLease {
 
   /** Writer-side gate: refuse the write while a fresh maintenance lease
     * is held by anyone other than this thread's own maintenance pass.
-    * Sentinel-aware ([[readEffective]]): a gate read landing in a
-    * maintenance renewal's tomb-to-re-create gap sees the renewal
-    * sentinel and refuses — the tomb-window residual this gate used to
-    * carry (a read-only check with no post-create recheck) is closed. */
+    * ONE deterministic read ([[readEffective]]'s contract): a live
+    * maintenance window's lease file is never absent — healthy
+    * renewals replace it in place and the rare exchanges are
+    * serialized in-place mutations under the exchange lock — so a
+    * bare lease read decides, with no sentinel scan and no residual
+    * window (both fork hammers pin this at 0/3000 cross-process
+    * admissions). */
   private[graft] def requireNoForeignMaintenance(
       path: String, ttlMs: Long = DefaultTtlMs): Unit =
     if (!ownMaintenance.get().contains(path))

@@ -50,6 +50,15 @@ private[graft] object LeaseRaceProtocol {
   val GateRound = 1000
   val GateAttempts = 3000
 
+  /** Round index for the NEAR-BOUNDARY hammer (r15 verdict #3): the
+    * parent forces every heartbeat through the boundary renewal
+    * branch (lease age injected past ttl−ttl/4) while the child
+    * hammers the writer gate — pinning that the lock-serialized
+    * in-place exchange never absents a live window's lease file
+    * (the sentinel-bracketed tomb form it replaced measured 11/3000
+    * admissions under exactly this hammer). */
+  val GateRoundNB = 1001
+
   def table(dir: String): String = s"$dir/t"
   def go(dir: String, i: Int): Path = Paths.get(dir, s"go-$i")
   def out(dir: String, side: String, i: Int): Path =
@@ -91,6 +100,9 @@ object LeaseRaceMain {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     if (args.length > 1 && args(1) == "gate") { gateMain(dir); return }
+    if (args.length > 1 && args(1) == "gateNB") {
+      gateMain(dir, GateRoundNB); return
+    }
     val t = table(dir)
     for (i <- 0 until Rounds) {
       await(go(dir, i))
@@ -109,22 +121,22 @@ object LeaseRaceMain {
     }
   }
 
-  /** GATE-HAMMER child: while the parent runs a zero-work renewal loop
-    * on its own fresh Maintenance lease (the pathological adversary —
-    * renewals back to back; under the replaced tomb-based design the
-    * lease file was repeatedly absent for microseconds), hammer the
-    * writer-side gate from THIS separate process. Every call must
-    * refuse; a single pass is a cross-process tomb-window admission.
-    * Publishes `passes=<n>;attempts=<k>`. */
-  private def gateMain(dir: String): Unit = {
+  /** GATE-HAMMER child: while the parent runs a renewal loop on its
+    * own fresh Maintenance lease (healthy in-place heartbeats in the
+    * `gate` mode; injected NEAR-BOUNDARY lock-serialized exchanges in
+    * `gateNB`), hammer the writer-side gate from THIS separate
+    * process. Every call must refuse; a single pass is a
+    * cross-process admission into a held window. Publishes
+    * `passes=<n>;attempts=<k>`. */
+  private def gateMain(dir: String, round: Int = GateRound): Unit = {
     val t = table(dir)
-    await(go(dir, GateRound))
+    await(go(dir, round))
     var passes = 0L
     (1 to GateAttempts).foreach { _ =>
       try { TableLease.requireNoForeignMaintenance(t); passes += 1 }
       catch { case _: IllegalStateException => () }
     }
-    publish(out(dir, "child", GateRound),
+    publish(out(dir, "child", round),
       s"passes=$passes;attempts=$GateAttempts")
   }
 }

@@ -386,48 +386,90 @@ class TableLeaseSpec extends AnyFunSuite {
     assert(spark.read.parquet(path).count() == 25)
   }
 
-  // ── the tomb-window residual, closed (r13 verdict directive 4): a
-  // renewal's mid-exchange lease absence must read as a HELD window ──
+  // ── the live-window never-absent contract (r16): every exchange
+  // mutates the lease file in place, so no gate read can ever land in
+  // an absence gap — there is no gap ──
 
-  test("a fresh renewal sentinel with the lease file absent reads as a held maintenance window") {
+  test("a NEAR-BOUNDARY renewal never absents the lease file (in-place under the exchange lock)") {
     val path = tmp(); mkTable(path)
-    // engineer the mid-renewal state directly: lease file tombed away
-    // (absent), sentinel bracket present and fresh
-    Files.createDirectories(Paths.get(path + ".__maint-lease.renewing"))
-    Files.write(Paths.get(path + ".__maint-lease.renewing", "1-1-1"),
-      s"mid-renewal-holder\n${System.currentTimeMillis()}".getBytes("UTF-8"))
+    val holder = "boundary-hb"
+    TableLease.acquire(path, TableLease.Maintenance, holder)
+    val lease = Paths.get(path + ".__maint-lease")
+    val ttl = TableLease.DefaultTtlMs
+    // watcher thread: observe the lease file's existence as hot as the
+    // filesystem allows while the renewal loop runs — under the old
+    // tomb exchange it was repeatedly absent for microseconds; under
+    // the serialized in-place exchange it must NEVER be
+    val watching = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val absences = new java.util.concurrent.atomic.AtomicLong
+    val reads = new java.util.concurrent.atomic.AtomicLong
+    val watcher = new Thread(() => {
+      while (watching.get()) {
+        reads.incrementAndGet()
+        if (!Files.exists(lease)) absences.incrementAndGet()
+      }
+    })
+    watcher.start()
+    try (1 to 200).foreach { _ =>
+      // inject a stored timestamp inside the last ttl/4 so the next
+      // heartbeat takes the boundary branch (owner rewriting its own
+      // payload is itself an atomic in-place replace)
+      val tmpF = lease.resolveSibling(s"backdate-${System.nanoTime()}")
+      Files.write(tmpF,
+        s"$holder\n${System.currentTimeMillis() - (ttl - ttl / 8)}"
+          .getBytes("UTF-8"))
+      Files.move(tmpF, lease,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      TableLease.acquire(path, TableLease.Maintenance, holder)
+    } finally {
+      watching.set(false)
+      watcher.join(10000)
+      TableLease.release(path, TableLease.Maintenance, holder)
+    }
+    assert(reads.get() > 0, "the watcher thread never ran")
+    assert(absences.get() == 0,
+      s"the lease file was absent ${absences.get()}/${reads.get()} " +
+        "observations during boundary renewals — the in-place exchange " +
+        "contract was breached")
+  }
+
+  test("a crashed exchange lock is tomb-claimed once stale; a fresh one refuses loudly") {
+    val path = tmp(); mkTable(path)
+    val lease = Paths.get(path + ".__maint-lease")
+    val xlock = Paths.get(path + ".__maint-lease.__xlock")
+    // a STALE lease guarded by a STALE xlock (holder crashed inside
+    // the µs critical section an eternity ago): the claim steals the
+    // lock, verifies the lease stale under it, clears the field
+    Files.write(lease,
+      s"crashed-holder\n${System.currentTimeMillis() - 3600_000L}"
+        .getBytes("UTF-8"))
+    Files.write(xlock,
+      s"xlock\n${System.currentTimeMillis() - 3600_000L}".getBytes("UTF-8"))
+    TableLease.requireNoForeignMaintenance(path) // claims through both
+    assert(!Files.exists(lease), "the stale lease was not claimed")
+    // a FRESH xlock is a live exchange: the gate's stale-claim must
+    // refuse loudly after its bounded wait, never block forever and
+    // never bypass the serialization
+    Files.write(lease,
+      s"crashed-holder\n${System.currentTimeMillis() - 3600_000L}"
+        .getBytes("UTF-8"))
+    Files.write(xlock,
+      s"xlock\n${System.currentTimeMillis()}".getBytes("UTF-8"))
     val e = intercept[IllegalStateException] {
       TableLease.requireNoForeignMaintenance(path)
     }
-    assert(e.getMessage.contains("maintenance window is open"))
-    // the real writer paths refuse through the same gate
-    intercept[IllegalStateException] {
-      UpsertWriter.appendBucketed(spark, path,
-        Seq((99L, "RACE", 9L)).toDF("id", "v", "ver"),
-        keys = Seq("id"), batchTag = "race", numBuckets = 4)
-    }
-    assert(spark.read.parquet(path).filter($"v" === "RACE").count() == 0)
-  }
-
-  test("a STALE renewal sentinel is a crashed renewal: dropped, not honored") {
-    val path = tmp(); mkTable(path)
-    Files.createDirectories(Paths.get(path + ".__maint-lease.renewing"))
-    val sentinel = Paths.get(path + ".__maint-lease.renewing", "1-1-2")
-    Files.write(sentinel,
-      s"crashed-renewal\n${System.currentTimeMillis() - 3600_000L}"
-        .getBytes("UTF-8"))
-    TableLease.requireNoForeignMaintenance(path) // passes: window is over
-    assert(!Files.exists(sentinel),
-      "a stale sentinel must be cleaned up opportunistically")
+    assert(e.getMessage.contains("exchange lock"),
+      s"unexpected refusal: ${e.getMessage}")
+    Files.delete(xlock); Files.delete(lease)
   }
 
   test("writer gate never passes inside a maintenance heartbeat's renewal exchange") {
     // Thread A heartbeats its own fresh maintenance lease in a tight
-    // loop — every renewal tombs the lease file and re-creates it, so
-    // the file is repeatedly ABSENT for microseconds. Thread B hammers
-    // the writer-side gate throughout. With the sentinel bracket every
-    // B call must REFUSE (the window is continuously held); a single
-    // pass is the exact tomb-window admission the sentinel closes.
+    // loop — every renewal takes the HEALTHY branch's in-place atomic
+    // replace, so the lease file is never absent. Thread B hammers
+    // the writer-side gate throughout: every call must REFUSE (the
+    // window is continuously held); a single pass would mean the
+    // in-place contract leaked an absence window.
     val path = tmp(); mkTable(path)
     val holder = "hb-maint"
     TableLease.acquire(path, TableLease.Maintenance, holder)
