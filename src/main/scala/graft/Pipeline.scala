@@ -40,15 +40,54 @@ object Pipeline {
     * PRUNES the sidecar instead of growing it forever. A pure-batch
     * deployment (this pipeline alone writes the mart — the default)
     * never creates deltas, so `None` is exact, not a loophole: the
-    * sidecar stays empty. */
+    * sidecar stays empty.
+    *
+    * `noReplayers`: the pure-batch deployment's EXPLICIT sidecar
+    * bound — the caller's declaration that no streaming writer ever
+    * appends tagged batches to this mart, past or future. With it,
+    * every run clears the replay sidecar outright
+    * ([[UpsertWriter.clearReplayMetadata]]) instead of growing it
+    * forever: a mart with no replaying worker has no batch that can
+    * ever replay, so every idempotence tag is dead weight — including
+    * legacy tags left by a worker that was later detached, which no
+    * checkpoint-derived horizon can prune once the checkpoint is
+    * gone. The declaration is CHECKED, not trusted blind: live
+    * delta files under the mart (a tagged writer's evidence trail)
+    * refuse the clear loudly, and passing a `workerCheckpoint`
+    * alongside it is a contradiction refused up front. Without
+    * either (`None` + `false`), maintenance keeps every folded tag —
+    * correct for an unknown deployment, unbounded for a pure-batch
+    * one; declare one or the other. */
   def runDaily(
       spark: SparkSession,
       sfDir: String,
       warehouseDir: String,
       runVersion: Long,
       compactOver: Int = 64,
-      workerCheckpoint: Option[String] = None): Unit = {
+      workerCheckpoint: Option[String] = None,
+      noReplayers: Boolean = false): Unit = {
+    require(!(noReplayers && workerCheckpoint.nonEmpty),
+      "noReplayers declares that NO streaming co-writer ever appends " +
+        "to this mart; passing its workerCheckpoint contradicts the " +
+        "declaration — drop one of the two")
     Sessions.tune(spark)
+    val martPathEarly = s"$warehouseDir/relatorio_diario"
+    // evidence check at ENTRY, not at the clear: the mart upsert below
+    // FOLDS any live deltas (recording their tags), after which a
+    // freshly-contradicted declaration is indistinguishable from a
+    // legacy sidecar — so look for the tagged writer's evidence trail
+    // before this run consumes it
+    if (noReplayers) {
+      val live = UpsertWriter.taggedDeltas(martPathEarly)
+      if (live.nonEmpty)
+        throw new IllegalStateException(
+          s"runDaily(noReplayers = true) refused: delta files with " +
+            s"batch tags ${live.toSeq.sorted.mkString(", ")} exist " +
+            s"under $martPathEarly — a tagged streaming writer has " +
+            "appended here and its batches may replay, so the " +
+            "no-replayers assertion is false; run with the writer's " +
+            "checkpoint instead")
+    }
 
     // 1. consolidate
     val mart = operators.Consolidation.relatorio(spark, sfDir)
@@ -86,6 +125,11 @@ object Pipeline {
     if (files > compactOver)
       UpsertWriter.compact(spark, martPath, replayHorizon = horizon)
     else horizon.foreach(UpsertWriter.pruneReplayMetadata(martPath, _))
+    // the declared-batch-only deployment's bound: clear the sidecar
+    // outright (checked against live deltas — see the scaladoc). After
+    // the compaction above, not instead of it: a compact that folded
+    // anything has just recorded tags this clear is entitled to drop.
+    if (noReplayers) UpsertWriter.clearReplayMetadata(martPath)
   }
 
   /** The STREAMING counterpart of [[runDaily]] — the reference's queue

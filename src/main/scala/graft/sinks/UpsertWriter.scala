@@ -583,6 +583,53 @@ object UpsertWriter {
       pruneFoldedTags(path, replayHorizon)
     }
 
+  /** Batch tags of LIVE delta files under `path` — the table-local
+    * evidence trail a tagged streaming writer leaves. Public so a
+    * caller about to declare no-replayers ([[clearReplayMetadata]],
+    * [[graft.Pipeline.runDaily]]) can check the evidence BEFORE any
+    * folding op consumes it: a keyed merge or compact folds deltas
+    * into ordinary files and records their tags, after which the
+    * contradiction is indistinguishable from a legacy sidecar. */
+  def taggedDeltas(path: String): Set[String] =
+    deltaTagsUnder(Paths.get(path))
+
+  /** Clear the ENTIRE folded-tags sidecar under the caller's declared
+    * NO-REPLAYERS contract: the caller asserts no streaming writer
+    * ever appends tagged batches to this table (so nothing can ever
+    * replay and every idempotence tag is dead weight) — the assertion
+    * a pure-batch deployment can make that a checkpoint-derived
+    * horizon ([[replayHorizon]]) cannot express, because there is no
+    * checkpoint. Unlike [[pruneFoldedTags]] this also forgets tags in
+    * non-`b<id>` formats: the horizon prune keeps those because their
+    * age is unprovable, but "no writer exists" kills them all at once.
+    *
+    * The declaration is CHECKED against the one table-local evidence
+    * trail a tagged writer leaves: live `delta-<tag>-*.parquet` files
+    * under the table. Any present → the assertion is false (a tagged
+    * append happened and its batch may yet replay) → refuse loudly
+    * before touching the sidecar. A worker's checkpoint directory is
+    * NOT discoverable from the table path, so a detached-but-
+    * resumable worker whose deltas were all folded cannot be detected
+    * here — that is exactly why this is an explicit caller contract
+    * on [[graft.Pipeline.runDaily]] rather than a heuristic default.
+    * Lease-gated like every sidecar rewrite. */
+  def clearReplayMetadata(path: String): Unit =
+    TableLease.withMaintenance(
+        Seq(path), maintHolder("clearReplayMetadata")) {
+      val live = deltaTagsUnder(Paths.get(path))
+      if (live.nonEmpty)
+        throw new IllegalStateException(
+          s"clearReplayMetadata($path) refused: delta files with batch " +
+            s"tags ${live.toSeq.sorted.mkString(", ")} exist under the " +
+            "table — a tagged writer has appended here and its batches " +
+            "may replay, so the no-replayers assertion is false. Run " +
+            "the writer's own maintenance (compact with its checkpoint-" +
+            "derived horizon) instead, and declare no-replayers only " +
+            "on tables no streaming writer touches.")
+      Files.deleteIfExists(foldedMarker(path))
+      ()
+    }
+
   /** The replay horizon a Structured Streaming CHECKPOINT proves: the
     * commit log at `<checkpointDir>/commits` holds one file per
     * committed batch id, and a batch whose commit is recorded is never

@@ -42,4 +42,63 @@ class PipelineE2ESpec extends AnyFunSuite {
     assert(alerts.select(max($"run_version")).head().getLong(0) == 2L)
     assert(alerts.filter($"status" === "OPEN").count() == alerts.count())
   }
+
+  test("declared batch-only deployment: a long runDaily loop keeps the replay sidecar empty") {
+    // The r15 verdict's residual #2: a pure-batch mart (no streaming
+    // co-writer, no checkpoint) had no way to assert "no replayers",
+    // so legacy folded tags survived every maintenance pass forever.
+    // noReplayers = true is that assertion; this drives the common
+    // deployment shape long enough to cross compaction thresholds and
+    // pins the sidecar ABSENT after every cycle.
+    val wh = Files.createTempDirectory("graft-pipeline-batchonly").toString
+    val sf = TestSpark.sf0001
+    val mart = s"$wh/relatorio_diario"
+    val sidecar = java.nio.file.Paths.get(mart + ".__folded-tags")
+    // a detached worker's LEGACY sidecar (its checkpoint long deleted —
+    // no horizon can ever be derived for these again): the first
+    // declared run must clear it, not carry it forever
+    Pipeline.runDaily(spark, sf, wh, runVersion = 1L)
+    Files.write(sidecar, "b3\nb7\nlegacy-tag\n".getBytes("UTF-8"))
+    (2L to 12L).foreach { v =>
+      Pipeline.runDaily(spark, sf, wh, runVersion = v,
+        compactOver = 8, noReplayers = true)
+      assert(!Files.exists(sidecar),
+        s"run $v left a replay sidecar on a declared batch-only mart")
+    }
+    // the mart itself stays correct through the declared maintenance
+    val stored = spark.read.parquet(mart)
+    assert(stored.count() ==
+      SparkEntry.queries("ep1_consolidar_relatorio")(spark, sf).count())
+    assert(stored.select(max($"run_version")).head().getLong(0) == 12L)
+  }
+
+  test("the no-replayers declaration is checked: live deltas refuse, a checkpoint contradicts") {
+    val wh = Files.createTempDirectory("graft-pipeline-norep").toString
+    val sf = TestSpark.sf0001
+    Pipeline.runDaily(spark, sf, wh, runVersion = 1L)
+    // contradiction up front: a worker checkpoint + the no-writer claim
+    val e1 = intercept[IllegalArgumentException] {
+      Pipeline.runDaily(spark, sf, wh, runVersion = 2L,
+        workerCheckpoint = Some(s"$wh/ckpt"), noReplayers = true)
+    }
+    assert(e1.getMessage.contains("noReplayers"))
+    // a tagged streaming append lands (the writer the declaration says
+    // cannot exist): the next declared run must refuse the clear loudly
+    // — the table-local evidence contradicts the caller
+    val mart = s"$wh/relatorio_diario"
+    graft.sinks.UpsertWriter.append(spark, mart,
+      spark.read.parquet(mart).limit(1),
+      keys = Seq("id_anuncio", "id_anuncio_variacao"), batchTag = "b99")
+    val e2 = intercept[IllegalStateException] {
+      Pipeline.runDaily(spark, sf, wh, runVersion = 3L, noReplayers = true)
+    }
+    assert(e2.getMessage.contains("no-replayers assertion is false"),
+      s"unexpected refusal: ${e2.getMessage}")
+    // the refusal is BEFORE the upsert (which would fold the delta and
+    // destroy the evidence): the delta file must still be live
+    assert(graft.sinks.UpsertWriter.taggedDeltas(mart) == Set("b99"),
+      "the refusal must fire before any folding op consumes the deltas")
+    // an undeclared run still works (keeps every tag, the safe default)
+    Pipeline.runDaily(spark, sf, wh, runVersion = 4L)
+  }
 }
