@@ -31,6 +31,37 @@ class UpsertWriterSpec extends AnyFunSuite {
     assert(state == Map(1L -> "a2", 2L -> "b2", 3L -> "c"))
   }
 
+  test("clearReplayMetadata: live deltas refuse; folded deltas are the documented blind spot") {
+    val path = tmp()
+    UpsertWriter.upsert(spark, path,
+      Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("id", "v", "ver"),
+      keys = Seq("id"), versionCol = "ver")
+    UpsertWriter.append(spark, path,
+      Seq((3L, "c", 1L)).toDF("id", "v", "ver"),
+      keys = Seq("id"), batchTag = "b5")
+    // LIVE tagged delta under the table: the no-replayers declaration
+    // is contradicted by the evidence trail — refuse before touching
+    // the sidecar
+    val e = intercept[IllegalStateException] {
+      UpsertWriter.clearReplayMetadata(path)
+    }
+    assert(e.getMessage.contains("no-replayers assertion is false"))
+    // a compaction folds the delta (recording its tag); the evidence
+    // trail is now gone, so the clear SUCCEEDS — this is the
+    // documented contract boundary (a detached-but-resumable worker
+    // whose deltas were all folded is undetectable from the table
+    // path; callers like Pipeline.runDaily therefore check
+    // taggedDeltas at ENTRY, before any folding op runs)
+    UpsertWriter.compact(spark, path)
+    assert(UpsertWriter.foldedTags(path).contains("b5"))
+    assert(UpsertWriter.taggedDeltas(path).isEmpty)
+    UpsertWriter.clearReplayMetadata(path)
+    assert(UpsertWriter.foldedTags(path).isEmpty,
+      "the declared clear must forget every tag, b-format or not")
+    // the table's data is untouched by the metadata-only clear
+    assert(spark.read.parquet(path).count() == 3)
+  }
+
   test("K1: additive schema evolution — new column upserts, old rows null") {
     val path = tmp()
     UpsertWriter.upsert(spark, path,
