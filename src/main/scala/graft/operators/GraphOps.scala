@@ -669,7 +669,7 @@ object GraphOps extends OpModule {
     // diameter you iterate with [[bfsToFixpoint]]). ──
     "graph_bfs_3hop" -> Q(
       (s, d) => {
-        val edges = symEdges(s, d)
+        val edges = rawSymPairs(s, d)
           .persist(StorageLevel.MEMORY_AND_DISK)
         var dist = edges.select(col("src").as("node")).distinct()
           .where(pmod(col("node"), lit(100)) === 0)

@@ -1762,7 +1762,10 @@ object RelationalOps extends OpModule {
     * and the ops readout for skew hunts / bad-file quarantine. Purely
     * map-side until the (tiny: one row per FILE) count shuffle. */
   def fileProvenance(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    df.select(regexp_extract(input_file_name(), "[^/]+$", 0).as("file"))
+    // substring_index, not regexp_extract (r16): same basename — the
+    // segment after the last '/', the whole string when none — without
+    // compiling/running a regex per scan row on the hot map side
+    df.select(substring_index(input_file_name(), "/", -1).as("file"))
       .groupBy(col("file"))
       .agg(count(lit(1)).as("n_rows"))
 
