@@ -278,19 +278,22 @@ object GraphOps extends OpModule {
     * integer rows, so the width estimate is tight. */
   private[graft] def countGatedJoin(
       stream: DataFrame, build: DataFrame, keys: Seq[String],
-      buildRows: Long, budgetBytes: Long): DataFrame = {
+      buildRows: Long, budgetBytes: Long,
+      joinType: String = "inner"): DataFrame = {
     val width = build.schema.map(_.dataType.defaultSize).sum + 16
-    gatedBy(stream, build, keys, BigInt(buildRows) * width, budgetBytes)
+    gatedBy(stream, build, keys, BigInt(buildRows) * width, budgetBytes,
+      joinType)
   }
 
   private def gatedBy(
       stream: DataFrame, build: DataFrame, keys: Seq[String],
-      bytes: BigInt, budgetBytes: Long): DataFrame = {
+      bytes: BigInt, budgetBytes: Long,
+      joinType: String = "inner"): DataFrame = {
     if (sys.env.contains("GRAFT_GATE_DEBUG"))
       System.err.println(s"[gate] bytes=$bytes budget=$budgetBytes " +
         s"-> ${if (bytes <= BigInt(budgetBytes)) "broadcast" else "shuffle_hash"}")
-    if (bytes <= BigInt(budgetBytes)) stream.join(broadcast(build), keys)
-    else stream.join(build.hint("shuffle_hash"), keys)
+    if (bytes <= BigInt(budgetBytes)) stream.join(broadcast(build), keys, joinType)
+    else stream.join(build.hint("shuffle_hash"), keys, joinType)
   }
 
   /** Per-node triangle counts by COMPACT-FORWARD (edges oriented by
@@ -468,19 +471,25 @@ object GraphOps extends OpModule {
     // pre-agg regime) may leave slice 0 empty for a node
     val nodes = adj.select(col("src").as("node")).distinct()
       .localCheckpoint(eager = true)
+    val nNodes = nodes.count()
     var ranks = nodes.withColumn("rank_micro", lit(1000000L))
       .localCheckpoint(eager = true)
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
       round += 1
-      val contrib = adj
-        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+      // node-sized rank/contrib relations ride the count gate (same as
+      // the registered query): one exchange per round, shuffle-hash
+      // degradation past the budget
+      val contrib = countGatedJoin(
+        adj, ranks.withColumnRenamed("node", "src"), Seq("src"),
+        nNodes, BroadcastBudgetBytes)
         .select(explode(col("nbrs")).as("node"),
           expr("rank_micro div deg").as("c"))
         .groupBy(col("node"))
         .agg(sum(col("c")).as("contrib"))
-      val next = nodes.join(contrib, Seq("node"), "left")
+      val next = countGatedJoin(nodes, contrib, Seq("node"),
+        nNodes, BroadcastBudgetBytes, joinType = "left")
         .select(col("node"),
           (lit(150000L) +
             expr("(85 * coalesce(contrib, CAST(0 AS BIGINT))) div 100"))
@@ -586,9 +595,17 @@ object GraphOps extends OpModule {
           knownMaxRawDeg = Some(maxRawDegFrom(os)))
         os.unpersist(blocking = false)
         // node list via distinct, not `slice === 0` — hash slicing (the
-        // pre-agg regime) may leave slice 0 empty for a node; the
-        // distinct is a narrow pass over the node-sized cache
+        // pre-agg regime) may leave slice 0 empty for a node.
+        // CHECKPOINTED once (r16): the unrolled 3-round plan references
+        // `nodes` in every round's left join AND the rank init — lazy,
+        // the one executed plan re-ran the distinct over the adjacency
+        // cache four times. (Count-gated broadcasts of the per-round
+        // rank/contrib relations were ALSO tried here and measured
+        // SLOWER: the lazy rank subtree then evaluates inside each
+        // round's broadcast build on one thread — the same hazard
+        // candidates() documents — while the merge joins run wide.)
         val nodes = adj.select(col("src").as("node")).distinct()
+          .localCheckpoint()
         var ranks = nodes.withColumn("rank_micro", lit(1000000L))
         for (_ <- 1 to 3) {
           val contrib = adj
