@@ -588,11 +588,16 @@ object DedupOps extends OpModule {
     // the union's two branches otherwise each execute the whole
     // candidate + verify pipeline — one redundant full pass of the
     // band self-join and the shingle co-count (measured ~30 MB of the
-    // survivors query's 75 MB shuffle, ~1.7 s at sf0.1). With the
-    // persist the union is two cache scans; the pair cache is released
-    // as soon as the symmetric edge list materializes.
+    // survivors query's 75 MB shuffle, ~1.7 s at sf0.1). MATERIALIZED
+    // (count) before the union builds (r17, advisor finding): a lazy
+    // persist makes the union's two branches populate the cache
+    // concurrently — block-lock serialized, one branch stalling on the
+    // other's partition computes — instead of the two cache scans this
+    // fix exists to buy. The pair cache is released as soon as the
+    // symmetric edge list materializes.
     val pairs = jaccardPairs(candidates(bandSigs(sets, 32, 4)), sets, 0.8)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pairs.count()
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -101,10 +101,6 @@ object GraphOps extends OpModule {
       .agg(coalesce(max(col("deg")), lit(0L)).as("m"))
       .head.getLong(0)
 
-  /** Symmetric distinct co-occurrence edges (src ≠ dst, both ways). */
-  private def symEdges(s: SparkSession, d: String): DataFrame =
-    rawSymPairs(s, d).distinct()
-
   /** Hub-safe sliced adjacency: (src, slice, nbrs, deg) with ≤ `sliceK`
     * neighbors per row — `ceil(deg/K)` rows per node, slices
     * partitioning the neighbor set, full distinct degree on every row.
@@ -216,10 +212,25 @@ object GraphOps extends OpModule {
       case Some(_) => edges
       case None => edges.persist(StorageLevel.MEMORY_AND_DISK)
     }
-    val maxRawDeg = knownMaxRawDeg.getOrElse(
+    def probe(): Long =
       raw.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .agg(coalesce(max(col("deg")), lit(0L)).as("m"))
-        .head.getLong(0))
+        .head.getLong(0)
+    // Under GRAFT_GATE_DEBUG the hint is AUDITED, not trusted: the probe
+    // recomputes and a mismatch warns loudly (r17, advisor finding — a
+    // future call site passing a value below the true raw max would
+    // silently select the unbounded set build on a hub graph; current
+    // callers derive the hint from the same relation, so production
+    // never pays the extra pass).
+    knownMaxRawDeg.filter(_ => sys.env.contains("GRAFT_GATE_DEBUG"))
+      .foreach { hint =>
+        val measured = probe()
+        if (measured != hint)
+          System.err.println(s"[gate] adaptiveAdjacency knownMaxRawDeg " +
+            s"MISMATCH: hint=$hint measured=$measured — the hint MUST " +
+            s"equal groupBy(src).count's max over the raw pair stream")
+      }
+    val maxRawDeg = knownMaxRawDeg.getOrElse(probe())
     var intermediates = List.empty[DataFrame]
     val adj = (if (maxRawDeg <= hubDegreeLimit) {
       hubSafeAdjacency(raw, sliceK)
@@ -304,37 +315,45 @@ object GraphOps extends OpModule {
     * out-lists (hubs point IN — amortized O(√m) out-degree), so a plain
     * collect_list is safe here; slicing still bounds the per-row
     * payload, and the second lookup rides [[sizeGatedJoin]].
-    * `symmetric` must be a DISTINCT edge list ([[symEdges]] shape). */
+    * `symmetric` may carry duplicate pairs (r17 — the adjacency build
+    * dedups, the same contract as [[edgeJaccardTopK]]): the full
+    * adjacency aggregates FIRST, so the old standalone distinct
+    * exchange and the edge-sized degree pass both fold into that one
+    * aggregation — distinct edges re-derive as a narrow explode with
+    * the true distinct degree already on the row, and only a node-sized
+    * distinct remains for the dst-degree lookup. At hub scale the build
+    * rides [[adaptiveAdjacency]]'s measured gate exactly like the other
+    * graph queries (bounded pre-agg buffers past `hubDegreeLimit`). */
   def triangleCounts(
       symmetric: DataFrame,
       sliceK: Int = AdjSliceK,
-      broadcastBudget: Long = BroadcastBudgetBytes): DataFrame = {
-    val sym = symmetric.persist(StorageLevel.MEMORY_AND_DISK)
-    // Degrees via one map-side-combined groupBy on the persisted edge
-    // list, joined back SIZE-GATED like every build side in the family
-    // — deg rows are SKINNY (node, n): node-scaled and hub-independent,
-    // so the gate keeps the broadcast on any graph whose node count
-    // fits the budget and degrades to shuffle-hash (deg as build side)
-    // on a billions-of-nodes graph instead of overflowing executors.
-    // MATERIALIZED (persist + count) before the gate reads its stats:
-    // the gate decides at plan-construction time, and an unmaterialized
-    // aggregate over a cold cache inherits the upstream self-join's
-    // multiplicative row estimate — measured flipping this broadcast to
-    // shuffle-hash and re-exchanging the edge list twice (+1.5 s at
-    // sf0.1). Feeding two joins, the cache pays for itself anyway.
-    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      broadcastBudget: Long = BroadcastBudgetBytes,
+      hubDegreeLimit: Long = HubBufferDegreeLimit,
+      knownMaxRawDeg: Option[Long] = None): DataFrame = {
+    val adjFull = adaptiveAdjacency(symmetric, sliceK, hubDegreeLimit,
+      broadcastBudget, knownMaxRawDeg)
+    // (node, deg) via a node-sized distinct over the slice rows — every
+    // slice carries the full distinct degree, so this replaces the
+    // edge-sized groupBy the old shape paid. Joined back SIZE-GATED
+    // like every build side in the family: deg rows are SKINNY —
+    // node-scaled and hub-independent — so the gate keeps the broadcast
+    // on any graph whose node count fits the budget and degrades to
+    // shuffle-hash (deg as build side) on a billions-of-nodes graph.
+    // MATERIALIZED (persist + count) before the gate reads its stats
+    // (the family contract — see [[sizeGatedJoin]]).
+    val deg = adjFull.select(col("src"), col("deg")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     deg.count()
+    // src degree rides the adjacency row for free; only ddst needs the
+    // lookup. The oriented edge list is consumed exactly once (by the
+    // out-list aggregation below), so it is never persisted.
     val oriented = sizeGatedJoin(
-      sizeGatedJoin(sym, deg.toDF("src", "dsrc"), Seq("src"), broadcastBudget),
+      adjFull.select(col("src"), col("deg").as("dsrc"),
+        explode(col("nbrs")).as("dst")),
       deg.toDF("dst", "ddst"), Seq("dst"), broadcastBudget)
       .filter(col("dsrc") < col("ddst") ||
         (col("dsrc") === col("ddst") && col("src") < col("dst")))
       .select(col("src"), col("dst"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    oriented.count()
-    sym.unpersist(blocking = false)
-    deg.unpersist(blocking = false)
     val adj = oriented.groupBy(col("src"))
       .agg(collect_list(col("dst")).as("all"))
       .select(col("src"), explode(expr(
@@ -342,16 +361,21 @@ object GraphOps extends OpModule {
           s" i -> slice(all, i*$sliceK+1, $sliceK))")).as("nbrs"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     adj.count()
+    adjFull.unpersist(blocking = false)
+    deg.unpersist(blocking = false)
     // BOTH lookups ride the size gate: adj is persisted+counted (the
     // contract), so while the sliced-adjacency table measures under
     // budget it broadcasts — the edge list then never exchanges at all
     // (measured −2 s at sf0.1 vs a forced shuffle_hash here) — and on
     // an over-budget graph the gate degrades this join to shuffle_hash
-    // exactly as before. Each dst slice joins in, each intersection
-    // element is counted once (slices partition the list).
+    // exactly as before. The per-edge stream side re-derives from the
+    // oriented adjacency cache as a narrow explode (slices partition
+    // each out-list, so every oriented edge appears exactly once).
+    // Each dst slice joins in, each intersection element is counted
+    // once (slices partition the list).
     val perEdge = sizeGatedJoin(
       sizeGatedJoin(
-        oriented,
+        adj.select(col("src"), explode(col("nbrs")).as("dst")),
         adj.select(col("src"), col("nbrs").as("nu")),
         Seq("src"), broadcastBudget),
       adj.select(col("src").as("dst"), col("nbrs").as("nw")),
@@ -657,7 +681,18 @@ object GraphOps extends OpModule {
     // independent, so the DuckDB twin verifies with plain
     // id-orientation — same triangles from a different join order. ──
     "graph_triangles" -> Q(
-      (s, d) => triangleCounts(symEdges(s, d)),
+      (s, d) => {
+        // r17: same order-set-backed shape as pagerank/edge_jaccard —
+        // the compact (order, part-set) relation persists, the raw pair
+        // blow-up feeds triangleCounts directly (its adjacency build
+        // dedups), and the standalone distinct exchange + edge-sized
+        // degree pass the old symEdges form paid are gone.
+        val os = orderSets(s, d).persist(StorageLevel.MEMORY_AND_DISK)
+        val out = triangleCounts(pairsFrom(os),
+          knownMaxRawDeg = Some(maxRawDegFrom(os)))
+        os.unpersist(blocking = false)
+        out
+      },
       Some("""WITH e AS (
              |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
              |  FROM lineitem a JOIN lineitem b
@@ -712,6 +747,12 @@ object GraphOps extends OpModule {
             .agg(min(col("dist")).as("dist"))
             .localCheckpoint()
         }
+        // dist is already materialized (eager localCheckpoint above), so
+        // the raw-pair cache — LARGER than the old distinct edge cache —
+        // is dead weight the moment the loop exits: release it here
+        // rather than leak it for the session (r17, advisor finding;
+        // same hygiene as [[bfsToFixpoint]]).
+        edges.unpersist(blocking = false)
         dist
       },
       Some {

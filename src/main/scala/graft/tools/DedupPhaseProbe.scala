@@ -1,9 +1,7 @@
 package graft.tools
 
-import graft.{Fixtures, Sessions, Tables}
-import org.apache.spark.sql.SparkSession
+import graft.Tables
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 import org.apache.spark.storage.StorageLevel
 
 /** Phase-level timing probe for the minhash-edge pipeline behind
@@ -14,18 +12,8 @@ import org.apache.spark.storage.StorageLevel
   */
 object DedupPhaseProbe {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    Sessions.tune(spark)
-    spark.sparkContext.setLogLevel("WARN")
-    Fixtures.ensureAll(spark, sfDir)
+    val sfDir = LocalTool.sfDir
+    val spark = LocalTool.session(sfDir)
     val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {

@@ -1,7 +1,6 @@
 package graft.tools
 
-import graft.{Fixtures, Sessions, SparkEntry}
-import org.apache.spark.sql.SparkSession
+import graft.SparkEntry
 import java.nio.file.{Files, Paths}
 
 /** Optimization-round evidence dumper: writes `explain("formatted")` for
@@ -16,18 +15,8 @@ object PlanFile {
   def main(args: Array[String]): Unit = {
     require(args.length >= 3, "usage: PlanFile <outDir> <tag> <query>...")
     val (outDir, tag, names) = (args(0), args(1), args.drop(2).toSeq)
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    Sessions.tune(spark)
-    spark.sparkContext.setLogLevel("ERROR")
-    Fixtures.ensureAll(spark, sfDir)
+    val sfDir = LocalTool.sfDir
+    val spark = LocalTool.session(sfDir, logLevel = "ERROR")
     Files.createDirectories(Paths.get(outDir))
     for (name <- names) {
       val df = SparkEntry.queries(name)(spark, sfDir)
