@@ -583,26 +583,22 @@ object DedupOps extends OpModule {
     val sets = shingled(s, d, 3)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sets.count()
-    // DIRECTED pairs persisted before the symmetric union (r16
-    // optimization, the family's own measured fix applied here too):
-    // the union's two branches otherwise each execute the whole
-    // candidate + verify pipeline — one redundant full pass of the
-    // band self-join and the shingle co-count (measured ~30 MB of the
-    // survivors query's 75 MB shuffle, ~1.7 s at sf0.1). MATERIALIZED
-    // (count) before the union builds (r17, advisor finding): a lazy
-    // persist makes the union's two branches populate the cache
-    // concurrently — block-lock serialized, one branch stalling on the
-    // other's partition computes — instead of the two cache scans this
-    // fix exists to buy. The pair cache is released as soon as the
-    // symmetric edge list materializes.
-    val pairs = jaccardPairs(candidates(bandSigs(sets, 32, 4)), sets, 0.8)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    pairs.count()
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // BOTH directions emitted in ONE narrow pass (r17): the old
+    // union-of-two-selects referenced the pair pipeline twice, which
+    // r16 patched with an intermediate pair cache (one redundant full
+    // pass of the band self-join + shingle co-count otherwise — ~30 MB
+    // of the survivors query's 75 MB shuffle, ~1.7 s at sf0.1). The
+    // explode of a two-struct array needs NO second reference at all,
+    // so the intermediate cache, its materialization job, and its two
+    // scans are gone — the candidate + verify pipeline streams straight
+    // into the one persisted edge list.
+    val edges = jaccardPairs(candidates(bandSigs(sets, 32, 4)), sets, 0.8)
+      .select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     edges.count()
-    pairs.unpersist(blocking = false)
     edges
   }
 
@@ -804,14 +800,22 @@ object DedupOps extends OpModule {
       .join(lex.select(col("doc_id").as("dst"), col("label").as("rd")), "dst")
       .filter(col("rs") =!= col("rd"))
       .select(col("rs").as("src"), col("rd").as("dst"))
-      .persist() // directed pairs once; union = two cache scans
-    val repEdges = semRep.unionByName(
-      semRep.select(col("dst").as("src"), col("src").as("dst")))
+    // both directions in ONE narrow pass (r17), so the persisted
+    // relation is the symmetric edge list itself: the fixpoint
+    // references its edges more than once (size probe + propagation),
+    // and each reference is now one cache scan instead of two plus a
+    // union of the old directed-pair cache.
+    val repEdges = semRep
+      .select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .persist()
     val repLabels =
       try
         survivorsToFixpoint(
           lex.select(col("label").as("doc_id")).distinct(), repEdges)
-      finally semRep.unpersist()
+      finally repEdges.unpersist()
     lex.join(
         repLabels.select(col("doc_id").as("label"), col("cluster_id"),
           col("rounds")),
@@ -1377,16 +1381,19 @@ object DedupOps extends OpModule {
         val sets = shingled(s, d, 3)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         sets.count()
-        // localCheckpoint: the symmetrize union below references the
-        // pair list twice — without truncation the whole LSH+verify
-        // pipeline executes once per branch (measured ~2× this query).
-        // The checkpointed relation is only the surviving pairs.
-        val pairs = jaccardPairs(candidates(bandSigs(sets, 32, 4)), sets, 0.1)
-          .localCheckpoint()
-        val sym = pairs.select(col("doc_a").as("doc_id"),
-            col("doc_b").as("neighbor_id"), col("jaccard"))
-          .unionByName(pairs.select(col("doc_b").as("doc_id"),
-            col("doc_a").as("neighbor_id"), col("jaccard")))
+        // both directions in ONE narrow pass (r17): the explode of a
+        // two-struct array references the LSH+verify pipeline once, so
+        // the localCheckpoint that existed only to stop the symmetrize
+        // union from executing it per branch (measured ~2× this query)
+        // is gone — no materialization barrier at all.
+        val sym = jaccardPairs(candidates(bandSigs(sets, 32, 4)), sets, 0.1)
+          .select(explode(array(
+            struct(col("doc_a").as("doc_id"),
+              col("doc_b").as("neighbor_id"), col("jaccard")),
+            struct(col("doc_b").as("doc_id"),
+              col("doc_a").as("neighbor_id"), col("jaccard")))).as("e"))
+          .select(col("e.doc_id").as("doc_id"),
+            col("e.neighbor_id").as("neighbor_id"), col("e.jaccard").as("jaccard"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("doc_id"))
           .orderBy(col("jaccard").desc, col("neighbor_id").asc)

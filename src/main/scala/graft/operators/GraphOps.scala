@@ -448,12 +448,18 @@ object GraphOps extends OpModule {
         (col("common").cast(DoubleType) /
           (col("deg_u") + col("deg_v") - col("common")).cast(DoubleType))
           .as("sim"))
-      // localCheckpoint: the direction-union below references the
-      // scored relation twice; without truncation the array-bearing
-      // joins execute once per branch (measured ~2× this query).
-      .localCheckpoint()
-    val sym = scored.unionByName(scored.select(col("dst").as("src"),
-      col("src").as("dst"), col("common"), col("sim")))
+    // both directions in ONE narrow pass (r17): the explode of a
+    // two-struct array references the scored relation once, so the
+    // localCheckpoint that existed only to stop the direction union
+    // from executing the array-bearing joins per branch (measured ~2×
+    // this query) is gone — no materialization barrier at all.
+    val sym = scored
+      .select(explode(array(
+        struct(col("src"), col("dst"), col("common"), col("sim")),
+        struct(col("dst").as("src"), col("src").as("dst"),
+          col("common"), col("sim")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"),
+        col("e.common").as("common"), col("e.sim").as("sim"))
     val w = Window.partitionBy(col("src"))
       .orderBy(col("sim").desc, col("dst").asc)
     sym.withColumn("rnk", row_number().over(w).cast(LongType))
