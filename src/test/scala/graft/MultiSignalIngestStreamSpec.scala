@@ -90,8 +90,15 @@ class MultiSignalIngestStreamSpec extends AnyFunSuite {
       def admitted(): Long =
         if (!Files.exists(java.nio.file.Paths.get(survivorsDir, "_SUCCESS"))) 0L
         else spark.read.parquet(survivorsDir).count()
-      while (admitted() < 1 && System.currentTimeMillis() < deadline)
-        Thread.sleep(100)
+      // poll the commit MARKER, not a Spark count: each count is itself
+      // a job, and under ambient box load one poll iteration can outlast
+      // batch 1's entire commit — the kill then lands after the full
+      // drain in every attempt (observed in a loaded full-suite run with
+      // the worker code untouched). Batch 0 admits ≥ 1 row by fixture
+      // design, so marker-exists ⇒ admitted() ≥ 1.
+      while (!Files.exists(java.nio.file.Paths.get(survivorsDir, "_SUCCESS"))
+          && System.currentTimeMillis() < deadline)
+        Thread.sleep(10)
       q1.stop()
       q1.awaitTermination(60000)
       val afterKill = admitted()
